@@ -1,0 +1,61 @@
+"""Typed pipeline configuration.
+
+Role-equivalent to the reference's free-form ``params`` JSON passed to
+converters (reference: database/models.py:59,145 and
+processors/enhanced_task_processor.py:536-539) — but typed, immutable
+and hashed into the lineage manifest so a config change invalidates
+resume state.
+
+All thresholds are INTEGERS (percentages / counts), never floats:
+byte-identical output under any parallelism requires that scoring
+never depends on float rounding (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Knobs for the extraction core and the Ray pipeline around it."""
+
+    # ---- HTML main-content heuristics (integer percentages) ----
+    # a block whose link_chars*100 > text_chars*link_density_pct is boilerplate
+    link_density_pct: int = 50
+    # minimum text characters for a block to count as content at all
+    min_block_chars: int = 8
+    # blocks under containers with < text_density_pct% of chars outside tags
+    # are pruned (computed as integer ratio)
+    text_density_pct: int = 20
+
+    # ---- PDF layout ----
+    # font size strictly greater than body median → heading
+    pdf_heading_ratio_pct: int = 120  # size*100 > median*ratio → heading
+    # vertical line-merge tolerance in 1/1000 text-space units
+    pdf_line_tol_milli: int = 3000  # 3.0 units
+    # two-column split requires a central x-gap at least this wide (milli-units)
+    pdf_column_gap_milli: int = 30000
+
+    # ---- routing / partitioning ----
+    num_partitions: int = 16
+    # rows with payload >= this many bytes are "elephants" → batch_size=1 leg
+    elephant_bytes: int = 4 * 1024 * 1024
+
+    # ---- actor pool (PDF leg) ----
+    pdf_pool_min: int = 1
+    pdf_pool_max: int = 8
+    pdf_batch_size: int = 16
+
+    # ---- HTML leg ----
+    html_batch_size: int = 256
+
+    def fingerprint(self) -> str:
+        """Stable digest of the config; part of every partition manifest."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = ExtractConfig()

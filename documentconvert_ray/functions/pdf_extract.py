@@ -1,0 +1,800 @@
+"""PDF text + layout extraction for the supported profile (SURVEY.md §7.4).
+
+From-scratch re-expression of the semantics the reference obtains from
+MinerU's pipeline (`pipeline_doc_analyze` → `pipeline_result_to_middle_json`
+→ `pipeline_union_make`, reference services/document_service.py:240-272):
+
+- page segmentation (objects → page tree → per-page content streams);
+- reading-order reconstruction (line clustering, two-column detection,
+  column-major ordering);
+- table region detection (ruled-line grid → cells → markdown table);
+- figure regions (XObject ``Do`` placements → placeholder blocks);
+- heading detection by font size;
+- Markdown rendering with per-page span offsets.
+
+Supported profile: PDFs with uncompressed or FlateDecode content
+streams, standard fonts, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
+ruled tables via ``re``/``m``/``l`` path ops, figures via ``cm`` + ``Do``.
+Object resolution is scan-based (every ``N G obj``), so damaged xref
+tables are recoverable by construction (FIXTURES.md §3 adversarial
+variant "bad xref offsets").
+
+Determinism: geometry is converted to integer milli-units immediately
+after parse; all clustering/sorting uses integer comparisons with
+stable tie-breaks (page, -y, x, stream order).
+
+Failures are row-level values, never exceptions (reference error-artifact
+semantics, services/document_service.py:347-383): truncated or
+unparseable payloads yield ok=False with a classified error_kind — the
+analogue of `_analyze_mineru_python_error` (services/document_service.py:
+394-424).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from .markdown import Block, render
+
+# ------------------------------------------------------------ object model
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+class PdfError(Exception):
+    def __init__(self, kind: str, msg: str) -> None:
+        super().__init__(msg)
+        self.kind = kind
+
+
+class _Lexer:
+    """Minimal PDF object lexer/parser (dicts, arrays, names, numbers,
+    strings, refs, booleans, null)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.i = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c in b" \t\r\n\x0c\x00":
+                self.i += 1
+            elif c == 0x25:  # '%' comment
+                while self.i < n and d[self.i] not in b"\r\n":
+                    self.i += 1
+            else:
+                return
+
+    def parse(self):
+        self._skip_ws()
+        if self.i >= self.n:
+            raise PdfError("truncated_pdf", "unexpected end of data")
+        d = self.d
+        c = d[self.i]
+        if d.startswith(b"<<", self.i):
+            return self._parse_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        if c == 0x28:  # '('
+            return self._parse_string()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if d.startswith(b"true", self.i):
+            self.i += 4
+            return True
+        if d.startswith(b"false", self.i):
+            self.i += 5
+            return False
+        if d.startswith(b"null", self.i):
+            self.i += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self):
+        self.i += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.d.startswith(b">>", self.i):
+                self.i += 2
+                return out
+            if self.i >= self.n:
+                raise PdfError("truncated_pdf", "unterminated dict")
+            key = self._parse_name()
+            out[key] = self.parse()
+
+    def _parse_array(self):
+        self.i += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.i >= self.n:
+                raise PdfError("truncated_pdf", "unterminated array")
+            if self.d[self.i] == 0x5D:  # ']'
+                self.i += 1
+                return out
+            out.append(self.parse())
+
+    def _parse_name(self) -> str:
+        if self.d[self.i] != 0x2F:
+            raise PdfError("pdf_parse_error", "expected name")
+        self.i += 1
+        start = self.i
+        d, n = self.d, self.n
+        while self.i < n and d[self.i] not in b" \t\r\n\x0c\x00/<>[]()%":
+            self.i += 1
+        return d[start:self.i].decode("latin-1")
+
+    def _parse_string(self) -> bytes:
+        self.i += 1
+        out = bytearray()
+        depth = 1
+        d, n = self.d, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c == 0x5C:  # backslash
+                self.i += 1
+                if self.i >= n:
+                    break
+                e = d[self.i]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    self.i += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    self.i += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    for _ in range(3):
+                        if self.i < n and 0x30 <= d[self.i] <= 0x37:
+                            oct_digits.append(d[self.i])
+                            self.i += 1
+                        else:
+                            break
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.i += 1
+                    if e == 0x0D and self.i < n and d[self.i] == 0x0A:
+                        self.i += 1
+                else:
+                    out.append(e)
+                    self.i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    return bytes(out)
+                out.append(c)
+                self.i += 1
+            else:
+                out.append(c)
+                self.i += 1
+        raise PdfError("truncated_pdf", "unterminated string")
+
+    def _parse_hex_string(self) -> bytes:
+        self.i += 1
+        start = self.i
+        end = self.d.find(b">", self.i)
+        if end < 0:
+            raise PdfError("truncated_pdf", "unterminated hex string")
+        hexs = re.sub(rb"\s+", b"", self.d[start:end])
+        self.i = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _parse_number_or_ref(self):
+        m = _NUM_RE.match(self.d, self.i)
+        if not m:
+            raise PdfError("pdf_parse_error", f"bad token at {self.i}")
+        tok = m.group(0)
+        self.i = m.end()
+        # lookahead for "G R" (indirect reference)
+        save = self.i
+        self._skip_ws()
+        m2 = re.match(rb"(\d+)\s+R\b", self.d[self.i:self.i + 32])
+        if m2 and b"." not in tok:
+            self.i += m2.end()
+            return _Ref(int(tok))
+        self.i = save
+        if b"." in tok:
+            return float(tok)
+        return int(tok)
+
+
+# ------------------------------------------------------------- document
+
+
+@dataclass
+class _TextItem:
+    page: int
+    x: int  # milli-units
+    y: int
+    size: int  # font size in milli-units
+    text: str
+    seq: int  # stream order for stable ties
+    w: int = 0  # approximate advance width in milli-units
+
+
+@dataclass
+class _FigItem:
+    page: int
+    x: int
+    y: int  # top y in milli-units
+    seq: int
+
+
+@dataclass
+class _PageGeom:
+    hlines: list = field(default_factory=list)  # (y, x0, x1)
+    vlines: list = field(default_factory=list)  # (x, y0, y1)
+
+
+class _PdfDoc:
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.objects: dict[int, tuple[int, int]] = {}  # num -> (body_start, body_end)
+        self._cache: dict[int, object] = {}
+        for m in _OBJ_RE.finditer(raw):
+            num = int(m.group(1))
+            end = raw.find(b"endobj", m.end())
+            if end < 0:
+                end = len(raw)
+            # first definition wins (deterministic)
+            if num not in self.objects:
+                self.objects[num] = (m.end(), end)
+
+    def resolve(self, v):
+        if isinstance(v, _Ref):
+            return self.get_object(v.num)
+        return v
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        span = self.objects.get(num)
+        if span is None:
+            return None
+        obj = _Lexer(self.raw, span[0]).parse()
+        self._cache[num] = obj
+        return obj
+
+    def get_stream(self, num: int) -> bytes:
+        """Decoded stream bytes for object `num`."""
+        span = self.objects.get(num)
+        if span is None:
+            raise PdfError("pdf_parse_error", f"missing stream object {num}")
+        lex = _Lexer(self.raw, span[0])
+        sdict = lex.parse()
+        if not isinstance(sdict, dict):
+            raise PdfError("pdf_parse_error", f"object {num} is not a stream")
+        body = self.raw[lex.i:span[1]]
+        sidx = body.find(b"stream")
+        if sidx < 0:
+            raise PdfError("pdf_parse_error", f"object {num} has no stream keyword")
+        start = sidx + len(b"stream")
+        if body.startswith(b"\r\n", start):
+            start += 2
+        elif body.startswith(b"\n", start):
+            start += 1
+        eidx = body.rfind(b"endstream")
+        if eidx < 0 or eidx < start:
+            raise PdfError("truncated_pdf", f"object {num}: endstream missing")
+        data = body[start:eidx]
+        # honor /Length when it is sane (guards trailing newline junk)
+        length = self.resolve(sdict.get("Length"))
+        if isinstance(length, int) and 0 <= length <= len(data):
+            data = data[:length]
+        filt = self.resolve(sdict.get("Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise PdfError("truncated_pdf", f"flate error: {e}") from e
+            elif f is None:
+                pass
+            else:
+                raise PdfError("unsupported_pdf_filter", f"filter {f}")
+        return data
+
+    def pages(self) -> list[dict]:
+        """Page dicts in document order via the /Root → /Pages → /Kids walk;
+        falls back to object-number order over /Type /Page objects."""
+        root = None
+        # trailer dict(s): scan for /Root
+        for m in re.finditer(rb"trailer", self.raw):
+            try:
+                lex = _Lexer(self.raw, m.end())
+                tdict = lex.parse()
+                if isinstance(tdict, dict) and "Root" in tdict:
+                    root = self.resolve(tdict["Root"])
+                    break
+            except PdfError:
+                continue
+        if root is None:
+            # some writers put /Root in an XRef stream dict; scan objects
+            for num in sorted(self.objects):
+                obj = self.get_object(num)
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    root = obj
+                    break
+        out: list[dict] = []
+        if isinstance(root, dict):
+            pages_obj = self.resolve(root.get("Pages"))
+            self._walk_pages(pages_obj, out, depth=0)
+        if not out:
+            for num in sorted(self.objects):
+                obj = self.get_object(num)
+                if isinstance(obj, dict) and obj.get("Type") == "Page":
+                    out.append(obj)
+        if not out:
+            raise PdfError("pdf_parse_error", "no pages found")
+        return out
+
+    def _walk_pages(self, node, out: list, depth: int) -> None:
+        if depth > 64 or not isinstance(node, dict):
+            return
+        if node.get("Type") == "Page":
+            out.append(node)
+            return
+        kids = self.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids:
+                self._walk_pages(self.resolve(k), out, depth + 1)
+
+
+# -------------------------------------------------- content-stream engine
+
+_TOKEN_RE = re.compile(
+    rb"""
+      (?P<str>\()                                 # literal string start
+    | (?P<hex><(?![<]))                           # hex string start
+    | (?P<dict><<|>>)
+    | (?P<arr>\[|\])
+    | (?P<name>/[^\s/<>\[\]()%]*)
+    | (?P<num>[-+]?\d*\.?\d+)
+    | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _mu(v: float) -> int:
+    """Convert user-space units to integer milli-units."""
+    return int(round(v * 1000))
+
+
+class _ContentInterp:
+    """Executes the supported text/path/XObject operator subset of one
+    page's content stream, collecting text items, ruled lines and
+    figure placements."""
+
+    def __init__(self, page_idx: int, seq_base: int) -> None:
+        self.page = page_idx
+        self.items: list[_TextItem] = []
+        self.figs: list[_FigItem] = []
+        self.geom = _PageGeom()
+        self.seq = seq_base
+        # text state
+        self.size = 0.0
+        self.leading = 0.0
+        self.tx = 0.0
+        self.ty = 0.0
+        self.lx = 0.0  # line start x
+        # graphics state
+        self.cm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.cm_stack: list[tuple] = []
+        self.path_rects: list[tuple] = []
+        self.path_segs: list[tuple] = []
+        self.cur_pt: tuple | None = None
+
+    # -- helpers
+    def _show(self, s: bytes) -> None:
+        txt = s.decode("latin-1")
+        if txt:
+            adv = 0.5 * self.size * len(txt)  # 0.5 em/char, deterministic
+            self.items.append(
+                _TextItem(self.page, _mu(self.tx), _mu(self.ty), _mu(self.size),
+                          txt, self.seq, _mu(adv))
+            )
+            self.seq += 1
+            self.tx += adv
+
+    def _newline(self) -> None:
+        self.ty -= self.leading
+        self.tx = self.lx
+
+    def _commit_path(self, stroke: bool) -> None:
+        for (x, y, w, h) in self.path_rects:
+            # thin rects act as lines; full rects contribute 4 edges
+            x0, x1 = _mu(x), _mu(x + w)
+            y0, y1 = _mu(y), _mu(y + h)
+            if abs(y1 - y0) <= 2000:  # ≤2pt tall → horizontal line
+                ym = (y0 + y1) // 2
+                self.geom.hlines.append((ym, min(x0, x1), max(x0, x1)))
+            elif abs(x1 - x0) <= 2000:
+                xm = (x0 + x1) // 2
+                self.geom.vlines.append((xm, min(y0, y1), max(y0, y1)))
+            else:
+                self.geom.hlines.append((y0, min(x0, x1), max(x0, x1)))
+                self.geom.hlines.append((y1, min(x0, x1), max(x0, x1)))
+                self.geom.vlines.append((x0, min(y0, y1), max(y0, y1)))
+                self.geom.vlines.append((x1, min(y0, y1), max(y0, y1)))
+        for (ax, ay, bx, by) in self.path_segs:
+            if ay == by:
+                self.geom.hlines.append((_mu(ay), min(_mu(ax), _mu(bx)), max(_mu(ax), _mu(bx))))
+            elif ax == bx:
+                self.geom.vlines.append((_mu(ax), min(_mu(ay), _mu(by)), max(_mu(ay), _mu(by))))
+        self.path_rects.clear()
+        self.path_segs.clear()
+        self.cur_pt = None
+
+    def run(self, data: bytes) -> None:
+        stack: list = []
+        i = 0
+        n = len(data)
+        while i < n:
+            m = _TOKEN_RE.search(data, i)
+            if not m:
+                break
+            i = m.end()
+            if m.group("str"):
+                lex = _Lexer(data, m.start())
+                stack.append(lex._parse_string())
+                i = lex.i
+            elif m.group("hex"):
+                lex = _Lexer(data, m.start())
+                stack.append(lex._parse_hex_string())
+                i = lex.i
+            elif m.group("dict"):
+                if m.group("dict") == b"<<":
+                    lex = _Lexer(data, m.start())
+                    stack.append(lex._parse_dict())
+                    i = lex.i
+            elif m.group("arr"):
+                if m.group("arr") == b"[":
+                    # arrays in content streams: TJ operand
+                    lex = _Lexer(data, m.start())
+                    try:
+                        stack.append(lex._parse_array())
+                        i = lex.i
+                    except PdfError:
+                        stack.append([])
+            elif m.group("name"):
+                stack.append(m.group("name")[1:].decode("latin-1"))
+            elif m.group("num"):
+                tok = m.group("num")
+                stack.append(float(tok) if b"." in tok else int(tok))
+            else:
+                self._op(m.group("op").decode("latin-1"), stack)
+                stack.clear()
+        # commit any un-stroked residue deterministically: dropped
+
+    def _op(self, op: str, stack: list) -> None:  # noqa: C901 — flat dispatch
+        def num(idx: int) -> float:
+            v = stack[idx]
+            return float(v) if isinstance(v, (int, float)) else 0.0
+
+        if op == "Tf" and len(stack) >= 2:
+            self.size = num(-1)
+        elif op == "TL" and len(stack) >= 1:
+            self.leading = num(-1)
+        elif op == "Td" and len(stack) >= 2:
+            self.lx += num(-2)
+            self.ty += num(-1)
+            self.tx = self.lx
+        elif op == "TD" and len(stack) >= 2:
+            self.leading = -num(-1)
+            self.lx += num(-2)
+            self.ty += num(-1)
+            self.tx = self.lx
+        elif op == "Tm" and len(stack) >= 6:
+            self.lx = num(-2)
+            self.ty = num(-1)
+            self.tx = self.lx
+            # scale factor from matrix a-component affects effective size
+            a = num(-6)
+            if a not in (0.0, 1.0):
+                self.size = self.size * abs(a)
+        elif op == "T*":
+            self._newline()
+        elif op == "Tj" and stack:
+            v = stack[-1]
+            if isinstance(v, bytes):
+                self._show(v)
+        elif op == "'" and stack:
+            self._newline()
+            v = stack[-1]
+            if isinstance(v, bytes):
+                self._show(v)
+        elif op == '"' and len(stack) >= 3:
+            self._newline()
+            v = stack[-1]
+            if isinstance(v, bytes):
+                self._show(v)
+        elif op == "TJ" and stack:
+            v = stack[-1]
+            if isinstance(v, list):
+                parts = [p for p in v if isinstance(p, bytes)]
+                self._show(b"".join(parts))
+        elif op == "BT":
+            self.tx = self.ty = self.lx = 0.0
+        elif op == "ET":
+            pass
+        elif op == "cm" and len(stack) >= 6:
+            self.cm = (num(-6), num(-5), num(-4), num(-3), num(-2), num(-1))
+        elif op == "q":
+            self.cm_stack.append(self.cm)
+        elif op == "Q":
+            if self.cm_stack:
+                self.cm = self.cm_stack.pop()
+        elif op == "re" and len(stack) >= 4:
+            self.path_rects.append((num(-4), num(-3), num(-2), num(-1)))
+        elif op == "m" and len(stack) >= 2:
+            self.cur_pt = (num(-2), num(-1))
+        elif op == "l" and len(stack) >= 2:
+            if self.cur_pt is not None:
+                self.path_segs.append((self.cur_pt[0], self.cur_pt[1], num(-2), num(-1)))
+            self.cur_pt = (num(-2), num(-1))
+        elif op in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*"):
+            self._commit_path(stroke=True)
+        elif op == "n":
+            self.path_rects.clear()
+            self.path_segs.clear()
+            self.cur_pt = None
+        elif op == "Do":
+            a, _b, _c, d, e, f = self.cm
+            self.figs.append(
+                _FigItem(self.page, _mu(e), _mu(f + abs(d)), self.seq)
+            )
+            self.seq += 1
+        # all other operators (color, line width, fonts resources): no-op
+
+
+# ---------------------------------------------------------- layout → blocks
+
+
+def _cluster_lines(items: list[_TextItem], tol: int) -> list[list[_TextItem]]:
+    """Group text items into lines by y (descending), tolerance in
+    milli-units; items within a line sorted by (x, seq)."""
+    if not items:
+        return []
+    srt = sorted(items, key=lambda t: (-t.y, t.x, t.seq))
+    lines: list[list[_TextItem]] = [[srt[0]]]
+    for it in srt[1:]:
+        if abs(lines[-1][0].y - it.y) <= tol:
+            lines[-1].append(it)
+        else:
+            lines.append([it])
+    for ln in lines:
+        ln.sort(key=lambda t: (t.x, t.seq))
+    return lines
+
+
+def _in_bbox(it: _TextItem, bbox: tuple) -> bool:
+    x0, y0, x1, y1 = bbox
+    return x0 <= it.x <= x1 and y0 <= it.y <= y1
+
+
+def _detect_tables(geom: _PageGeom) -> list[tuple]:
+    """Ruled-grid detection: ≥3 horizontal lines + ≥2 vertical lines
+    whose extents overlap → one table bbox (x0,y0,x1,y1) plus the
+    sorted grid coordinates. Returns list of (bbox, row_ys, col_xs)."""
+    if len(geom.hlines) < 3 or len(geom.vlines) < 2:
+        return []
+    # cluster h-line ys and v-line xs (they may repeat per cell)
+    hys = sorted({y for (y, _x0, _x1) in geom.hlines})
+    vxs = sorted({x for (x, _y0, _y1) in geom.vlines})
+    if len(hys) < 3 or len(vxs) < 2:
+        return []
+    x0 = min(x0_ for (_y, x0_, _x1) in geom.hlines)
+    x1 = max(x1_ for (_y, _x0, x1_) in geom.hlines)
+    y0, y1 = hys[0], hys[-1]
+    bbox = (x0 - 1000, y0 - 1000, x1 + 1000, y1 + 1000)
+    return [(bbox, hys, vxs)]
+
+
+def _table_to_block(items: list[_TextItem], page: int,
+                    bbox_rows_cols: tuple) -> Block:
+    bbox, row_ys, col_xs = bbox_rows_cols
+    # rows between consecutive h-lines, top→bottom (descending y); (lo, hi)
+    row_bounds = list(zip(row_ys[:-1][::-1], row_ys[1:][::-1]))
+    # columns between consecutive v-lines (borders enclose all cells)
+    col_bounds = list(zip(col_xs[:-1], col_xs[1:]))
+    grid: list[list[list[str]]] = [
+        [[] for _ in col_bounds] for _ in row_bounds
+    ]
+    for it in sorted(items, key=lambda t: (-t.y, t.x, t.seq)):
+        for ri, (lo, hi) in enumerate(row_bounds):
+            if lo <= it.y <= hi:
+                for ci, (cl, cr) in enumerate(col_bounds):
+                    if cl <= it.x < cr:
+                        grid[ri][ci].append(it.text)
+                        break
+                break
+    rows = [[" ".join(c).strip().replace("|", "\\|") for c in r] for r in grid]
+    rows = [r for r in rows if any(r)]
+    if not rows:
+        return Block("table", "", page)
+    width = max(len(r) for r in rows)
+    lines = ["| " + " | ".join(rows[0] + [""] * (width - len(rows[0]))) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for r in rows[1:]:
+        lines.append("| " + " | ".join(r + [""] * (width - len(r))) + " |")
+    return Block("table", "\n".join(lines), page)
+
+
+def _split_column_items(items: list[_TextItem], gap_milli: int) -> list[list[_TextItem]]:
+    """Two-column detection over raw items (before line clustering).
+
+    Merge the x-intervals [x, x+w) of all items; if the widest gap
+    between merged intervals is ≥ gap_milli with items on both sides,
+    split at the gap center → [left_items, right_items] (column-major
+    reading order). No item may span the gutter (a full-width line
+    closes the gap and forces single-column — supported-profile
+    limitation, documented in SURVEY.md §7.4).
+    """
+    if len(items) < 4:
+        return [items]
+    ivals = sorted((it.x, it.x + max(it.w, 1)) for it in items)
+    merged: list[list[int]] = [list(ivals[0])]
+    for a, b in ivals[1:]:
+        if a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    best_gap, split_at = 0, None
+    for (a0, a1), (b0, b1) in zip(merged, merged[1:]):
+        if b0 - a1 > best_gap:
+            best_gap, split_at = b0 - a1, (a1 + b0) // 2
+    if split_at is None or best_gap < gap_milli:
+        return [items]
+    left = [it for it in items if it.x < split_at]
+    right = [it for it in items if it.x >= split_at]
+    if len(left) < 2 or len(right) < 2:
+        return [items]
+    return [left, right]
+
+
+def _page_blocks(interp: _ContentInterp, cfg: ExtractConfig) -> list[Block]:
+    page = interp.page
+    tol = cfg.pdf_line_tol_milli
+    tables = _detect_tables(interp.geom)
+    table_items: list[_TextItem] = []
+    flow_items: list[_TextItem] = []
+    for it in interp.items:
+        if any(_in_bbox(it, t[0]) for t in tables):
+            table_items.append(it)
+        else:
+            flow_items.append(it)
+
+    # heading threshold: median body size (integer milli-units)
+    sizes = sorted(it.size for it in flow_items)
+    median = sizes[len(sizes) // 2] if sizes else 0
+
+    def is_heading_size(s: int) -> bool:
+        return median > 0 and s * 100 > median * cfg.pdf_heading_ratio_pct
+
+    # column-major segmentation over raw items, then per-column lines
+    bands = _split_column_items(flow_items, cfg.pdf_column_gap_milli)
+    band_lines = [_cluster_lines(b, tol) for b in bands]
+
+    # heading level = rank of distinct heading sizes on this page (1 = largest)
+    head_sizes = sorted(
+        {max(it.size for it in ln) for lines in band_lines for ln in lines
+         if ln and is_heading_size(max(it.size for it in ln))},
+        reverse=True,
+    )
+    size_to_level = {s: min(i + 1, 6) for i, s in enumerate(head_sizes)}
+
+    def lines_to_blocks(lns: list[list[_TextItem]]) -> list[tuple[int, Block]]:
+        """Merge consecutive same-size lines into paragraphs; larger
+        fonts become headings. Returns (y_anchor, Block) pairs."""
+        out: list[tuple[int, Block]] = []
+        para: list[str] = []
+        para_y = 0
+        prev_y: int | None = None
+        prev_size: int | None = None
+
+        def flush() -> None:
+            nonlocal para
+            if para:
+                out.append((para_y, Block("para", " ".join(para).strip(), page)))
+                para = []
+
+        for ln in lns:
+            text = " ".join(it.text for it in ln).strip()
+            if not text:
+                continue
+            lsize = max(it.size for it in ln)
+            y = ln[0].y
+            if is_heading_size(lsize):
+                flush()
+                lvl = size_to_level.get(lsize, 1)
+                out.append((y, Block("heading", "#" * lvl + " " + text, page)))
+            else:
+                gap_big = prev_y is not None and (prev_y - y) > 2 * max(
+                    lsize, prev_size or lsize
+                )
+                if para and (gap_big or (prev_size is not None and lsize != prev_size)):
+                    flush()
+                if not para:
+                    para_y = y
+                para.append(text)
+            prev_y = y
+            prev_size = lsize
+        flush()
+        return out
+
+    positioned: list[tuple[int, int, Block]] = []  # (band, -y, block)
+    for band, lines in enumerate(band_lines):
+        for y, b in lines_to_blocks(lines):
+            positioned.append((band, -y, b))
+    # figures and tables anchor in band 0 at their top-y
+    for i, f in enumerate(sorted(interp.figs, key=lambda f: (-f.y, f.x, f.seq))):
+        positioned.append((0, -f.y, Block("figure", f"![](page{page}-fig{i})", page)))
+    for t in tables:
+        positioned.append((0, -t[0][3], _table_to_block(table_items, page, t)))
+    positioned.sort(key=lambda t: (t[0], t[1]))
+    return [b for _band, _ny, b in positioned if b.text]
+
+
+# ------------------------------------------------------------- entry point
+
+
+from .html_extract import ExtractResult  # same result shape for both legs
+
+
+def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
+    """bytes → (text_md, spans) for a PDF payload. Never raises."""
+    try:
+        doc = _PdfDoc(raw)
+        pages = doc.pages()
+        blocks: list[Block] = []
+        seq_base = 0
+        for pidx, pdict in enumerate(pages):
+            contents = doc.resolve(pdict.get("Contents"))
+            datas: list[bytes] = []
+            if isinstance(contents, list):
+                for c in contents:
+                    c = doc.resolve(c)  # noqa: PLW2901
+                    # stream objects resolve to their dicts; fetch via ref num
+                # list form: fetch each referenced stream
+                for c in pdict.get("Contents") if isinstance(pdict.get("Contents"), list) else []:
+                    if isinstance(c, _Ref):
+                        datas.append(doc.get_stream(c.num))
+            elif isinstance(pdict.get("Contents"), _Ref):
+                datas.append(doc.get_stream(pdict["Contents"].num))
+            interp = _ContentInterp(pidx, seq_base)
+            for d in datas:
+                interp.run(d)
+            seq_base = interp.seq
+            blocks.extend(_page_blocks(interp, cfg))
+        text_md, spans = render(blocks)
+        return ExtractResult(True, text_md, spans)
+    except PdfError as e:
+        return ExtractResult(False, "", [], e.kind, str(e)[:200])
+    except Exception as e:  # noqa: BLE001 — row-level capture (M12 semantics)
+        return ExtractResult(False, "", [], "pdf_parse_error", str(e)[:200])

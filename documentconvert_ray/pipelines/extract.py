@@ -1,0 +1,228 @@
+"""The flagship extraction job: read → sniff+HTML → PDF actors → write,
+with per-shard lineage manifests and resume.
+
+Lifecycle mapping (SURVEY.md §3.4): the reference's API/poller/worker
+machinery collapses into one lazy Dataset pipeline; its DB-backed
+status/retry/recovery collapses into the manifest protocol in
+``state/manifest.py``. Launched via ``ray job submit -- python -m
+documentconvert_ray.run`` (north_rule: no service layer).
+
+Scale notes (the 100 TB design; SURVEY.md §4.3):
+- single linear stream — no branch re-execution, no mid-pipeline
+  materialization; heavy payload bytes are dropped at the stage that
+  consumes them;
+- resumable unit = input fragment (shard); output is
+  ``out/data/shard=<k>/`` so a rerun skips finished fragments — no
+  all-to-all shuffle anywhere in the hot path;
+- the url-hash ``part`` column (crc32(url) % P) is carried in the
+  output for downstream bucketing / deterministic placement;
+- the manifest pass re-reads only the (much smaller) extracted text,
+  never the input payloads.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..stages.extract import OUTPUT_SCHEMA, PdfExtractor, SniffAndExtractHtml
+from ..state import manifest as mf
+
+
+def expand_input_files(input_path: str | list[str]) -> list[str]:
+    """Deterministic sorted list of parquet files for a path/dir/glob."""
+    if isinstance(input_path, list):
+        files = list(input_path)
+    elif os.path.isdir(input_path):
+        files = glob.glob(os.path.join(input_path, "**", "*.parquet"),
+                          recursive=True)
+    else:
+        files = glob.glob(input_path) or [input_path]
+    return sorted(files)
+
+
+def build_extract_ds(
+    input_files: list[str],
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    *,
+    include_shard: bool = False,
+    shard_of_path: dict[str, int] | None = None,
+    pdf_concurrency: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Lazy Dataset of extraction results (OUTPUT_SCHEMA [+ shard])."""
+    ds = ray.data.read_parquet(
+        input_files,
+        columns=["url", "warc_ts", "html", "lang"],  # prune: `text` unused
+        include_paths=include_shard,
+    )
+    ds = ds.map_batches(
+        SniffAndExtractHtml(cfg, shard_of_path if include_shard else None),
+        batch_format="pyarrow",
+        batch_size=cfg.html_batch_size,
+    )
+    ds = ds.map_batches(
+        PdfExtractor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.pdf_batch_size,
+        concurrency=pdf_concurrency or (cfg.pdf_pool_min, cfg.pdf_pool_max),
+        num_cpus=1,
+    )
+    return ds
+
+
+def _shard_stats_partials(batch: pa.Table) -> pa.Table:
+    """Per-(batch, shard) partial stats for the manifest pass.
+
+    The content digest is an XOR-fold of sha256(url || text_sha256) —
+    order-insensitive and mergeable, so partials combine in any order
+    (SURVEY.md §2.5: mergeable partial aggregation before the tiny
+    final combine)."""
+    import hashlib as _h
+    import re as _re
+
+    # shard id parsed from the hive-style file path (…/shard=<k>/file.parquet)
+    shards = [
+        int(_re.search(r"shard=(\d+)", p).group(1))
+        for p in batch.column("path").to_pylist()
+    ]
+    urls = batch.column("url").to_pylist()
+    shas = batch.column("text_sha256").to_pylist()
+    oks = batch.column("ok").to_pylist()
+    kinds = batch.column("error_kind").to_pylist()
+    md_lens = [len(t) for t in batch.column("text_md").to_pylist()]
+
+    acc: dict[int, dict] = {}
+    for i, sid in enumerate(shards):
+        a = acc.setdefault(
+            sid,
+            {"rows": 0, "ok": 0, "errors": 0, "out_md_bytes": 0,
+             "digest": 0, "by_error_kind": {}},
+        )
+        a["rows"] += 1
+        if oks[i]:
+            a["ok"] += 1
+        else:
+            a["errors"] += 1
+            k = kinds[i] or "unknown"
+            a["by_error_kind"][k] = a["by_error_kind"].get(k, 0) + 1
+        a["out_md_bytes"] += md_lens[i]
+        h = _h.sha256((urls[i] + "\x00" + shas[i]).encode()).hexdigest()
+        a["digest"] ^= int(h, 16)
+
+    import json as _json
+
+    return pa.Table.from_pydict(
+        {
+            "shard": pa.array(list(acc.keys()), pa.int32()),
+            "rows": pa.array([a["rows"] for a in acc.values()], pa.int64()),
+            "ok": pa.array([a["ok"] for a in acc.values()], pa.int64()),
+            "errors": pa.array([a["errors"] for a in acc.values()], pa.int64()),
+            "out_md_bytes": pa.array(
+                [a["out_md_bytes"] for a in acc.values()], pa.int64()
+            ),
+            "digest_hex": pa.array(
+                [f"{a['digest']:064x}" for a in acc.values()], pa.string()
+            ),
+            "by_error_kind": pa.array(
+                [_json.dumps(a["by_error_kind"], sort_keys=True)
+                 for a in acc.values()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def run_extract_job(
+    input_path: str | list[str],
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    *,
+    resume: bool = True,
+    pdf_concurrency: tuple[int, int] | None = None,
+) -> dict:
+    """Run (or resume) the extraction job; returns global metrics.
+
+    Requires an initialized Ray session (owned by the caller)."""
+    import json as _json
+
+    files = expand_input_files(input_path)
+    shards = mf.shard_map(files)
+    fp = cfg.fingerprint()
+
+    done = mf.completed_shards(out_dir, shards, fp) if resume else set()
+    todo = {p: s for p, s in shards.items() if s not in done}
+
+    if todo:
+        mf.clean_partial_shards(out_dir, set(todo.values()))
+        ds = build_extract_ds(
+            list(todo), cfg, include_shard=True, shard_of_path=shards,
+            pdf_concurrency=pdf_concurrency,
+        )
+        data_dir = os.path.join(out_dir, mf.DATA_DIR)
+        ds.write_parquet(data_dir, partition_cols=["shard"])
+
+        # manifest pass: read back only the new shards' extracted text
+        new_files = sorted(
+            f
+            for s in todo.values()
+            for f in glob.glob(os.path.join(mf.shard_data_dir(out_dir, s),
+                                            "*.parquet"))
+        )
+        stats_ds = ray.data.read_parquet(
+            new_files,
+            columns=["url", "ok", "error_kind", "text_md", "text_sha256"],
+            include_paths=True,
+        ).map_batches(_shard_stats_partials, batch_format="pyarrow")
+        partials = stats_ds.to_pandas()  # tiny: one row per (block, shard)
+
+        folded: dict[int, dict] = {}
+        for r in partials.itertuples(index=False):
+            sid = int(r.shard)
+            a = folded.setdefault(
+                sid,
+                {"rows": 0, "ok": 0, "errors": 0, "out_md_bytes": 0,
+                 "digest": 0, "by_error_kind": {}},
+            )
+            a["rows"] += int(r.rows)
+            a["ok"] += int(r.ok)
+            a["errors"] += int(r.errors)
+            a["out_md_bytes"] += int(r.out_md_bytes)
+            a["digest"] ^= int(r.digest_hex, 16)
+            for k, v in _json.loads(r.by_error_kind).items():
+                a["by_error_kind"][k] = a["by_error_kind"].get(k, 0) + v
+
+        path_of_shard = {s: p for p, s in shards.items()}
+        for sid, a in sorted(folded.items()):
+            mf.write_manifest(
+                out_dir,
+                sid,
+                {
+                    "input_file": path_of_shard[sid],
+                    "config_fingerprint": fp,
+                    "rows": a["rows"],
+                    "ok": a["ok"],
+                    "errors": a["errors"],
+                    "out_md_bytes": a["out_md_bytes"],
+                    "content_digest": f"{a['digest']:064x}",
+                    "by_error_kind": a["by_error_kind"],
+                },
+            )
+        # shards whose input had zero rows still need a manifest
+        for p, sid in todo.items():
+            if sid not in folded and mf.read_manifest(out_dir, sid) is None:
+                mf.write_manifest(
+                    out_dir, sid,
+                    {"input_file": p, "config_fingerprint": fp, "rows": 0,
+                     "ok": 0, "errors": 0, "out_md_bytes": 0,
+                     "content_digest": f"{0:064x}", "by_error_kind": {}},
+                )
+
+    metrics = mf.aggregate_metrics(out_dir, shards)
+    metrics["resumed_shards"] = len(done)
+    metrics["processed_shards"] = len(todo)
+    return metrics

@@ -1,0 +1,71 @@
+"""CLI entry point — ``ray job submit -- python -m documentconvert_ray.run``.
+
+Replaces the reference's FastAPI/uvicorn service boot (main.py:38-79)
+with a single batch job per the north_rule ("pure Dataset pipeline
+launched via ray job submit").
+
+Usage:
+    python -m documentconvert_ray.run --input <dir-or-glob> --output <dir>
+        [--no-resume] [--num-cpus N] [--corpus-rows N]
+
+If --corpus-rows is given and the input dir is empty/missing, the
+deterministic synthetic corpus is generated there first (test/bench
+convenience; real runs point --input at Common-Crawl-style shards).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="documentconvert_ray.run")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--corpus-rows", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from .pipelines.extract import run_extract_job
+        from .sources.corpus import write_corpus
+
+        if args.corpus_rows and not (
+            os.path.isdir(args.input) and os.listdir(args.input)
+        ):
+            write_corpus(args.input, args.corpus_rows)
+
+        t0 = time.monotonic()
+        metrics = run_extract_job(
+            args.input, args.output, resume=not args.no_resume
+        )
+        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+        if metrics["wall_sec"] > 0:
+            metrics["docs_per_sec"] = round(
+                metrics["rows"] / metrics["wall_sec"], 2
+            )
+        print(json.dumps(metrics, sort_keys=True))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

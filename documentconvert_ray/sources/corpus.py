@@ -1,0 +1,451 @@
+"""Deterministic synthetic Common-Crawl-style web corpus (FIXTURES.md).
+
+Generates the input table mandated by the driver's `input_hint`:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)`` — HTML (~90%) / PDF (~8%) / junk (~2%) payloads whose
+expected main content is known by construction, with adversarial
+variants exercising the decode chain, the error-tolerant DOM builder
+and the PDF recovery paths.
+
+Everything is a pure function of (doc_id, seed): no wall clock, no
+global RNG — `random.Random(doc_id * 1_000_003 + seed)` per row
+(SURVEY.md §5.2; reference has no test corpus generator, its manual
+corpus is /root/reference/test/ per FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import re
+import zlib
+
+import pyarrow as pa
+
+SEED = 42
+
+_WORDS = (
+    "data stream engine batch arrow block shard table column vector "
+    "page document corpus crawl index token parser layout span text "
+    "metric digest partition cluster worker actor queue buffer cache "
+    "filter render margin header anchor glyph serif raster tensor "
+    "quantum lattice morphism functor kernel module lemma theorem axiom "
+    "granite basalt meadow harbor lantern compass voyage summit canyon "
+    "ember willow falcon heron otter badger linden maple cedar juniper"
+).split()
+
+_ZH_CHARS = "数据处理引擎分布式计算文档转换提取内容页面解析表格图像模型测试系统服务质量性能"
+_DE_WORDS = (
+    "Straße Größe Übermut Ärger fröhlich Bäcker Müller schön grün "
+    "Würde Tür Köln München Düsseldorf weiß heiß Fuß Gruß"
+).split()
+
+_TAG_STRIP_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _rng(doc_id: int, seed: int) -> random.Random:
+    return random.Random(doc_id * 1_000_003 + seed)
+
+
+def _sentence(r: random.Random, lang: str, n: int) -> str:
+    if lang == "zh":
+        return "".join(r.choice(_ZH_CHARS) for _ in range(n * 2)) + "。"
+    pool = _DE_WORDS if lang == "de" else _WORDS
+    ws = [r.choice(pool) for _ in range(n)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(r: random.Random, lang: str) -> str:
+    return " ".join(_sentence(r, lang, r.randint(5, 14)) for _ in range(r.randint(2, 6)))
+
+
+# ------------------------------------------------------------------ HTML
+
+
+def _nav_block(r: random.Random) -> str:
+    links = "".join(
+        f'<li><a href="/{r.choice(_WORDS)}/{i}">{r.choice(_WORDS)} {r.choice(_WORDS)}</a></li>'
+        for i in range(r.randint(5, 12))
+    )
+    return f"<nav><ul>{links}</ul></nav>"
+
+
+def _sidebar_block(r: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/tag/{r.choice(_WORDS)}">{r.choice(_WORDS)}</a>'
+        for _ in range(r.randint(6, 15))
+    )
+    return f'<div class="sidebar widget">{links}</div>'
+
+
+def _comments_block(r: random.Random) -> str:
+    items = "".join(
+        f'<div><a href="/user/{i}">user{i}</a> {r.choice(_WORDS)} {r.choice(_WORDS)}</div>'
+        for i in range(r.randint(3, 8))
+    )
+    return f'<div id="comments">{items}</div>'
+
+
+def _cookie_banner(r: random.Random) -> str:
+    return (
+        '<div class="cookie banner">We use cookies. '
+        '<a href="/accept">Accept</a> <a href="/decline">Decline</a></div>'
+    )
+
+
+def _main_content(r: random.Random, lang: str) -> str:
+    parts = [f"<h1>{_sentence(r, lang, 4)[:-1]}</h1>"]
+    n_paras = r.randint(3, 30)
+    for i in range(n_paras):
+        roll = r.random()
+        if roll < 0.12 and i > 0:
+            lvl = r.choice((2, 2, 3))
+            parts.append(f"<h{lvl}>{_sentence(r, lang, 3)[:-1]}</h{lvl}>")
+        elif roll < 0.22:
+            tag = r.choice(("ul", "ol"))
+            items = "".join(
+                f"<li>{_sentence(r, lang, r.randint(2, 6))}</li>"
+                for _ in range(r.randint(2, 6))
+            )
+            parts.append(f"<{tag}>{items}</{tag}>")
+        else:
+            p = _paragraph(r, lang)
+            if r.random() < 0.3:
+                # inline markup
+                w = r.choice(_WORDS)
+                tag = r.choice(("b", "i", "em", "strong"))
+                p = p.replace(" ", f" <{tag}>{w}</{tag}> ", 1)
+            if r.random() < 0.2:
+                p += f' See <a href="/ref/{r.randint(1, 99)}">{r.choice(_WORDS)}</a>.'
+            parts.append(f"<p>{p}</p>")
+    if r.random() < 0.2:
+        head = "".join(f"<th>{r.choice(_WORDS)}</th>" for _ in range(3))
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{r.choice(_WORDS)} {r.randint(0, 999)}</td>" for _ in range(3)) + "</tr>"
+            for _ in range(r.randint(2, 5))
+        )
+        parts.append(f"<table><tr>{head}</tr>{rows}</table>")
+    if r.random() < 0.1:
+        code = "\n".join(
+            f"{r.choice(_WORDS)} = {r.randint(0, 255)}" for _ in range(r.randint(2, 5))
+        )
+        parts.append(f"<pre>{code}</pre>")
+    return "".join(parts)
+
+
+def make_html(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
+    """Return (payload_bytes, naive_text, lang) for an HTML doc."""
+    r = _rng(doc_id, seed)
+    lang = r.choices(("en", "zh", "de", ""), weights=(70, 12, 10, 8))[0]
+    variant = r.random()
+
+    main = _main_content(r, lang or "en")
+    boiler = [
+        "<header><h1>Site Title</h1></header>",
+        _nav_block(r),
+        _cookie_banner(r),
+        _sidebar_block(r),
+        _comments_block(r),
+        f"<footer>© 2024 {r.choice(_WORDS)} — <a href='/terms'>terms</a> "
+        f"<a href='/privacy'>privacy</a></footer>",
+        f"<script>var x_{doc_id} = {r.randint(0, 9999)};</script>",
+        f"<style>.c{doc_id} {{ color: #333; }}</style>",
+    ]
+    if variant < 0.02:
+        body = ""  # empty body
+    elif variant < 0.04:
+        body = "".join(boiler)  # 100% boilerplate → expected text_md == ""
+    else:
+        body = boiler[0] + boiler[1] + boiler[2] + f'<div id="content">{main}</div>' + "".join(boiler[3:])
+
+    charset_decl = '<meta charset="utf-8">'
+    doc = (
+        f"<!DOCTYPE html><html><head>{charset_decl}"
+        f"<title>doc {doc_id}</title></head><body>{body}</body></html>"
+    )
+
+    # adversarial structure variants
+    if 0.04 <= variant < 0.08:
+        doc = doc.replace("</p>", "", 2)  # unclosed tags
+    if 0.08 <= variant < 0.11:
+        doc = doc.replace("<p>", "<p><b><i>", 1).replace("</p>", "</b></i></p>", 1)  # mis-nested
+    if 0.11 <= variant < 0.15:
+        doc = doc.replace(" ", " &amp; ", 1).replace("the", "&#x74;he", 1)  # entities
+
+    # encoding variants
+    enc_roll = r.random()
+    if lang == "zh" and enc_roll < 0.5:
+        doc2 = doc.replace('charset="utf-8"', 'charset="gb2312"')
+        payload = doc2.encode("gb18030", errors="replace")
+    elif lang == "de" and enc_roll < 0.5:
+        doc2 = doc.replace('charset="utf-8"', 'charset="iso-8859-1"')
+        payload = doc2.encode("latin-1", errors="replace")
+    elif enc_roll < 0.55:
+        payload = b"\xef\xbb\xbf" + doc.encode("utf-8")  # BOM
+    elif enc_roll < 0.6 and lang == "de":
+        # bare latin-1 bytes, NO declaration → exercises fallback chain
+        doc2 = doc.replace(charset_decl, "")
+        payload = doc2.encode("latin-1", errors="replace")
+    else:
+        payload = doc.encode("utf-8")
+
+    naive = _WS_RE.sub(" ", _TAG_STRIP_RE.sub(" ", doc)).strip()
+    return payload, naive, lang
+
+
+# ------------------------------------------------------------------- PDF
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
+                  with_fig: bool) -> tuple[str, list[str]]:
+    """Build one page's content stream; returns (stream_str, shown_texts)."""
+    shown: list[str] = []
+    ops: list[str] = []
+
+    def text_at(x: float, y: float, size: float, s: str) -> None:
+        s_ascii = s.encode("ascii", "replace").decode("ascii")
+        shown.append(s_ascii)
+        ops.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(s_ascii)}) Tj ET"
+        )
+
+    top = 760.0
+    # title (heading by size)
+    text_at(72, top, 18, " ".join(r.choice(_WORDS) for _ in range(3)).title())
+    y = top - 30
+
+    if two_col:
+        # left column then right column in STREAM order right-first to
+        # prove reading order comes from geometry, not stream order
+        right_lines = [(312.0, y - 16 * i, " ".join(r.choice(_WORDS) for _ in range(4)))
+                       for i in range(r.randint(4, 9))]
+        left_lines = [(72.0, y - 16 * i, " ".join(r.choice(_WORDS) for _ in range(4)))
+                      for i in range(r.randint(4, 9))]
+        for (x, yy, s) in right_lines:
+            text_at(x, yy, 10, s)
+        for (x, yy, s) in left_lines:
+            text_at(x, yy, 10, s)
+        y -= 16 * (max(len(left_lines), len(right_lines)) + 1)
+    else:
+        for _ in range(r.randint(4, 10)):
+            text_at(72, y, 10, " ".join(r.choice(_WORDS) for _ in range(r.randint(4, 8))))
+            y -= 16
+
+    if with_fig:
+        y -= 20
+        h = 80.0
+        ops.append(f"q 200 0 0 {h:g} 72 {y - h:g} cm /Im1 Do Q")
+        text_at(72, y - h - 14, 10, "Figure: " + " ".join(r.choice(_WORDS) for _ in range(3)))
+        y -= h + 40
+
+    if with_table:
+        y -= 10
+        ncols, nrows = 3, r.randint(2, 4)
+        col_w, row_h = 120.0, 18.0
+        x0 = 72.0
+        ytop = y
+        # grid lines
+        for i in range(nrows + 2):
+            yy = ytop - i * row_h
+            ops.append(f"{x0:g} {yy:g} m {x0 + ncols * col_w:g} {yy:g} l S")
+        for j in range(ncols + 1):
+            xx = x0 + j * col_w
+            ops.append(f"{xx:g} {ytop:g} m {xx:g} {ytop - (nrows + 1) * row_h:g} l S")
+        # cell text (header + rows)
+        for j in range(ncols):
+            text_at(x0 + j * col_w + 4, ytop - 13, 9, r.choice(_WORDS))
+        for i in range(nrows):
+            for j in range(ncols):
+                text_at(x0 + j * col_w + 4, ytop - (i + 2) * row_h + 5, 9,
+                        f"{r.choice(_WORDS)} {r.randint(0, 99)}")
+        y = ytop - (nrows + 2) * row_h - 10
+
+    return "\n".join(ops), shown
+
+
+def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
+    """Return (payload_bytes, naive_text, lang) for a PDF doc."""
+    r = _rng(doc_id, seed + 7)
+    n_pages = r.randint(1, 8)
+    compress = r.random() < 0.5
+    variant = r.random()
+
+    page_streams: list[bytes] = []
+    all_shown: list[str] = []
+    for p in range(n_pages):
+        if variant < 0.03 and p == n_pages - 1:
+            page_streams.append(b"")  # empty page
+            continue
+        two_col = r.random() < 0.25
+        with_table = r.random() < 0.25
+        with_fig = r.random() < 0.2
+        s, shown = _pdf_text_ops(r, two_col, with_table, with_fig)
+        all_shown.extend(shown)
+        page_streams.append(s.encode("latin-1"))
+
+    objs: list[bytes] = []
+
+    def add_obj(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)  # 1-based object number
+
+    # layout: 1=catalog, 2=pages, then per page (page obj, content obj), font, xobject
+    font_num_placeholder = None
+    page_nums: list[int] = []
+    content_bodies: list[bytes] = []
+    for s in page_streams:
+        data = s
+        extra = b""
+        if compress:
+            data = zlib.compress(s)
+            extra = b" /Filter /FlateDecode"
+        content_bodies.append(
+            b"<< /Length " + str(len(data)).encode() + extra + b" >>\nstream\n"
+            + data + b"\nendstream"
+        )
+
+    # object numbering plan
+    n = len(page_streams)
+    catalog_num = 1
+    pages_num = 2
+    first_page = 3
+    # page i → obj first_page + 2i; content → first_page + 2i + 1
+    font_num = first_page + 2 * n
+    xobj_num = font_num + 1
+
+    kid_refs = b" ".join(
+        f"{first_page + 2 * i} 0 R".encode() for i in range(n)
+    )
+    bodies: dict[int, bytes] = {
+        catalog_num: b"<< /Type /Catalog /Pages 2 0 R >>",
+        pages_num: b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count "
+        + str(n).encode() + b" >>",
+        font_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        xobj_num: (
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+            b"stream\n\x00\nendstream"
+        ),
+    }
+    for i in range(n):
+        pnum = first_page + 2 * i
+        cnum = pnum + 1
+        bodies[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 " + str(font_num).encode() + b" 0 R >> "
+            b"/XObject << /Im1 " + str(xobj_num).encode() + b" 0 R >> >> "
+            b"/Contents " + str(cnum).encode() + b" 0 R >>"
+        )
+        bodies[cnum] = content_bodies[i]
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+
+    xref_pos = len(out)
+    maxnum = max(bodies)
+    out += b"xref\n0 " + str(maxnum + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        off = offsets.get(num, 0)
+        if 0.0 <= variant < 0.02:
+            off += 3  # bad xref offsets (recoverable: parser is scan-based)
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(maxnum + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+
+    payload = bytes(out)
+    if 0.02 <= variant < 0.05:
+        payload = payload[: int(len(payload) * 0.6)]  # truncated stream
+
+    naive = _WS_RE.sub(" ", " ".join(all_shown)).strip()
+    return payload, naive, "en"
+
+
+# ------------------------------------------------------------------ junk
+
+
+def make_junk(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
+    r = _rng(doc_id, seed + 13)
+    roll = r.random()
+    if roll < 0.3:
+        payload = b""
+    elif roll < 0.6:
+        payload = b"GIF89a" + bytes(r.getrandbits(8) for _ in range(64))
+    else:
+        payload = bytes(r.getrandbits(8) for _ in range(r.randint(16, 256)))
+    return payload, "", ""
+
+
+# ----------------------------------------------------------------- table
+
+
+def doc_row(doc_id: int, seed: int = SEED) -> dict:
+    """One deterministic corpus row (the pure per-row function)."""
+    r = _rng(doc_id, seed + 99)
+    roll = r.random()
+    if roll < 0.90:
+        payload, naive, lang = make_html(doc_id, seed)
+    elif roll < 0.98:
+        payload, naive, lang = make_pdf(doc_id, seed)
+    else:
+        payload, naive, lang = make_junk(doc_id, seed)
+    site = doc_id % 97
+    path = _WORDS[doc_id % len(_WORDS)]
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=doc_id * 37)
+    return {
+        "url": f"https://site-{site}.example/{path}/{doc_id}",
+        "warc_ts": ts,
+        "html": payload,
+        "text": naive,
+        "lang": lang,
+    }
+
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def make_corpus_table(n_rows: int, seed: int = SEED, start_id: int = 0) -> pa.Table:
+    rows = [doc_row(i, seed) for i in range(start_id, start_id + n_rows)]
+    return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+
+def write_corpus(path: str, n_rows: int, seed: int = SEED,
+                 rows_per_file: int = 25_000) -> list[str]:
+    """Write the corpus as one-or-more parquet shards under `path`.
+
+    Sharded so `ray.data.read_parquet` gets parallel fragments; each
+    shard is an independent function of its id range (generation can be
+    distributed with ray tasks for the bench corpus).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    files: list[str] = []
+    for shard_start in range(0, n_rows, rows_per_file):
+        cnt = min(rows_per_file, n_rows - shard_start)
+        tbl = make_corpus_table(cnt, seed, start_id=shard_start)
+        fp = os.path.join(path, f"corpus-{shard_start:09d}.parquet")
+        pq.write_table(tbl, fp)
+        files.append(fp)
+    return files

@@ -1,0 +1,214 @@
+"""Extraction stages: sniff+HTML (stateless) and PDF (actor pool).
+
+Pipeline shape (SURVEY.md §7.0, single linear stream — no branch
+re-execution, no mid-pipeline materialization):
+
+    read_parquet(shards, include_paths=True)
+      → map_batches(sniff_and_extract_html)        # stateless tasks
+      → map_batches(PdfExtractor, concurrency=(m,n), batch_size=small)
+      → write_parquet(out, partition_cols=["shard"])
+
+Stage 1 sniffs content type (reference dispatcher semantics,
+services/document_service.py:83-126 — but on magic bytes, not
+extensions), runs the cheap HTML leg inline (ms/doc), emits error rows
+for junk (reference error-artifact semantics,
+services/document_service.py:347-383), and passes PDF payloads through
+unprocessed. Stage 2 is the stateful leg: a warm-parser actor pool —
+the analogue of the reference holding MinerU model weights process-wide
+with MAX_CONCURRENT_TASKS workers (enhanced_task_processor.py:42;
+SURVEY.md §2.3 ST1). PDF rows are finished there and the payload column
+is dropped, so heavy bytes never travel past the stage that needs them.
+
+Batches are `pyarrow` end-to-end (zero-copy from the object store); the
+per-row python extractor calls are the useful compute, not overhead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..functions.html_extract import extract_html
+from ..functions.pdf_extract import extract_pdf
+from ..functions.sniff import DOC_HTML, DOC_PDF, sniff_doc_type
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("start", pa.int64()),
+            pa.field("end", pa.int64()),
+            pa.field("kind", pa.string()),
+            pa.field("page", pa.int32()),
+        ]
+    )
+)
+
+# Output schema of the full extraction pipeline (SURVEY.md §7.0).
+OUTPUT_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("lang", pa.string()),
+        pa.field("doc_type", pa.string()),
+        pa.field("ok", pa.bool_()),
+        pa.field("error_kind", pa.string()),
+        pa.field("error", pa.string()),
+        pa.field("text_md", pa.string()),
+        pa.field("spans", SPAN_TYPE),
+        pa.field("text_sha256", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("part", pa.int32()),
+    ]
+)
+
+# Intermediate schema between stage 1 and stage 2: adds the pdf payload
+# column (null for non-pdf rows) and the shard id.
+_PDF_PAYLOAD_COL = "_pdf_payload"
+
+
+def url_part(url: str, num_partitions: int) -> int:
+    """Deterministic url-hash partition id: crc32(url) % P (SURVEY §4.3.1)."""
+    return zlib.crc32(url.encode("utf-8")) % num_partitions
+
+
+def _sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def _result_columns(n: int):
+    """Pre-sized python lists for the per-row result columns."""
+    return {
+        "doc_type": [""] * n,
+        "ok": [False] * n,
+        "error_kind": [""] * n,
+        "error": [""] * n,
+        "text_md": [""] * n,
+        "spans": [[] for _ in range(n)],
+        "text_sha256": [""] * n,
+    }
+
+
+class SniffAndExtractHtml:
+    """Stage 1 (stateless): sniff, decode, HTML-extract, error rows.
+
+    Usable as a plain function per batch; kept as a class so the
+    config is bound once (callable instances serialize cheaply)."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
+                 shard_of_path=None) -> None:
+        self.cfg = cfg
+        self.shard_of_path = shard_of_path or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols = _result_columns(n)
+        pdf_payloads: list[bytes | None] = [None] * n
+
+        for i in range(n):
+            raw = payloads[i] or b""
+            dt = sniff_doc_type(raw)
+            cols["doc_type"][i] = dt
+            if dt == DOC_HTML:
+                res = extract_html(raw, cfg)
+                cols["ok"][i] = res.ok
+                cols["error_kind"][i] = res.error_kind
+                cols["error"][i] = res.error
+                cols["text_md"][i] = res.text_md
+                cols["spans"][i] = res.spans
+                cols["text_sha256"][i] = _sha256(res.text_md)
+            elif dt == DOC_PDF:
+                pdf_payloads[i] = raw  # finished by the actor stage
+            else:
+                cols["ok"][i] = False
+                cols["error_kind"][i] = "unsupported"
+                cols["error"][i] = "unsupported payload (not html/pdf)"
+                cols["text_sha256"][i] = _sha256("")
+
+        n_bytes = pc.binary_length(batch.column("html")).cast(pa.int64())
+        parts = pa.array(
+            [url_part(u, cfg.num_partitions) for u in urls], pa.int32()
+        )
+        out = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "doc_type": pa.array(cols["doc_type"], pa.string()),
+            "ok": pa.array(cols["ok"], pa.bool_()),
+            "error_kind": pa.array(cols["error_kind"], pa.string()),
+            "error": pa.array(cols["error"], pa.string()),
+            "text_md": pa.array(cols["text_md"], pa.string()),
+            "spans": pa.array(cols["spans"], SPAN_TYPE),
+            "text_sha256": pa.array(cols["text_sha256"], pa.string()),
+            "n_bytes": n_bytes,
+            "part": parts,
+            _PDF_PAYLOAD_COL: pa.array(pdf_payloads, pa.binary()),
+        }
+        if "path" in batch.column_names:  # input provenance → shard id
+            paths = batch.column("path").to_pylist()
+            out["shard"] = pa.array(
+                [self.shard_of_path.get(p, 0) for p in paths], pa.int32()
+            )
+        return pa.Table.from_pydict(out)
+
+
+class PdfExtractor:
+    """Stage 2 (actor pool): finish PDF rows, drop the payload column.
+
+    One actor = one warm parser context (reference ST1: MinerU weights
+    held process-wide; pool size = the MAX_CONCURRENT_TASKS analogue,
+    README.md:175). __init__ does the once-per-actor setup; __call__
+    only parses.
+    """
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG) -> None:
+        self.cfg = cfg
+        # warm the regex/zlib machinery once per actor
+        from ..functions import pdf_extract as _px  # noqa: F401
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if _PDF_PAYLOAD_COL not in batch.column_names:
+            return batch
+        payload_col = batch.column(_PDF_PAYLOAD_COL)
+        if payload_col.null_count == batch.num_rows:
+            return batch.drop_columns([_PDF_PAYLOAD_COL])
+
+        payloads = payload_col.to_pylist()
+        ok = batch.column("ok").to_pylist()
+        error_kind = batch.column("error_kind").to_pylist()
+        error = batch.column("error").to_pylist()
+        text_md = batch.column("text_md").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        sha = batch.column("text_sha256").to_pylist()
+
+        for i, raw in enumerate(payloads):
+            if raw is None:
+                continue
+            res = extract_pdf(raw, self.cfg)
+            ok[i] = res.ok
+            error_kind[i] = res.error_kind
+            error[i] = res.error
+            text_md[i] = res.text_md
+            spans[i] = res.spans
+            sha[i] = _sha256(res.text_md)
+
+        out = batch.drop_columns(
+            [_PDF_PAYLOAD_COL, "ok", "error_kind", "error", "text_md", "spans",
+             "text_sha256"]
+        )
+        for name, arr in (
+            ("ok", pa.array(ok, pa.bool_())),
+            ("error_kind", pa.array(error_kind, pa.string())),
+            ("error", pa.array(error, pa.string())),
+            ("text_md", pa.array(text_md, pa.string())),
+            ("spans", pa.array(spans, SPAN_TYPE)),
+            ("text_sha256", pa.array(sha, pa.string())),
+        ):
+            out = out.append_column(name, arr)
+        return out
