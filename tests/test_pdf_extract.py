@@ -1,0 +1,159 @@
+"""Unit tests: PDF parse, reading order, tables, figures, error paths."""
+
+import zlib
+
+from documentconvert_ray.functions.pdf_extract import extract_pdf
+
+
+def build_pdf(content: str, compress: bool = False, n_copies: int = 1) -> bytes:
+    """Minimal single-or-multi-page PDF around `content` stream(s)."""
+    data = content.encode("latin-1")
+    extra = b""
+    if compress:
+        data = zlib.compress(data)
+        extra = b" /Filter /FlateDecode"
+    pages = n_copies
+    first_page = 3
+    font = first_page + 2 * pages
+    kid_refs = b" ".join(f"{first_page + 2*i} 0 R".encode() for i in range(pages))
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count " + str(pages).encode() + b" >>",
+        font: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for i in range(pages):
+        p, c = first_page + 2 * i, first_page + 2 * i + 1
+        bodies[p] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> "
+            b"/Contents " + str(c).encode() + b" 0 R >>"
+        )
+        bodies[c] = (
+            b"<< /Length " + str(len(data)).encode() + extra
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(bodies):
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_simple_text():
+    pdf = build_pdf(
+        "BT /F1 18 Tf 72 760 Td (Big Title) Tj ET\n"
+        "BT /F1 10 Tf 72 730 Td (body line one) Tj ET\n"
+        "BT /F1 10 Tf 72 714 Td (body line two) Tj ET"
+    )
+    res = extract_pdf(pdf)
+    assert res.ok, res.error
+    assert res.text_md == "# Big Title\n\nbody line one body line two"
+
+
+def test_flate_compressed():
+    pdf = build_pdf("BT /F1 10 Tf 72 700 Td (compressed body text) Tj ET",
+                    compress=True)
+    res = extract_pdf(pdf)
+    assert res.ok and "compressed body text" in res.text_md
+
+
+def test_multi_page_order_and_spans():
+    pdf = build_pdf("BT /F1 10 Tf 72 700 Td (page body text) Tj ET", n_copies=3)
+    res = extract_pdf(pdf)
+    assert res.ok
+    pages = [s["page"] for s in res.spans]
+    assert pages == [0, 1, 2]
+    for s in res.spans:
+        assert res.text_md[s["start"]:s["end"]] == "page body text"
+
+
+def test_reading_order_two_columns():
+    # right column FIRST in stream order; geometry must fix the order
+    ops = "\n".join(
+        [
+            "BT /F1 10 Tf 400 700 Td (right one) Tj ET",
+            "BT /F1 10 Tf 400 684 Td (right two) Tj ET",
+            "BT /F1 10 Tf 72 700 Td (left one) Tj ET",
+            "BT /F1 10 Tf 72 684 Td (left two) Tj ET",
+        ]
+    )
+    res = extract_pdf(build_pdf(ops))
+    assert res.ok
+    assert res.text_md.index("left one") < res.text_md.index("right one")
+    assert "left one left two" in res.text_md
+    assert "right one right two" in res.text_md
+
+
+def test_tj_array_and_td_relative():
+    ops = (
+        "BT /F1 10 Tf 72 700 Td [(hel) -20 (lo)] TJ ET\n"
+        "BT /F1 10 Tf 72 684 Td (next) Tj 0 -16 Td (line) Tj ET"
+    )
+    res = extract_pdf(build_pdf(ops))
+    assert res.ok and "hello" in res.text_md
+    assert "next line" in res.text_md
+
+
+def test_ruled_table():
+    ops = "\n".join(
+        [
+            # grid: 3 h-lines, 3 v-lines → 2 rows × 2 cols
+            "72 700 m 272 700 l S",
+            "72 680 m 272 680 l S",
+            "72 660 m 272 660 l S",
+            "72 700 m 72 660 l S",
+            "172 700 m 172 660 l S",
+            "272 700 m 272 660 l S",
+            "BT /F1 9 Tf 76 687 Td (h1) Tj ET",
+            "BT /F1 9 Tf 176 687 Td (h2) Tj ET",
+            "BT /F1 9 Tf 76 667 Td (a) Tj ET",
+            "BT /F1 9 Tf 176 667 Td (b) Tj ET",
+            "BT /F1 10 Tf 72 750 Td (text above the table region) Tj ET",
+        ]
+    )
+    res = extract_pdf(build_pdf(ops))
+    assert res.ok
+    assert "| h1 | h2 |" in res.text_md
+    assert "| a | b |" in res.text_md
+    idx_text = res.text_md.index("text above")
+    idx_table = res.text_md.index("| h1")
+    assert idx_text < idx_table
+    assert any(s["kind"] == "table" for s in res.spans)
+
+
+def test_figure_placeholder():
+    ops = (
+        "BT /F1 10 Tf 72 760 Td (before figure) Tj ET\n"
+        "q 200 0 0 100 72 600 cm /Im1 Do Q\n"
+        "BT /F1 10 Tf 72 580 Td (Figure caption text) Tj ET"
+    )
+    res = extract_pdf(build_pdf(ops))
+    assert res.ok
+    assert "![](page0-fig0)" in res.text_md
+    i_before = res.text_md.index("before figure")
+    i_fig = res.text_md.index("![](")
+    i_cap = res.text_md.index("Figure caption")
+    assert i_before < i_fig < i_cap
+
+
+def test_string_escapes():
+    ops = r"BT /F1 10 Tf 72 700 Td (paren \( close \) back\\ oct \101) Tj ET"
+    res = extract_pdf(build_pdf(ops))
+    assert res.ok and "paren ( close ) back\\ oct A" in res.text_md
+
+
+def test_truncated_is_error_row():
+    pdf = build_pdf("BT /F1 10 Tf 72 700 Td (will be cut) Tj ET", compress=True)
+    res = extract_pdf(pdf[: int(len(pdf) * 0.5)])
+    assert not res.ok and res.error_kind in ("truncated_pdf", "pdf_parse_error")
+
+
+def test_garbage_is_error_row():
+    res = extract_pdf(b"%PDF-1.4 this is not really a pdf at all")
+    assert not res.ok
+
+
+def test_empty_page_ok():
+    pdf = build_pdf("")
+    res = extract_pdf(pdf)
+    assert res.ok and res.text_md == ""
