@@ -1,0 +1,183 @@
+"""Text-analysis primitives for training-data pipelines.
+
+Beyond the reference's operator set (which has no corpus analytics —
+SURVEY.md §2.5/§2.7), these are the first-class large-scale
+training-data operators: token counting, quality scoring, language ID,
+document fingerprinting, shingles/MinHash/SimHash for near-dedup.
+
+All functions are pure and deterministic; hashes use blake2b with
+fixed digest sizes (stdlib, stable across runs/processes — never
+python's salted ``hash()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[.!,?;:]")
+
+# fixed stopword list (shared with the SQL oracle — keep in sync with
+# pipelines/queries.py)
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# fixed per-language marker sets for the n-gram/stopword lang-ID heuristic
+_LANG_MARKERS = {
+    "en": frozenset("the and of to a in is that it for on with as".split()),
+    "de": frozenset("der die das und ist nicht mit für von zu ein".split()),
+    "fr": frozenset("le la les et est pas pour dans une des que".split()),
+    "es": frozenset("el la los y es no por para una con del".split()),
+}
+
+
+def tokens(text: str) -> list[str]:
+    """Whitespace tokens, empties dropped (== SQL
+    list_filter(string_split_regex(text,'\\s+'), x -> x <> ''))."""
+    return [t for t in _WS_SPLIT_RE.split(text) if t]
+
+
+def token_count(text: str) -> int:
+    return len(tokens(text))
+
+
+def punct_count(text: str) -> int:
+    return len(_PUNCT_RE.findall(text))
+
+
+def stopword_count(text: str) -> int:
+    sw = set(STOPWORDS)
+    return sum(1 for t in tokens(text) if t in sw)
+
+
+def lang_id(text: str) -> str:
+    """Heuristic language ID: CJK codepoint ratio, else marker-word
+    voting over the fixed lists; '' when nothing matches.
+
+    Deterministic tie-break: languages compared by (score desc, name
+    asc)."""
+    if not text:
+        return ""
+    cjk = sum(1 for c in text[:2000] if "一" <= c <= "鿿")
+    if cjk * 10 >= min(len(text), 2000):
+        return "zh"
+    toks = [t.lower().strip(".,!?;:()[]\"'") for t in tokens(text[:4000])]
+    if not toks:
+        return ""
+    best_lang, best_score = "", 0
+    for lang in sorted(_LANG_MARKERS):
+        score = sum(1 for t in toks if t in _LANG_MARKERS[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    # require at least ~2% marker density
+    if best_score * 50 < len(toks):
+        return ""
+    return best_lang
+
+
+def _h64(data: bytes, *, person: bytes = b"") -> int:
+    """Stable 64-bit hash (blake2b, fixed key space)."""
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8, person=person.ljust(16, b"\0")).digest(),
+        "big",
+    )
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Polynomial rolling-hash document fingerprint: XOR of the hashes
+    of all `window`-byte rolling windows' minima per 64-byte stripe —
+    cheap, deterministic, shift-tolerant content fingerprint."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return _h64(data, person=b"fp")
+    B, M = 257, (1 << 61) - 1
+    h = 0
+    power = pow(B, window - 1, M)
+    out = 0
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * power) % M
+        h = (h * B + b) % M
+        if i >= window - 1 and h % 16 == 0:  # content-defined sampling
+            out ^= h
+    return out or _h64(data, person=b"fp")
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """k-word shingle hash set (lowercased tokens)."""
+    toks = [t.lower() for t in tokens(text)]
+    if len(toks) < k:
+        return {_h64(" ".join(toks).encode(), person=b"shingle")} if toks else set()
+    return {
+        _h64(" ".join(toks[i:i + k]).encode(), person=b"shingle")
+        for i in range(len(toks) - k + 1)
+    }
+
+
+# MinHash: 64 permutations via the classic (a*x + b) mod p trick with
+# fixed seeds derived from blake2b of the permutation index.
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    a = _h64(i.to_bytes(4, "big"), person=b"mh-a") % (_MERSENNE - 1) + 1
+    b = _h64(i.to_bytes(4, "big"), person=b"mh-b") % _MERSENNE
+    return a, b
+
+
+_PERMS = [_perm_params(i) for i in range(_N_PERM)]
+
+
+def minhash_signature(shingle_set: set[int]) -> list[int]:
+    """64-value MinHash signature (int64-safe values)."""
+    if not shingle_set:
+        return [0] * _N_PERM
+    sig = []
+    for a, b in _PERMS:
+        sig.append(min((a * x + b) % _MERSENNE for x in shingle_set) & 0x7FFFFFFFFFFFFFFF)
+    return sig
+
+
+def lsh_band_keys(sig: list[int], bands: int = 16) -> list[int]:
+    """Band-bucket keys: hash of each band's rows; pair candidates share
+    any band key. 16 bands × 4 rows over 64 perms."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows:(b + 1) * rows]
+        data = b"".join(v.to_bytes(8, "big") for v in chunk)
+        keys.append(
+            (b << 56) | (_h64(data, person=b"lsh") & 0x00FFFFFFFFFFFFFF)
+        )
+    return keys
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over lowercased tokens (unit weights)."""
+    toks = [t.lower() for t in tokens(text)]
+    if not toks:
+        return 0
+    acc = [0] * 64
+    for t in toks:
+        h = _h64(t.encode(), person=b"simhash")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,668 @@
+"""Query registry: every operator/pipeline exposed to the driver.
+
+Each entry returns a callable(sf_dir) → Dataset / pandas / pyarrow
+result; ORACLES maps the same names to ANSI SQL that DuckDB runs on the
+same parquet tables for the correctness gate. Column names and value
+semantics match EXACTLY (integer micro-units for float aggregates so
+sums are order-independent; fixed tie-breaks on every top-k).
+
+Queries without an oracle entry are genuinely non-SQL-expressible
+(extraction DOM/layout heuristics, MinHash/SimHash banding, IVF ANN);
+those are covered by the pytest fixture-equality suite instead
+(tests/test_pipeline_e2e.py) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import DEFAULT_CONFIG
+from ..sources.corpus import write_corpus
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import text as tx
+from ..stages.extract import OUTPUT_SCHEMA  # noqa: F401 (re-export for tests)
+from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
+from .extract import build_extract_ds, expand_input_files
+
+# Synthetic web-corpus size used by the extraction queries at any sf
+# (deterministic; cached under /tmp keyed by engine+rows).
+CORPUS_ROWS = 300
+
+
+def _corpus_dir() -> str:
+    from .. import ENGINE_VERSION
+
+    d = f"/tmp/documentconvert_ray/corpus-v{ENGINE_VERSION}-{CORPUS_ROWS}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(d, CORPUS_ROWS, rows_per_file=100)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _micro_int_col(series) -> "np.ndarray":
+    """float → integer micro-units, round-half-up (== SQL
+    CAST(floor(x*1000000 + 0.5) AS BIGINT))."""
+    return np.floor(np.asarray(series, dtype=np.float64) * 1_000_000 + 0.5).astype(
+        np.int64
+    )
+
+
+def _cents_col(series) -> "np.ndarray":
+    return np.floor(np.asarray(series, dtype=np.float64) * 100 + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------- extraction queries
+
+
+def q_extract_pipeline(sf_dir: str):
+    """Flagship: synth corpus → full extraction; returns result sans
+    heavy text columns (rows-only check; byte-level equality is the
+    pytest fixture suite's job)."""
+    files = expand_input_files(_corpus_dir())
+    ds = build_extract_ds(files, DEFAULT_CONFIG)
+    return ds.select_columns(
+        ["url", "doc_type", "ok", "error_kind", "text_sha256", "n_bytes", "part"]
+    )
+
+
+def q_extract_error_stats(sf_dir: str):
+    """Error-kind rollup of the extraction run (reference A2 semantics:
+    COUNT(*) GROUP BY status — database_manager.py:270-305)."""
+    files = expand_input_files(_corpus_dir())
+    ds = build_extract_ds(files, DEFAULT_CONFIG)
+    return (
+        ds.groupby(["doc_type", "ok", "error_kind"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# ------------------------------------------------------- documents queries
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.token_stats_batch, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash groupby keeping min doc_id (the
+    hash-partition + per-group-first pattern; only hashes shuffle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(tx.md5_batch, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "text_md5"])
+    return ds.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+def q_ngram_top20(sf_dir: str):
+    """Top-20 unigrams: per-batch partial counts (combiner), tiny
+    groupby over partials, deterministic (n desc, word asc) top-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(tx.ngram_partial_counts, batch_format="pyarrow")
+    totals = partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (n-gram/stopword voting) — non-SQL op."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        tx.LangIdStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Rolling-hash + SimHash content fingerprints — non-SQL op."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.fingerprint_batch, batch_format="pyarrow")
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+
+    shingle→minhash→band (map_batches, no shuffle) → groupby(band_key)
+    → candidate pairs → exact-verify against the broadcast text lookup.
+    At 100 TB the verify side reads texts via a second hash-partitioned
+    join instead of a broadcast; here documents is the small side."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    texts_ref = ray.put(
+        dict(
+            zip(
+                ds.to_pandas()["doc_id"].astype(int),
+                ds.to_pandas()["text"],
+            )
+        )
+    )
+    bands = ds.map_batches(
+        dd.MinHashStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1,
+    )
+    pairs_ds = bands.groupby("band_key").map_groups(
+        dd.bucket_candidate_pairs, batch_format="pandas"
+    )
+    pairs_df = pairs_ds.to_pandas()
+    if len(pairs_df) == 0:
+        return pa.Table.from_pydict(
+            {"doc_id_a": pa.array([], pa.int64()),
+             "doc_id_b": pa.array([], pa.int64()),
+             "jaccard_micro": pa.array([], pa.int64())}
+        )
+    uniq = sorted(
+        {(int(a), int(b)) for a, b in zip(pairs_df["doc_id_a"], pairs_df["doc_id_b"])}
+    )
+    return dd.verify_jaccard_pairs(uniq, ray.get(texts_ref))
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash banding near-dup pairs (hamming ≤ 3) — non-SQL op."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(
+        dd.SimHashStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+    def bucket_pairs(g):
+        ids = sorted(
+            {(int(i), int(s)) for i, s in zip(g["doc_id"], g["simhash"])}
+        )[: dd.MAX_BUCKET]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i][0], ids[j][0], ids[i][1], ids[j][1]))
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows, columns=["doc_id_a", "doc_id_b", "sh_a", "sh_b"]
+        ) if rows else pd.DataFrame(
+            {"doc_id_a": [], "doc_id_b": [], "sh_a": [], "sh_b": []}
+        )
+
+    pairs_df = (
+        bands.groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    uniq = sorted(
+        {
+            (int(a), int(b), int(sa), int(sb))
+            for a, b, sa, sb in zip(
+                pairs_df.get("doc_id_a", []), pairs_df.get("doc_id_b", []),
+                pairs_df.get("sh_a", []), pairs_df.get("sh_b", []),
+            )
+        }
+    )
+    return dd.verify_simhash_pairs(uniq)
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.map_batches(tx.token_stats_batch, batch_format="pyarrow")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch.column("n_tokens").to_pylist(), dtype=np.int64)
+        np_ = np.asarray(batch.column("n_punct").to_pylist(), dtype=np.int64)
+        ns = np.asarray(batch.column("n_stop").to_pylist(), dtype=np.int64)
+        # integer-ratio quality gate: ≥10 tokens and stopwords ≥2% of tokens
+        good = (nt >= 10) & (ns * 50 >= nt)
+        return batch.append_column("is_quality", pa.array(good, pa.bool_()))
+
+    return stats.map_batches(flags, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- events queries
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (streaming-shaped op expressed
+    as window-key groupby; guide §Streaming-shaped workloads)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_window(batch) -> "pa.Table":
+        import pandas as pd
+
+        df = batch
+        df["hour"] = df["ts"].dt.floor("h")
+        df["value_micro"] = _micro_int_col(df["value"])
+        # per-batch partial aggregation (combiner before the shuffle)
+        g = (
+            df.groupby(["event_type", "hour"], as_index=False)
+            .agg(n_events=("value_micro", "size"),
+                 sum_value_micro=("value_micro", "sum"))
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(add_window, batch_format="pandas")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_micro", alias_name="sum_value_micro"),
+    )
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the
+    sort-within-key map_groups pattern."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# -------------------------------------------------------- lineitem queries
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped rollup with integer cents/micro sums."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"l_returnflag": [], "l_linestatus": [], "sum_qty_c": [],
+                 "sum_price_c": [], "sum_disc_price_micro": [], "n_rows": []}
+            )
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_c": _cents_col(df["l_quantity"]),
+                "price_c": _cents_col(df["l_extendedprice"]),
+                "disc_price_micro": np.floor(
+                    np.asarray(df["l_extendedprice"], dtype=np.float64)
+                    * (1.0 - np.asarray(df["l_discount"], dtype=np.float64))
+                    * 1_000_000
+                    + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = out.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_price_c=("price_c", "sum"),
+            sum_disc_price_micro=("disc_price_micro", "sum"),
+            n_rows=("qty_c", "size"),
+        )
+        g["n_rows"] = g["n_rows"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_price_c", alias_name="sum_price_c"),
+        Sum("sum_disc_price_micro", alias_name="sum_disc_price_micro"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join (small dim side via ray.put) + grouped rollup +
+    deterministic top-k."""
+    cust_df = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    )
+    names_ref = ray.put(
+        dict(zip(cust_df["c_custkey"].astype(int), cust_df["c_name"]))
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df):
+        df = df.copy()
+        df["price_c"] = _cents_col(df["o_totalprice"])
+        g = df.groupby("o_custkey", as_index=False).agg(
+            revenue_c=("price_c", "sum"), n_orders=("price_c", "size")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g[["o_custkey", "revenue_c", "n_orders"]]
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+    totals = partials.groupby("o_custkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+    top = totals.sort(["revenue_c", "o_custkey"], descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table, names_ref=names_ref) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = [int(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([names.get(k, "") for k in keys], pa.string()),
+                "revenue_c": batch.column("revenue_c"),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ embeddings queries
+
+
+def q_embeddings_by_label(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n_vecs"))
+
+
+N_KNN_QUERIES = 10
+KNN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = {}
+    for vid, emb in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist()):
+        if vid < N_KNN_QUERIES:
+            out[int(vid)] = emb
+    return out
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for queries (vec_id < 10): broadcast
+    query matrix, per-batch matmul partial top-k, tiny global reduce."""
+    qref = ray.put(_query_vectors(sf_dir))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        sim.CosineTopKPartial,
+        fn_constructor_args=(qref, KNN_K),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.global_topk(g, KNN_K), batch_format="pandas"
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the scale path): Lloyd-trained centroids,
+    bucket assignment in map_batches, nprobe=4 probing. Approximate →
+    no SQL oracle; recall vs brute force is asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = sim.train_centroids(ds, n_centroids=16, iters=3)
+    cref = ray.put(cents)
+    qvecs = _query_vectors(sf_dir)
+    qmat = sim.normalize(np.asarray([qvecs[i] for i in sorted(qvecs)], dtype=np.float64))
+    csims = qmat @ cents.T
+    probes = {
+        int(qid): [int(c) for c in np.argsort(-csims[i])[:4]]
+        for i, qid in enumerate(sorted(qvecs))
+    }
+    pref = ray.put(probes)
+    qref = ray.put(qvecs)
+    assigned = ds.map_batches(
+        sim.IvfAssign, fn_constructor_args=(cref,), batch_format="pyarrow",
+        batch_size=512, concurrency=(1, 4), num_cpus=1,
+    )
+    partials = assigned.map_batches(
+        sim.IvfTopKPartial,
+        fn_constructor_args=(qref, pref, KNN_K),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.global_topk(g, KNN_K), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------ multimodal queries
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-column decode plumbing (stubbed kernel; real actor-pool
+    stage). documents.text bytes stand in for image payloads."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+
+def queries() -> dict:
+    return {
+        "extract_pipeline": q_extract_pipeline,
+        "extract_error_stats": q_extract_error_stats,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "exact_dedup": q_exact_dedup,
+        "ngram_top20": q_ngram_top20,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "embeddings_by_label": q_embeddings_by_label,
+        "knn_cosine": q_knn_cosine,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
+    }
+
+
+_STOP_SQL = "('the','a','and','of','to')"
+
+ORACLES: dict[str, str] = {
+    "doc_stats_by_lang": """
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[.!,?;:]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x IN {stop})) AS BIGINT) AS n_stop
+        FROM documents
+    """.format(stop=_STOP_SQL),
+    "quality_scores": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[.!,?;:]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x IN {stop})) AS BIGINT) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_tokens, n_punct, n_stop,
+               (n_tokens >= 10 AND n_stop * 50 >= n_tokens) AS is_quality
+        FROM t
+    """.format(stop=_STOP_SQL),
+    "exact_dedup": """
+        SELECT md5(text) AS text_md5,
+               CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "ngram_top20": """
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 20
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_micro
+        FROM events GROUP BY 1, 2
+    """,
+    "user_sessions": """
+        WITH x AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE prev IS NULL
+                                     OR ts - prev > INTERVAL 30 MINUTE)
+                    AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM x GROUP BY user_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_disc_price_micro,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue_c DESC, c.c_custkey ASC
+        LIMIT 10
+    """,
+    "embeddings_by_label": """
+        SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        r AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(q.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rnk
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5
+    """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+               CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+                   AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "frame_sample": """
+        SELECT doc_id,
+               CAST(unnest(range(0, 1 + octet_length(encode(text)) % 300, 10))
+                    AS BIGINT) AS frame_idx
+        FROM documents
+    """,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,155 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash banding.
+
+Scale design (the 100 TB story):
+- exact dedup: content-hash column in a vectorized map_batches, then
+  hash-partitioned ``groupby(text_md5)`` keeping min-id — the only
+  shuffle moves 32-byte keys + ids, never text;
+- MinHash+LSH: per-batch shingle→signature (O(doc) work, no shuffle),
+  explode to (band_key, doc_id) rows — 16 small rows per doc — then
+  ``groupby(band_key)`` emits candidate pairs per bucket; pairs are
+  verified by exact shingle Jaccard only for candidates. Bucket skew is
+  bounded: a bucket with B docs emits B·(B−1)/2 pairs, so buckets are
+  capped (deterministically, by sorted doc_id) and the cap is logged in
+  the result;
+- SimHash: 4×16-bit bands of the 64-bit fingerprint; same
+  groupby-band → verify (hamming) shape.
+
+The reference has no near-dedup at all (SURVEY.md §2.7); this is new
+first-class capability.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.textstats import (
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+MAX_BUCKET = 64  # deterministic candidate cap per LSH bucket
+
+
+class MinHashStage:
+    """doc → 16 (band_key, doc_id) rows. Signature params fixed
+    (64 perms, 16 bands × 4 rows ≈ Jaccard 0.5+ sensitivity)."""
+
+    def __init__(self, k_shingle: int = 3) -> None:
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_keys: list[int] = []
+        doc_ids: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = minhash_signature(shingles(text, self.k))
+            for key in lsh_band_keys(sig):
+                band_keys.append(key)
+                doc_ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {"band_key": pa.array(band_keys, pa.int64()),
+             "doc_id": pa.array(doc_ids, pa.int64())}
+        )
+
+
+def bucket_candidate_pairs(group: "pa.Table | object") -> pa.Table:
+    """Within one LSH bucket: all doc-id pairs (sorted, capped)."""
+    import pandas as pd
+
+    if isinstance(group, pd.DataFrame):
+        ids = sorted(set(int(x) for x in group["doc_id"]))
+    else:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+    ids = ids[:MAX_BUCKET]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.Table.from_pydict(
+        {"doc_id_a": pa.array(a, pa.int64()), "doc_id_b": pa.array(b, pa.int64())}
+    )
+
+
+class SimHashStage:
+    """doc → 4 (band_key, doc_id, simhash) rows (16-bit bands)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_keys: list[int] = []
+        doc_ids: list[int] = []
+        hashes: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sh = simhash64(text)
+            signed = sh - (1 << 64) if sh >= (1 << 63) else sh
+            for band in range(4):
+                chunk = (sh >> (band * 16)) & 0xFFFF
+                band_keys.append((band << 16) | chunk)
+                doc_ids.append(doc_id)
+                hashes.append(signed)
+        return pa.Table.from_pydict(
+            {
+                "band_key": pa.array(band_keys, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def verify_jaccard_pairs(
+    pairs: list[tuple[int, int]],
+    texts_by_id: dict[int, str],
+    k_shingle: int = 3,
+    threshold_micro: int = 700_000,
+) -> pa.Table:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Jaccard is reported in integer micro-units (deterministic compare;
+    SURVEY.md §7.4 no-float rule). `texts_by_id` is the broadcast small
+    side (ray.put on the driver for big runs)."""
+    cache: dict[int, set[int]] = {}
+
+    def sh(i: int) -> set[int]:
+        if i not in cache:
+            cache[i] = shingles(texts_by_id.get(i, ""), k_shingle)
+        return cache[i]
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in pairs:
+        j = jaccard(sh(a), sh(b))
+        jm = int(j * 1_000_000)
+        if jm >= threshold_micro:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(jm)
+    return pa.Table.from_pydict(
+        {
+            "doc_id_a": pa.array(out_a, pa.int64()),
+            "doc_id_b": pa.array(out_b, pa.int64()),
+            "jaccard_micro": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
+def verify_simhash_pairs(
+    pairs: list[tuple[int, int, int, int]], max_hamming: int = 3
+) -> pa.Table:
+    """(a, b, sh_a, sh_b) candidates → pairs with hamming ≤ max."""
+    out_a, out_b, out_h = [], [], []
+    for a, b, sa, sb in pairs:
+        h = hamming64(sa & ((1 << 64) - 1), sb & ((1 << 64) - 1))
+        if h <= max_hamming:
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(h)
+    return pa.Table.from_pydict(
+        {
+            "doc_id_a": pa.array(out_a, pa.int64()),
+            "doc_id_b": pa.array(out_b, pa.int64()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }
+    )

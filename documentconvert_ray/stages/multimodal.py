@@ -1,0 +1,83 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Payloads are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample are actor-pool map_batches
+stages. The actual codecs are NOT available in this environment
+(SURVEY.md env facts), so the decode kernel is a clearly-marked
+deterministic stand-in: every Ray-side concern — schema, actor
+lifecycle, batch sizing, output layout — is real and tested, and the
+kernel body is the single function to swap for a real codec.
+
+The reference's analogue is the image→markdown OCR leg
+(services/document_service.py:826-907, mineru CLI subprocess) which is
+likewise a black-box decode step behind a routing layer.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+REAL_CODECS_AVAILABLE = False  # flip when PIL/ffmpeg exist in the image
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: deterministic dims from byte length — replace with a
+    real image decode when codecs exist. Kept arithmetic-simple so the
+    SQL oracle can express it exactly (pipelines/queries.py)."""
+    n = len(payload)
+    width = 64 + (n % 512)
+    height = 64 + ((n * 7) % 512)
+    channels = 3
+    return width, height, channels
+
+
+class ImageDecodeStage:
+    """Actor-pool 'decoder': __init__ loads the (stubbed) codec once per
+    actor; __call__ decodes a batch of binary payloads to metadata.
+
+    With real codecs this is where PIL/turbojpeg handles live; batch
+    sizes stay small because payload bytes are large (SURVEY guide:
+    memory-aware batch sizing for binary columns)."""
+
+    def __init__(self) -> None:
+        if REAL_CODECS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("wire a real codec here")
+        self._decode = _fake_decode_dims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        dims = [self._decode(p or b"") for p in payloads]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array([d[0] for d in dims], pa.int64()),
+                "height": pa.array([d[1] for d in dims], pa.int64()),
+                "channels": pa.array([d[2] for d in dims], pa.int64()),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """'Video' frame sampler: emits one row per sampled frame index —
+    the flat_map-shaped stage a real pipeline needs for frame-level
+    work. Frame count is stubbed as a deterministic function of size;
+    sampling is every `stride`-th frame."""
+
+    def __init__(self, stride: int = 10) -> None:
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frames = [], []
+        for doc_id, p in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("payload").to_pylist()):
+            n_frames = 1 + (len(p or b"") % 300)
+            for f in range(0, n_frames, self.stride):
+                doc_ids.append(doc_id)
+                frames.append(f)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+            }
+        )

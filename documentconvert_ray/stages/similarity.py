@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is broadcast once
+  (ray.put) and every batch does one numpy matmul against it — the
+  canonical small-side-broadcast pattern (no shuffle of the corpus).
+- IVF variant (the scale path): k centroids trained with a fixed
+  number of Lloyd iterations (distributed partial-sum updates),
+  vectors assigned to nearest centroid inside map_batches, queries
+  probe only the nprobe nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (no copy surprises)."""
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class CosineTopKPartial:
+    """Per-batch partial top-k: emits (query_id, neighbor_id, sim) for
+    the batch-local top-k of every query; the global top-k reduction
+    then runs over ≤ k·n_batches rows per query, not the corpus."""
+
+    def __init__(self, queries_ref, k: int = 5) -> None:
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = np.asarray(sorted(q), dtype=np.int64)
+        self.qmat = normalize(
+            np.asarray([q[i] for i in self.qids], dtype=np.float64)
+        )
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = normalize(_mat(batch.column("embedding")))
+        sims = self.qmat @ mat.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            mask = vids != qid  # exclude self
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((vids[idx], -row[idx]))][: self.k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(vids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def global_topk(group, k: int = 5):
+    """Final per-query reduction: (query_id) group → top-k with rank.
+
+    Deterministic tie-break: (-sim, neighbor_id)."""
+    import pandas as pd
+
+    g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rnk"]]
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def train_centroids(ds, n_centroids: int = 16, iters: int = 3) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations.
+
+    Init = the vectors with the n_centroids smallest vec_ids (stable,
+    data-defined — no RNG). Each iteration: one map_batches pass emits
+    per-batch partial sums/counts per centroid; the driver folds the
+    tiny partials. O(iters) passes, no shuffle."""
+    first = ds.sort("vec_id").limit(n_centroids).to_pandas()
+    cents = normalize(np.asarray(list(first["embedding"]), dtype=np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            m = normalize(_mat(batch.column("embedding")))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for ci in range(len(c)):
+                sel = assign == ci
+                counts[ci] = int(sel.sum())
+                if counts[ci]:
+                    sums[ci] = m[sel].sum(axis=0)
+            return pa.Table.from_pydict(
+                {
+                    "centroid": pa.array(range(len(c)), pa.int32()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sum": pa.array(sums.tolist(),
+                                    pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in parts.itertuples(index=False):
+            sums[int(r.centroid)] += np.asarray(r.sum)
+            counts[int(r.centroid)] += int(r.count)
+        nz = counts > 0
+        cents[nz] = normalize(sums[nz] / counts[nz, None])
+    return cents
+
+
+class IvfAssign:
+    """Adds the IVF bucket id to each vector row."""
+
+    def __init__(self, cents_ref) -> None:
+        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize(_mat(batch.column("embedding")))
+        assign = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign, pa.int32()))
+
+
+class IvfTopKPartial(CosineTopKPartial):
+    """Brute-force partial top-k, but only over rows whose bucket is in
+    each query's probe set."""
+
+    def __init__(self, queries_ref, probe_ref, k: int = 5) -> None:
+        super().__init__(queries_ref, k)
+        probes = ray.get(probe_ref) if not isinstance(probe_ref, dict) else probe_ref
+        self.probes = {int(q): set(v) for q, v in probes.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int32)
+        mat = normalize(_mat(batch.column("embedding")))
+        sims = self.qmat @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            probe = self.probes.get(int(qid), set())
+            mask = (vids != qid) & np.isin(buckets, list(probe))
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            row = sims[qi]
+            order = idx[np.lexsort((vids[idx], -row[idx]))][: self.k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(vids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )

@@ -1,0 +1,103 @@
+"""Query-vs-oracle parity tests (the driver's correctness gate, run
+locally at sf0.001) + semantic checks for the non-SQL ops."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+SQL_QUERIES = [
+    "doc_stats_by_lang",
+    "token_counts",
+    "quality_scores",
+    "exact_dedup",
+    "ngram_top20",
+    "events_hourly",
+    "user_sessions",
+    "pricing_summary",
+    "top_customers",
+    "embeddings_by_label",
+    "knn_cosine",
+    "multimodal_decode",
+    "frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from documentconvert_ray.pipelines.queries import oracle_sql, queries
+
+    return queries(), oracle_sql()
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name, duck, registry, ray_session):
+    from check_oracles import canon, to_pandas
+
+    qs, oracles = registry
+    got = canon(to_pandas(qs[name](SF_DIR)))
+    exp = canon(duck.execute(oracles[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} != {len(exp)}"
+    assert got.equals(exp), f"{name}: value mismatch"
+
+
+def test_every_query_has_runnable_entry(registry):
+    qs, oracles = registry
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_rows_only_queries_run(registry, ray_session):
+    from check_oracles import to_pandas
+
+    qs, oracles = registry
+    for name in ["lang_id", "doc_fingerprints", "extract_error_stats"]:
+        df = to_pandas(qs[name](SF_DIR))
+        assert len(df) > 0, name
+
+
+def test_ann_ivf_recall_vs_brute_force(registry, ray_session):
+    """IVF is approximate; require recall@5 ≥ 0.6 vs brute force on
+    this data (nprobe=4 of 16 buckets)."""
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    exact = to_pandas(qs["knn_cosine"](SF_DIR))
+    approx = to_pandas(qs["ann_ivf"](SF_DIR))
+    e = {(int(r.query_id), int(r.neighbor_id)) for r in exact.itertuples()}
+    a = {(int(r.query_id), int(r.neighbor_id)) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+def test_minhash_pairs_deterministic(registry, ray_session):
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    a = to_pandas(qs["minhash_dup_pairs"](SF_DIR))
+    b = to_pandas(qs["minhash_dup_pairs"](SF_DIR))
+    assert a.sort_values(list(a.columns)).reset_index(drop=True).equals(
+        b.sort_values(list(b.columns)).reset_index(drop=True)
+    )
+    # verified pairs must really exceed the jaccard threshold
+    assert (a["jaccard_micro"] >= 700_000).all() if len(a) else True
