@@ -1,0 +1,194 @@
+"""Benchmark harness (driver contract).
+
+Headline: end-to-end extraction job (read → sniff+HTML → PDF actors →
+partitioned write + manifests) over a cached deterministic synthetic
+web corpus; plus representative query timings over $GRAFT_SF_DIR
+tables. Prints ONE JSON line.
+
+  python bench.py             # $RAY_GRAFT_CPUS (default 32), $GRAFT_SF_DIR
+  python bench.py --scaling   # fresh 8-cpu and 32-cpu subprocesses on the
+                              # same input → throughputs + efficiency
+
+Corpus generation and OS page-cache warmup are untimed (guide:
+measure compute + shuffle, not the first disk read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "100000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_NAMES = [
+    "doc_stats_by_lang",
+    "token_counts",
+    "exact_dedup",
+    "ngram_top20",
+    "minhash_dup_pairs",
+    "events_hourly",
+    "user_sessions",
+    "pricing_summary",
+    "top_customers",
+    "knn_cosine",
+]
+
+
+def corpus_dir() -> str:
+    from documentconvert_ray import ENGINE_VERSION
+
+    return f"/tmp/documentconvert_ray/bench-corpus-v{ENGINE_VERSION}-{BENCH_CORPUS_ROWS}"
+
+
+def ensure_corpus() -> str:
+    """Generate the bench corpus once (parallel ray tasks, untimed)."""
+    import ray
+
+    d = corpus_dir()
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+
+    from documentconvert_ray.sources.corpus import make_corpus_table
+
+    rows_per_file = 5000
+
+    @ray.remote
+    def gen_shard(start: int, cnt: int) -> str:
+        import pyarrow.parquet as pq
+
+        tbl = make_corpus_table(cnt, start_id=start)
+        fp = os.path.join(d, f"corpus-{start:09d}.parquet")
+        pq.write_table(tbl, fp)
+        return fp
+
+    futs = [
+        gen_shard.remote(s, min(rows_per_file, BENCH_CORPUS_ROWS - s))
+        for s in range(0, BENCH_CORPUS_ROWS, rows_per_file)
+    ]
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def warm_page_cache(paths: list[str]) -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from documentconvert_ray.config import ExtractConfig
+    from documentconvert_ray.pipelines.extract import (
+        expand_input_files,
+        run_extract_job,
+    )
+    from documentconvert_ray.pipelines.queries import queries
+
+    result: dict = {
+        "metric": "extract_e2e_sec",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": BENCH_CORPUS_ROWS,
+        "queries": {},
+    }
+
+    # ---- headline: extraction job
+    d = ensure_corpus()
+    files = expand_input_files(d)
+    warm_page_cache(files)
+    out_dir = f"/tmp/documentconvert_ray/bench-out-{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = ExtractConfig(pdf_pool_max=max(2, NUM_CPUS // 2))
+    t0 = time.monotonic()
+    metrics = run_extract_job(d, out_dir, cfg, resume=False)
+    dt = time.monotonic() - t0
+    result["value"] = round(dt, 3)
+    result["docs_per_sec"] = round(metrics["rows"] / dt, 1)
+    result["extract_rows"] = metrics["rows"]
+    result["extract_errors"] = metrics["errors"]
+
+    # ---- representative queries over the sf tables
+    qs = queries()
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        # consume lazily-built datasets fully (count() triggers execution
+        # without driver materialization of wide columns)
+        if hasattr(res, "count"):
+            res.count()
+        result["queries"][name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 cpus (stand-in for N vs 4N
+    nodes — SURVEY.md §4.3.6)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            BENCH_CORPUS_ROWS=str(BENCH_CORPUS_ROWS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "corpus_rows": BENCH_CORPUS_ROWS,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(), sort_keys=True))
+    else:
+        print(json.dumps(run_bench(), sort_keys=True))
