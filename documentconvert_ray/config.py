@@ -47,14 +47,33 @@ class ExtractConfig:
     # ---- actor pool (PDF leg) ----
     pdf_pool_min: int = 1
     pdf_pool_max: int = 8
-    pdf_batch_size: int = 16
+    # separate small pool that finishes oversized PDFs one-per-call
+    elephant_pool_max: int = 2
+    # ~8% of rows are PDFs: 128-row mixed batches carry ~10 PDFs each,
+    # enough parse work to amortize the per-batch actor call; elephants
+    # are split out separately (elephant_bytes)
+    pdf_batch_size: int = 128
 
     # ---- HTML leg ----
     html_batch_size: int = 256
 
+    # fields that change WHAT is extracted (affect output bytes); the
+    # remaining fields are execution sizing only — output-invariant, so
+    # they must NOT invalidate resume manifests
+    _SEMANTIC_FIELDS = (
+        "link_density_pct", "min_block_chars", "text_density_pct",
+        "pdf_heading_ratio_pct", "pdf_line_tol_milli",
+        "pdf_column_gap_milli", "num_partitions",
+    )
+
     def fingerprint(self) -> str:
-        """Stable digest of the config; part of every partition manifest."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable digest of the output-affecting config; part of every
+        partition manifest. Pool/batch sizing is excluded: the same
+        input re-run at different parallelism must resume cleanly."""
+        d = asdict(self)
+        blob = json.dumps(
+            {k: d[k] for k in self._SEMANTIC_FIELDS}, sort_keys=True
+        ).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

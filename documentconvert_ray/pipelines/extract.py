@@ -59,10 +59,13 @@ def build_extract_ds(
         columns=["url", "warc_ts", "html", "lang"],  # prune: `text` unused
         include_paths=include_shard,
     )
+    # batch_size=None → whole read blocks: payload bytes are consumed
+    # block-at-a-time (zero-copy from the object store), never
+    # re-sliced into small batches
     ds = ds.map_batches(
         SniffAndExtractHtml(cfg, shard_of_path if include_shard else None),
         batch_format="pyarrow",
-        batch_size=cfg.html_batch_size,
+        batch_size=None,
     )
     ds = ds.map_batches(
         PdfExtractor,
@@ -71,30 +74,91 @@ def build_extract_ds(
         batch_size=cfg.pdf_batch_size,
         concurrency=pdf_concurrency or (cfg.pdf_pool_min, cfg.pdf_pool_max),
         num_cpus=1,
+        # Per-actor heap reservation for PDF parse buffers. Also
+        # load-bearing for scheduling: a differing remote arg keeps
+        # Ray from fusing the stateless HTML task stage INTO this actor
+        # pool (fusion would cap ALL extraction at pdf_pool_max actors
+        # and idle the remaining CPUs — measured 0.48 scaling efficiency
+        # fused vs ~0.9 unfused).
+        memory=512 * 1024 * 1024,
+    )
+    # Elephant leg (SURVEY.md §4.3.2): oversized PDFs arrive as
+    # single-row blocks from the stage above; this smaller pool
+    # finishes them one document per call, so one giant PDF never
+    # blocks a mixed batch. For payload-free blocks it is a null-check
+    # pass-through. batch_size=None preserves the block granularity
+    # the previous stage chose.
+    ds = ds.map_batches(
+        PdfExtractor,
+        fn_constructor_args=(cfg, True),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, cfg.elephant_pool_max),
+        num_cpus=1,
+        memory=1024 * 1024 * 1024,
     )
     return ds
 
 
-def _shard_stats_partials(batch: pa.Table) -> pa.Table:
-    """Per-(batch, shard) partial stats for the manifest pass.
+class ShardWriter:
+    """Terminal stage: writes each batch into its shard's directory and
+    emits per-(batch, shard) stats partials as its (tiny) output — the
+    write and the manifest statistics are ONE pass over the data, no
+    re-read (a generic ``write_parquet(partition_cols=…)`` + stats
+    re-scan measured ~3× the core pipeline time at 32 CPUs).
+
+    Idempotent under Ray task retries: the output filename is a pure
+    function of the batch content (first url + row count), so a retried
+    task atomically replaces its own file, never duplicates rows.
+    """
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        import pyarrow.parquet as _pq
+
+        shard_col = batch.column("shard").to_pylist()
+        data = batch.drop_columns(["shard"])
+        # normalize column order: upstream pass-through vs rebuilt
+        # blocks differ, and every parquet file in a shard dir must
+        # carry the same schema
+        data = data.select([f.name for f in OUTPUT_SCHEMA])
+        out_parts: list[pa.Table] = []
+        for sid in sorted(set(shard_col)):
+            mask = pa.array([s == sid for s in shard_col])
+            sub = data.filter(mask)
+            d = mf.shard_data_dir(self.out_dir, sid)
+            os.makedirs(d, exist_ok=True)
+            first_url = sub.column("url")[0].as_py()
+            stem = _h.sha1(
+                f"{first_url}\x00{sub.num_rows}".encode()
+            ).hexdigest()[:16]
+            final = os.path.join(d, f"part-{stem}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            _pq.write_table(sub, tmp)
+            os.replace(tmp, final)
+            out_parts.append(_stats_partials(sub, sid))
+        return pa.concat_tables(out_parts)
+
+
+def _stats_partials(batch: pa.Table, shard_id: int) -> pa.Table:
+    """One shard-slice of a batch → one partial-stats row.
 
     The content digest is an XOR-fold of sha256(url || text_sha256) —
     order-insensitive and mergeable, so partials combine in any order
     (SURVEY.md §2.5: mergeable partial aggregation before the tiny
     final combine)."""
     import hashlib as _h
-    import re as _re
 
-    # shard id parsed from the hive-style file path (…/shard=<k>/file.parquet)
-    shards = [
-        int(_re.search(r"shard=(\d+)", p).group(1))
-        for p in batch.column("path").to_pylist()
-    ]
+    shards = [shard_id] * batch.num_rows
     urls = batch.column("url").to_pylist()
     shas = batch.column("text_sha256").to_pylist()
     oks = batch.column("ok").to_pylist()
     kinds = batch.column("error_kind").to_pylist()
-    md_lens = [len(t) for t in batch.column("text_md").to_pylist()]
+    md_lens = batch.column("n_md_bytes").to_pylist()
 
     acc: dict[int, dict] = {}
     for i, sid in enumerate(shards):
@@ -163,21 +227,12 @@ def run_extract_job(
             list(todo), cfg, include_shard=True, shard_of_path=shards,
             pdf_concurrency=pdf_concurrency,
         )
-        data_dir = os.path.join(out_dir, mf.DATA_DIR)
-        ds.write_parquet(data_dir, partition_cols=["shard"])
-
-        # manifest pass: read back only the new shards' extracted text
-        new_files = sorted(
-            f
-            for s in todo.values()
-            for f in glob.glob(os.path.join(mf.shard_data_dir(out_dir, s),
-                                            "*.parquet"))
+        # single pass: ShardWriter writes the data AND returns the
+        # partial stats; the consumed result is one tiny row per
+        # (block, shard), never the data itself
+        stats_ds = ds.map_batches(
+            ShardWriter(out_dir), batch_format="pyarrow", batch_size=None
         )
-        stats_ds = ray.data.read_parquet(
-            new_files,
-            columns=["url", "ok", "error_kind", "text_md", "text_sha256"],
-            include_paths=True,
-        ).map_batches(_shard_stats_partials, batch_format="pyarrow")
         partials = stats_ds.to_pandas()  # tiny: one row per (block, shard)
 
         folded: dict[int, dict] = {}

@@ -225,6 +225,89 @@ def q_simhash_near_dups(sf_dir: str):
     return dd.verify_simhash_pairs(uniq)
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    """Exact n-gram Jaccard near-dup via inverted index (stages/dedup.py
+    shingle_rows → per-shingle pairs → pair-count groupby). Integer
+    micro-unit Jaccard, τ=0.6; hot shingles df>500 pruned on BOTH sides
+    (scalability guard mirrored in the oracle's HAVING)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(dd.shingle_rows, batch_format="pyarrow", batch_size=256)
+    pairs = rows.groupby("shingle").map_groups(
+        dd.shingle_group_pairs, batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Count(alias_name="co"),
+        Min(on="na", alias_name="na"),
+        Min(on="nb", alias_name="nb"),
+    )
+    return counted.map_batches(
+        lambda b: dd.jaccard_from_counts(b, 600_000), batch_format="pyarrow"
+    )
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): broadcast-matrix
+    blocked exact sweep (stages/similarity.py CosinePairsPartial);
+    τ tuned to the synthetic tables (max pairwise cos ≈ 0.51)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cref = ray.put(sim.load_corpus_matrix(path))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(
+        sim.CosinePairsPartial,
+        fn_constructor_args=(cref, 0.4),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def q_latest_orders(sf_dir: str):
+    """Sort/limit (SURVEY.md §2.6 O1: ORDER BY ts DESC + LIMIT):
+    100 most recent orders, deterministic (o_orderdate DESC,
+    o_orderkey ASC tie-break), price in integer cents."""
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_custkey": b.column("o_custkey"),
+             "o_orderdate": b.column("o_orderdate"),
+             "neg_key": pa.array(
+                 [-x for x in b.column("o_orderkey").to_pylist()], pa.int64()),
+             "price_c": pa.array(
+                 _cents_col(b.column("o_totalprice").to_pylist()))}
+        )
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["o_orderdate", "neg_key"], descending=True)
+        .limit(100)
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "o_orderdate", "price_c"])
+
+
+def q_filter_regex(sf_dir: str):
+    """Regex row filter (SURVEY.md §2.2 M7 file_pattern analogue):
+    vectorized RE2 match inside map_batches, then count by source."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    pattern = r"(fast|slow) (table|scan)"
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.match_substring_regex(b.column("text"), pattern))
+
+    return (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def q_quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     stats = ds.map_batches(tx.token_stats_batch, batch_format="pyarrow")
@@ -518,6 +601,10 @@ def queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "latest_orders": q_latest_orders,
+        "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
@@ -645,6 +732,55 @@ ORACLES: dict[str, str] = {
           WHERE e.vec_id <> q.vec_id)
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 5
+    """,
+    "ngram_jaccard_dups": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+        ),
+        sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 500)
+          GROUP BY ia, ib
+        )
+        SELECT ia AS doc_id_a, ib AS doc_id_b,
+               CAST((c * 1000000) // (sa.n + sb.n - c) AS BIGINT)
+                   AS jaccard_micro
+        FROM co
+        JOIN sized sa ON co.ia = sa.doc_id
+        JOIN sized sb ON co.ib = sb.doc_id
+        WHERE (c * 1000000) // (sa.n + sb.n - c) >= 600000
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "latest_orders": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "filter_regex": """
+        SELECT source, count(*) AS n_docs
+        FROM documents
+        WHERE regexp_matches(text, '(fast|slow) (table|scan)')
+        GROUP BY source
     """,
     "multimodal_decode": """
         SELECT doc_id,

@@ -100,6 +100,106 @@ class SimHashStage:
         )
 
 
+# ------------------------------------------- exact n-gram Jaccard dedup
+#
+# Inverted-index idiom (vs MinHash above, which is the sketch path):
+#   docs → distinct word-3gram rows (shingle, doc_id, n_sh)   [map_batches]
+#   → groupby(shingle): emit co-occurring doc pairs, skipping
+#     hot shingles (doc-frequency > NGRAM_DF_CAP — the scalability
+#     guard; stop-phrase groups would otherwise emit O(df²) pairs)
+#   → groupby(pair): count shared shingles co
+#   → jaccard_micro = co·10⁶ // (|A|+|B|−co), integer-exact.
+# Only shingle strings + int ids are shuffled, never document text; at
+# larger scale the shingle key would be a 64-bit hash to shrink the
+# exchange (kept as the raw string here so the DuckDB oracle is
+# equality-exact with no collision asterisk).
+
+NGRAM_DF_CAP = 500  # mirror: oracle HAVING count(*) <= 500
+NGRAM_K = 3
+
+_WS = None  # compiled lazily (regex mirrors the oracle's '\s+')
+
+
+def _word_shingles(text: str, k: int = NGRAM_K) -> set[str]:
+    """Distinct lowercase word k-grams; tokenization mirrors the SQL
+    oracle exactly: split on '\\s+', drop empties."""
+    global _WS
+    if _WS is None:
+        import re
+
+        _WS = re.compile(r"\s+")
+    tk = [w for w in _WS.split(text.lower()) if w]
+    return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+
+
+def shingle_rows(batch: pa.Table) -> pa.Table:
+    """doc → one row per distinct word-3gram: (shingle, doc_id, n_sh).
+    n_sh is denormalized onto every row so the pair stage never needs a
+    sizes join/broadcast (int32 per row beats a 10^12-entry dict)."""
+    sh_col: list[str] = []
+    id_col: list[int] = []
+    n_col: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        ss = _word_shingles(text or "")
+        sh_col.extend(ss)
+        id_col.extend([doc_id] * len(ss))
+        n_col.extend([len(ss)] * len(ss))
+    return pa.Table.from_pydict(
+        {"shingle": pa.array(sh_col, pa.string()),
+         "doc_id": pa.array(id_col, pa.int64()),
+         "n_sh": pa.array(n_col, pa.int64())}
+    )
+
+
+def shingle_group_pairs(group: pa.Table) -> pa.Table:
+    """One shingle's posting list → co-occurring doc pairs (a<b).
+    Hot shingles (df > NGRAM_DF_CAP) emit nothing."""
+    ids = group.column("doc_id").to_pylist()
+    ns = group.column("n_sh").to_pylist()
+    if len(ids) > NGRAM_DF_CAP or len(ids) < 2:
+        return pa.Table.from_pydict(
+            {"doc_id_a": pa.array([], pa.int64()),
+             "doc_id_b": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64()),
+             "nb": pa.array([], pa.int64())}
+        )
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    a, b, na, nb = [], [], [], []
+    for x in range(len(order)):
+        ix = order[x]
+        for y in range(x + 1, len(order)):
+            iy = order[y]
+            a.append(ids[ix])
+            b.append(ids[iy])
+            na.append(ns[ix])
+            nb.append(ns[iy])
+    return pa.Table.from_pydict(
+        {"doc_id_a": pa.array(a, pa.int64()),
+         "doc_id_b": pa.array(b, pa.int64()),
+         "na": pa.array(na, pa.int64()),
+         "nb": pa.array(nb, pa.int64())}
+    )
+
+
+def jaccard_from_counts(batch: pa.Table, threshold_micro: int) -> pa.Table:
+    """(pair, co, na, nb) → integer-exact jaccard_micro, thresholded."""
+    import numpy as np
+
+    co = np.asarray(batch.column("co").to_pylist(), dtype=np.int64)
+    na = np.asarray(batch.column("na").to_pylist(), dtype=np.int64)
+    nb = np.asarray(batch.column("nb").to_pylist(), dtype=np.int64)
+    jm = (co * 1_000_000) // (na + nb - co)
+    keep = jm >= threshold_micro
+    return pa.Table.from_pydict(
+        {"doc_id_a": pa.array(
+            np.asarray(batch.column("doc_id_a").to_pylist(), dtype=np.int64)[keep]),
+         "doc_id_b": pa.array(
+            np.asarray(batch.column("doc_id_b").to_pylist(), dtype=np.int64)[keep]),
+         "jaccard_micro": pa.array(jm[keep])}
+    )
+
+
 def verify_jaccard_pairs(
     pairs: list[tuple[int, int]],
     texts_by_id: dict[int, str],

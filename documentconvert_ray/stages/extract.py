@@ -61,6 +61,7 @@ OUTPUT_SCHEMA = pa.schema(
         pa.field("spans", SPAN_TYPE),
         pa.field("text_sha256", pa.string()),
         pa.field("n_bytes", pa.int64()),
+        pa.field("n_md_bytes", pa.int64()),
         pa.field("part", pa.int32()),
     ]
 )
@@ -147,6 +148,10 @@ class SniffAndExtractHtml:
             "spans": pa.array(cols["spans"], SPAN_TYPE),
             "text_sha256": pa.array(cols["text_sha256"], pa.string()),
             "n_bytes": n_bytes,
+            # utf-8 byte length of text_md, denormalized so the manifest
+            # pass never has to re-read the heavy text column
+            "n_md_bytes": pc.binary_length(
+                pa.array(cols["text_md"], pa.string())).cast(pa.int64()),
             "part": parts,
             _PDF_PAYLOAD_COL: pa.array(pdf_payloads, pa.binary()),
         }
@@ -159,27 +164,37 @@ class SniffAndExtractHtml:
 
 
 class PdfExtractor:
-    """Stage 2 (actor pool): finish PDF rows, drop the payload column.
+    """Stage 2 (actor pool): finish PDF rows, keeping the payload only
+    for elephants (oversized PDFs), which the dedicated elephant leg
+    finishes at single-row granularity.
 
     One actor = one warm parser context (reference ST1: MinerU weights
     held process-wide; pool size = the MAX_CONCURRENT_TASKS analogue,
     README.md:175). __init__ does the once-per-actor setup; __call__
     only parses.
+
+    Skew handling (SURVEY.md §4.3.2): rows whose payload is ≥
+    ``cfg.elephant_bytes`` are NOT parsed here — they are yielded as
+    their own single-row output blocks so one multi-hundred-page PDF
+    can never serialize a whole batch behind it. The elephant leg
+    (``elephant_leg=True``) is a second, smaller actor pool that
+    receives those single-row blocks (batch_size=None preserves block
+    granularity) and finishes them; for every other block it is a
+    null-check pass-through.
     """
 
-    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG) -> None:
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
+                 elephant_leg: bool = False) -> None:
         self.cfg = cfg
+        self.elephant_leg = elephant_leg
         # warm the regex/zlib machinery once per actor
         from ..functions import pdf_extract as _px  # noqa: F401
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if _PDF_PAYLOAD_COL not in batch.column_names:
-            return batch
-        payload_col = batch.column(_PDF_PAYLOAD_COL)
-        if payload_col.null_count == batch.num_rows:
-            return batch.drop_columns([_PDF_PAYLOAD_COL])
-
-        payloads = payload_col.to_pylist()
+    def _finish(self, batch: pa.Table, parse_mask: list[bool],
+                drop_payload: bool) -> pa.Table:
+        """Parse payload rows selected by mask; null their payload (or
+        drop the column entirely when this is the last pdf stage)."""
+        payloads = batch.column(_PDF_PAYLOAD_COL).to_pylist()
         ok = batch.column("ok").to_pylist()
         error_kind = batch.column("error_kind").to_pylist()
         error = batch.column("error").to_pylist()
@@ -188,7 +203,7 @@ class PdfExtractor:
         sha = batch.column("text_sha256").to_pylist()
 
         for i, raw in enumerate(payloads):
-            if raw is None:
+            if raw is None or not parse_mask[i]:
                 continue
             res = extract_pdf(raw, self.cfg)
             ok[i] = res.ok
@@ -197,18 +212,68 @@ class PdfExtractor:
             text_md[i] = res.text_md
             spans[i] = res.spans
             sha[i] = _sha256(res.text_md)
+            payloads[i] = None
 
         out = batch.drop_columns(
             [_PDF_PAYLOAD_COL, "ok", "error_kind", "error", "text_md", "spans",
-             "text_sha256"]
+             "text_sha256", "n_md_bytes"]
         )
+        md_arr = pa.array(text_md, pa.string())
         for name, arr in (
             ("ok", pa.array(ok, pa.bool_())),
             ("error_kind", pa.array(error_kind, pa.string())),
             ("error", pa.array(error, pa.string())),
-            ("text_md", pa.array(text_md, pa.string())),
+            ("text_md", md_arr),
             ("spans", pa.array(spans, SPAN_TYPE)),
             ("text_sha256", pa.array(sha, pa.string())),
+            ("n_md_bytes", pc.binary_length(md_arr).cast(pa.int64())),
         ):
             out = out.append_column(name, arr)
+        if not drop_payload:
+            out = out.append_column(
+                _PDF_PAYLOAD_COL, pa.array(payloads, pa.binary())
+            )
         return out
+
+    def __call__(self, batch: pa.Table):
+        if _PDF_PAYLOAD_COL not in batch.column_names:
+            yield batch
+            return
+        payload_col = batch.column(_PDF_PAYLOAD_COL)
+        if payload_col.null_count == batch.num_rows:
+            yield batch.drop_columns([_PDF_PAYLOAD_COL]) if self.elephant_leg \
+                else batch
+            return
+
+        if self.elephant_leg:
+            # finish everything that still carries a payload
+            yield self._finish(
+                batch, [True] * batch.num_rows, drop_payload=True
+            )
+            return
+
+        payloads = payload_col.to_pylist()
+        is_elephant = [
+            raw is not None and len(raw) >= self.cfg.elephant_bytes
+            for raw in payloads
+        ]
+        parse_mask = [
+            raw is not None and not el
+            for raw, el in zip(payloads, is_elephant)
+        ]
+        if not any(is_elephant):
+            yield self._finish(batch, parse_mask, drop_payload=False)
+            return
+
+        keep = pa.array([not e for e in is_elephant])
+        main = batch.filter(keep)
+        if main.num_rows:
+            yield self._finish(
+                main, [m for m, e in zip(parse_mask, is_elephant) if not e],
+                drop_payload=False,
+            )
+        # one single-row block per elephant → the elephant pool picks
+        # each up independently (no head-of-line blocking)
+        for i, el in enumerate(is_elephant):
+            if el:
+                yield batch.slice(i, 1)

@@ -77,6 +77,43 @@ def global_topk(group, k: int = 5):
     return g[["query_id", "neighbor_id", "rnk"]]
 
 
+class CosinePairsPartial:
+    """Embedding-cosine near-dup: blocked exact all-pairs.
+
+    The normalized corpus matrix is broadcast ONCE (ray.put); each batch
+    does one numpy matmul against it and emits only id pairs (a < b)
+    with cosine ≥ τ — an O(N²/P) distributed block sweep with no
+    shuffle. This is the exact baseline the LSH/IVF paths approximate;
+    at 10^12 rows you'd run IvfAssign first and sweep only within
+    buckets (same __call__, bucket-filtered)."""
+
+    def __init__(self, corpus_ref, tau: float) -> None:
+        ids, mat = ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.mat = normalize(np.asarray(mat, dtype=np.float64))
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = normalize(_mat(batch.column("embedding")))
+        sims = m @ self.mat.T  # (nb, N)
+        hit_r, hit_c = np.nonzero(sims >= self.tau)
+        a = vids[hit_r]
+        b = self.ids[hit_c]
+        keep = a < b  # each unordered pair exactly once, no self-pairs
+        return pa.Table.from_pydict(
+            {"vec_id_a": pa.array(a[keep]), "vec_id_b": pa.array(b[keep])}
+        )
+
+
+def load_corpus_matrix(sf_dir_file: str) -> tuple[list[int], list[list[float]]]:
+    """Driver-side load of the broadcast side (ids, vectors)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf_dir_file, columns=["vec_id", "embedding"])
+    return (t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+
+
 # ------------------------------------------------------------------- IVF
 
 

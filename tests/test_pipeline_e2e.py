@@ -66,6 +66,16 @@ def test_e2e_batch_size_invariance(ray_session, expected_by_url, html_bs, pdf_bs
     _check_against_fixtures(rows, expected_by_url)
 
 
+def test_e2e_elephant_routing(ray_session, expected_by_url):
+    """Skew leg: with a tiny elephant threshold every sizable PDF is
+    re-routed through the single-row elephant pool — output must stay
+    byte-identical (SURVEY.md §4.3.2)."""
+    cfg = ExtractConfig(elephant_bytes=2000)
+    ds = build_extract_ds(corpus_files(), cfg)
+    rows = _collect(ds)
+    _check_against_fixtures(rows, expected_by_url)
+
+
 def test_spans_reconstruct_text(ray_session):
     ds = build_extract_ds(corpus_files())
     for batch in ds.iter_batches(batch_size=500, batch_format="pyarrow"):

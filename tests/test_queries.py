@@ -23,6 +23,10 @@ SQL_QUERIES = [
     "user_sessions",
     "pricing_summary",
     "top_customers",
+    "ngram_jaccard_dups",
+    "embedding_near_dups",
+    "latest_orders",
+    "filter_regex",
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
