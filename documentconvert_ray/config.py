@@ -47,8 +47,6 @@ class ExtractConfig:
     # ---- actor pool (PDF leg) ----
     pdf_pool_min: int = 1
     pdf_pool_max: int = 8
-    # separate small pool that finishes oversized PDFs one-per-call
-    elephant_pool_max: int = 2
     # ~8% of rows are PDFs: 128-row mixed batches carry ~10 PDFs each,
     # enough parse work to amortize the per-batch actor call; elephants
     # are split out separately (elephant_bytes)

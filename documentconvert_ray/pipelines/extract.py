@@ -83,19 +83,18 @@ def build_extract_ds(
         memory=512 * 1024 * 1024,
     )
     # Elephant leg (SURVEY.md §4.3.2): oversized PDFs arrive as
-    # single-row blocks from the stage above; this smaller pool
-    # finishes them one document per call, so one giant PDF never
-    # blocks a mixed batch. For payload-free blocks it is a null-check
-    # pass-through. batch_size=None preserves the block granularity
-    # the previous stage chose.
+    # single-row blocks from the stage above, so each giant PDF gets
+    # its own task here and can never stall a mixed batch. This is a
+    # STATELESS TASK stage on purpose: tasks scale elastically with
+    # free CPUs, and for the (overwhelmingly common) payload-free
+    # blocks it is a null-check pass-through — a small dedicated actor
+    # pool here was measured to choke the whole stream (every block
+    # must cross this stage, and generator backpressure then blocked
+    # the upstream PDF actors: 207 s vs ~35 s wall at 8 CPUs).
     ds = ds.map_batches(
-        PdfExtractor,
-        fn_constructor_args=(cfg, True),
+        PdfExtractor(cfg, elephant_leg=True),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, cfg.elephant_pool_max),
-        num_cpus=1,
-        memory=1024 * 1024 * 1024,
     )
     return ds
 

@@ -177,10 +177,10 @@ class PdfExtractor:
     ``cfg.elephant_bytes`` are NOT parsed here — they are yielded as
     their own single-row output blocks so one multi-hundred-page PDF
     can never serialize a whole batch behind it. The elephant leg
-    (``elephant_leg=True``) is a second, smaller actor pool that
-    receives those single-row blocks (batch_size=None preserves block
-    granularity) and finishes them; for every other block it is a
-    null-check pass-through.
+    (``elephant_leg=True``) is a stateless TASK stage that receives
+    those single-row blocks (batch_size=None preserves block
+    granularity) and finishes each in its own elastic task; for every
+    other block it is a null-check pass-through.
     """
 
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
