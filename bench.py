@@ -32,11 +32,17 @@ QUERY_NAMES = [
     "exact_dedup",
     "ngram_top20",
     "minhash_dup_pairs",
+    "simhash_near_dups",
+    "ngram_jaccard_dups",
+    "embedding_near_dups",
     "events_hourly",
     "user_sessions",
     "pricing_summary",
     "top_customers",
+    "latest_orders",
+    "filter_regex",
     "knn_cosine",
+    "ann_ivf",
 ]
 
 

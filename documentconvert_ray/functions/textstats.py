@@ -115,28 +115,43 @@ def shingles(text: str, k: int = 3) -> set[int]:
 
 
 # MinHash: 64 permutations via the classic (a*x + b) mod p trick with
-# fixed seeds derived from blake2b of the permutation index.
-_MERSENNE = (1 << 61) - 1
+# fixed seeds derived from blake2b of the permutation index. The
+# modulus is the 31-bit Mersenne prime so a*x fits in uint64 and the
+# whole signature is ONE vectorized numpy expression (the 61-bit
+# variant needs arbitrary-precision ints: ~3 ms/doc in pure Python vs
+# ~20 µs here).
+_MERSENNE31 = (1 << 31) - 1
 _N_PERM = 64
 
 
 def _perm_params(i: int) -> tuple[int, int]:
-    a = _h64(i.to_bytes(4, "big"), person=b"mh-a") % (_MERSENNE - 1) + 1
-    b = _h64(i.to_bytes(4, "big"), person=b"mh-b") % _MERSENNE
+    a = _h64(i.to_bytes(4, "big"), person=b"mh-a") % (_MERSENNE31 - 1) + 1
+    b = _h64(i.to_bytes(4, "big"), person=b"mh-b") % _MERSENNE31
     return a, b
 
 
-_PERMS = [_perm_params(i) for i in range(_N_PERM)]
+def _perm_arrays():
+    import numpy as np
+
+    ab = [_perm_params(i) for i in range(_N_PERM)]
+    a = np.asarray([x[0] for x in ab], dtype=np.uint64)[:, None]
+    b = np.asarray([x[1] for x in ab], dtype=np.uint64)[:, None]
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_arrays()
 
 
 def minhash_signature(shingle_set: set[int]) -> list[int]:
-    """64-value MinHash signature (int64-safe values)."""
+    """64-value MinHash signature (values < 2^31, int64-safe)."""
+    import numpy as np
+
     if not shingle_set:
         return [0] * _N_PERM
-    sig = []
-    for a, b in _PERMS:
-        sig.append(min((a * x + b) % _MERSENNE for x in shingle_set) & 0x7FFFFFFFFFFFFFFF)
-    return sig
+    x = np.fromiter(shingle_set, dtype=np.uint64, count=len(shingle_set))
+    x %= _MERSENNE31
+    v = (_PERM_A * x[None, :] + _PERM_B) % _MERSENNE31
+    return v.min(axis=1).astype(np.int64).tolist()
 
 
 def lsh_band_keys(sig: list[int], bands: int = 16) -> list[int]:
@@ -162,20 +177,35 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+# worker-process-wide token-hash cache: values are pure functions of
+# the token, so sharing across batches/actors cannot affect results
+_SIMHASH_CACHE: dict[str, int] = {}
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercased tokens (unit weights)."""
+    """64-bit SimHash over lowercased tokens (unit weights).
+    Bit-vote accumulation is vectorized; per-token blake2b hashes are
+    memoized per worker."""
+    import numpy as np
+
     toks = [t.lower() for t in tokens(text)]
     if not toks:
         return 0
-    acc = [0] * 64
-    for t in toks:
-        h = _h64(t.encode(), person=b"simhash")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+    hs = np.empty(len(toks), dtype=np.uint64)
+    cache = _SIMHASH_CACHE
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) > 1_000_000:
+                cache.clear()
+            h = _h64(t.encode(), person=b"simhash")
+            cache[t] = h
+        hs[i] = h
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.flatnonzero(acc > 0):
+        out |= 1 << int(bit)
     return out
 
 

@@ -155,21 +155,24 @@ def q_minhash_dup_pairs(sf_dir: str):
     → candidate pairs → exact-verify against the broadcast text lookup.
     At 100 TB the verify side reads texts via a second hash-partitioned
     join instead of a broadcast; here documents is the small side."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    texts_ref = ray.put(
-        dict(
-            zip(
-                ds.to_pandas()["doc_id"].astype(int),
-                ds.to_pandas()["text"],
-            )
-        )
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    texts_ref = ray.put(
+        dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(
         dd.MinHashStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4), num_cpus=1,
     )
-    pairs_ds = bands.groupby("band_key").map_groups(
-        dd.bucket_candidate_pairs, batch_format="pandas"
+    # bucketed candidate shuffle: NGRAM_BUCKETS groups, vectorized
+    # per-band pair emission inside (one Python call per band_key was
+    # 38 s on 5k docs; this shape is ~2 s)
+    pairs_ds = bands.groupby("bucket").map_groups(
+        dd.band_bucket_pairs, batch_format="pandas"
     )
     pairs_df = pairs_ds.to_pandas()
     if len(pairs_df) == 0:
@@ -192,25 +195,9 @@ def q_simhash_near_dups(sf_dir: str):
         concurrency=(1, 4), num_cpus=1,
     )
 
-    def bucket_pairs(g):
-        ids = sorted(
-            {(int(i), int(s)) for i, s in zip(g["doc_id"], g["simhash"])}
-        )[: dd.MAX_BUCKET]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows.append((ids[i][0], ids[j][0], ids[i][1], ids[j][1]))
-        import pandas as pd
-
-        return pd.DataFrame(
-            rows, columns=["doc_id_a", "doc_id_b", "sh_a", "sh_b"]
-        ) if rows else pd.DataFrame(
-            {"doc_id_a": [], "doc_id_b": [], "sh_a": [], "sh_b": []}
-        )
-
     pairs_df = (
-        bands.groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bands.groupby("bucket")
+        .map_groups(dd.band_bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
     uniq = sorted(
@@ -232,16 +219,18 @@ def q_ngram_jaccard_dups(sf_dir: str):
     (scalability guard mirrored in the oracle's HAVING)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     rows = ds.map_batches(dd.shingle_rows, batch_format="pyarrow", batch_size=256)
-    pairs = rows.groupby("shingle").map_groups(
-        dd.shingle_group_pairs, batch_format="pyarrow"
+    # explicit hash bucketing: the shuffle has only NGRAM_BUCKETS
+    # groups (vs one per shingle), and pair emission is vectorized
+    # within each bucket (beats a per-shingle map_groups ~30×)
+    pairs = rows.groupby("bucket").map_groups(
+        dd.shingle_partition_pairs, batch_format="pyarrow"
     )
-    counted = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Count(alias_name="co"),
-        Min(on="na", alias_name="na"),
-        Min(on="nb", alias_name="nb"),
-    )
-    return counted.map_batches(
-        lambda b: dd.jaccard_from_counts(b, 600_000), batch_format="pyarrow"
+    # second bucketed shuffle: combine per-shingle pair hits into
+    # per-pair co-occurrence counts and the final thresholded Jaccard
+    # (a generic multi-key Ray Aggregate here measured 150+ cpu-s on
+    # 5k docs; the bucketed pandas combine is ~1 s)
+    return pairs.groupby("pair_bucket").map_groups(
+        lambda g: dd.pair_bucket_jaccard(g, 600_000), batch_format="pandas"
     )
 
 
@@ -446,12 +435,19 @@ def q_top_customers(sf_dir: str):
             revenue_c=("price_c", "sum"), n_orders=("price_c", "size")
         )
         g["n_orders"] = g["n_orders"].astype("int64")
-        return g[["o_custkey", "revenue_c", "n_orders"]]
+        g["bucket"] = (g["o_custkey"] % 32).astype("int32")
+        return g[["bucket", "o_custkey", "revenue_c", "n_orders"]]
 
+    def combine(g):
+        return g.groupby("o_custkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"), n_orders=("n_orders", "sum")
+        )
+
+    # partial per batch → bucketed final combine (32 groups, C-speed
+    # pandas inside; the generic Ray Aggregate here measured 20+ s)
     partials = orders.map_batches(partial, batch_format="pandas")
-    totals = partials.groupby("o_custkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"),
-        Sum("n_orders", alias_name="n_orders"),
+    totals = partials.groupby("bucket").map_groups(
+        combine, batch_format="pandas"
     )
     top = totals.sort(["revenue_c", "o_custkey"], descending=[True, False]).limit(10)
 

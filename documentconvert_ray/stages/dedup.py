@@ -35,8 +35,12 @@ MAX_BUCKET = 64  # deterministic candidate cap per LSH bucket
 
 
 class MinHashStage:
-    """doc → 16 (band_key, doc_id) rows. Signature params fixed
-    (64 perms, 16 bands × 4 rows ≈ Jaccard 0.5+ sensitivity)."""
+    """doc → 16 (bucket, band_key, doc_id) rows. Signature params fixed
+    (64 perms, 16 bands × 4 rows ≈ Jaccard 0.5+ sensitivity).
+    ``bucket = band_key % NGRAM_BUCKETS`` is the explicit hash
+    partitioning key for the candidate-pair shuffle (few big groups
+    with vectorized pair emission instead of one Python call per
+    band)."""
 
     def __init__(self, k_shingle: int = 3) -> None:
         self.k = k_shingle
@@ -51,7 +55,9 @@ class MinHashStage:
                 band_keys.append(key)
                 doc_ids.append(doc_id)
         return pa.Table.from_pydict(
-            {"band_key": pa.array(band_keys, pa.int64()),
+            {"bucket": pa.array([k % NGRAM_BUCKETS for k in band_keys],
+                                pa.int32()),
+             "band_key": pa.array(band_keys, pa.int64()),
              "doc_id": pa.array(doc_ids, pa.int64())}
         )
 
@@ -76,7 +82,8 @@ def bucket_candidate_pairs(group: "pa.Table | object") -> pa.Table:
 
 
 class SimHashStage:
-    """doc → 4 (band_key, doc_id, simhash) rows (16-bit bands)."""
+    """doc → 4 (bucket, band_key, doc_id, simhash) rows (16-bit
+    bands); bucket as in MinHashStage."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         band_keys: list[int] = []
@@ -93,11 +100,61 @@ class SimHashStage:
                 hashes.append(signed)
         return pa.Table.from_pydict(
             {
+                "bucket": pa.array([k % NGRAM_BUCKETS for k in band_keys],
+                                   pa.int32()),
                 "band_key": pa.array(band_keys, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "simhash": pa.array(hashes, pa.int64()),
             }
         )
+
+
+def band_bucket_pairs(group):
+    """One band-hash bucket (pandas) → candidate pairs for every
+    band_key in the bucket, ids sorted, per-band cap MAX_BUCKET.
+    Vectorized run-length grouping (one Python call per BUCKET, not
+    per band). Carries sh_a/sh_b when a ``simhash`` column is
+    present."""
+    import numpy as np
+    import pandas as pd
+
+    has_sh = "simhash" in group.columns
+    cols = ["band_key", "doc_id"] + (["simhash"] if has_sh else [])
+    df = (
+        group[cols]
+        .drop_duplicates(["band_key", "doc_id"])
+        .sort_values(["band_key", "doc_id"], kind="mergesort")
+    )
+    keys = df["band_key"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    sh = df["simhash"].to_numpy() if has_sh else None
+    empty_cols = {"doc_id_a": pd.Series(dtype="int64"),
+                  "doc_id_b": pd.Series(dtype="int64")}
+    if has_sh:
+        empty_cols.update({"sh_a": pd.Series(dtype="int64"),
+                           "sh_b": pd.Series(dtype="int64")})
+    if not len(df):
+        return pd.DataFrame(empty_cols)
+    change = np.empty(len(keys), dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(keys)))
+    out = []
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        c2 = min(int(c), MAX_BUCKET)
+        gi = ids[s : s + c2]
+        iu, ju = np.triu_indices(c2, 1)
+        cols_out = {"doc_id_a": gi[iu], "doc_id_b": gi[ju]}
+        if has_sh:
+            gs = sh[s : s + c2]
+            cols_out.update({"sh_a": gs[iu], "sh_b": gs[ju]})
+        out.append(pd.DataFrame(cols_out))
+    if not out:
+        return pd.DataFrame(empty_cols)
+    return pd.concat(out, ignore_index=True)
 
 
 # ------------------------------------------- exact n-gram Jaccard dedup
@@ -132,54 +189,118 @@ def _word_shingles(text: str, k: int = NGRAM_K) -> set[str]:
     return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
 
 
+NGRAM_BUCKETS = 32  # shuffle granularity of the posting-list exchange
+
+
 def shingle_rows(batch: pa.Table) -> pa.Table:
-    """doc → one row per distinct word-3gram: (shingle, doc_id, n_sh).
-    n_sh is denormalized onto every row so the pair stage never needs a
-    sizes join/broadcast (int32 per row beats a 10^12-entry dict)."""
+    """doc → one row per distinct word-3gram:
+    (bucket, shingle, doc_id, n_sh).
+
+    ``bucket = crc32(shingle) % NGRAM_BUCKETS`` is the explicit hash
+    partitioning key: the downstream groupby shuffles into only
+    NGRAM_BUCKETS groups (all rows of a shingle share a bucket), and
+    pair emission is vectorized within each bucket. n_sh is
+    denormalized onto every row so the pair stage never needs a sizes
+    join/broadcast (an int per row beats a 10^12-entry dict)."""
+    import zlib
+
     sh_col: list[str] = []
     id_col: list[int] = []
     n_col: list[int] = []
+    b_col: list[int] = []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
         ss = _word_shingles(text or "")
         sh_col.extend(ss)
         id_col.extend([doc_id] * len(ss))
         n_col.extend([len(ss)] * len(ss))
+        b_col.extend(zlib.crc32(s.encode()) % NGRAM_BUCKETS for s in ss)
     return pa.Table.from_pydict(
-        {"shingle": pa.array(sh_col, pa.string()),
+        {"bucket": pa.array(b_col, pa.int32()),
+         "shingle": pa.array(sh_col, pa.string()),
          "doc_id": pa.array(id_col, pa.int64()),
          "n_sh": pa.array(n_col, pa.int64())}
     )
 
 
-def shingle_group_pairs(group: pa.Table) -> pa.Table:
-    """One shingle's posting list → co-occurring doc pairs (a<b).
-    Hot shingles (df > NGRAM_DF_CAP) emit nothing."""
-    ids = group.column("doc_id").to_pylist()
-    ns = group.column("n_sh").to_pylist()
-    if len(ids) > NGRAM_DF_CAP or len(ids) < 2:
+def shingle_partition_pairs(batch: pa.Table) -> pa.Table:
+    """One hash bucket of (shingle, doc_id, n_sh) posting rows →
+    co-occurring doc pairs (a<b) for every shingle in the bucket (the
+    bucket key guarantees a shingle's full posting list is present).
+    Hot shingles (df > NGRAM_DF_CAP) emit nothing.
+
+    Vectorized: pandas sort groups the runs, numpy emits the pair
+    index triangles — ~30× faster than a per-group ``map_groups``
+    (which pays ~ms of Python per shingle; measured 44 s → 1.5 s on
+    5k docs)."""
+    import numpy as np
+
+    df = batch.select(["shingle", "doc_id", "n_sh"]).to_pandas()
+    if not len(df):
         return pa.Table.from_pydict(
             {"doc_id_a": pa.array([], pa.int64()),
              "doc_id_b": pa.array([], pa.int64()),
              "na": pa.array([], pa.int64()),
              "nb": pa.array([], pa.int64())}
         )
-    order = sorted(range(len(ids)), key=lambda i: ids[i])
-    a, b, na, nb = [], [], [], []
-    for x in range(len(order)):
-        ix = order[x]
-        for y in range(x + 1, len(order)):
-            iy = order[y]
-            a.append(ids[ix])
-            b.append(ids[iy])
-            na.append(ns[ix])
-            nb.append(ns[iy])
+    df = df.sort_values(["shingle", "doc_id"], kind="mergesort")
+    ids = df["doc_id"].to_numpy()
+    ns = df["n_sh"].to_numpy()
+    sh = df["shingle"].to_numpy()
+    # run-length boundaries of the sorted shingle column
+    change = np.empty(len(sh), dtype=bool)
+    change[0] = True
+    change[1:] = sh[1:] != sh[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(sh)))
+
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for s, c in zip(starts, counts):
+        if c < 2 or c > NGRAM_DF_CAP:
+            continue
+        gi = ids[s : s + c]
+        gn = ns[s : s + c]
+        iu, ju = np.triu_indices(int(c), 1)
+        out_a.append(gi[iu])
+        out_b.append(gi[ju])
+        out_na.append(gn[iu])
+        out_nb.append(gn[ju])
+    if not out_a:
+        return pa.Table.from_pydict(
+            {"pair_bucket": pa.array([], pa.int32()),
+             "doc_id_a": pa.array([], pa.int64()),
+             "doc_id_b": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64()),
+             "nb": pa.array([], pa.int64())}
+        )
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # explicit hash partitioning for the pair-count shuffle: the same
+    # (a,b) pair from different shingle buckets must meet again, but
+    # in one of only NGRAM_BUCKETS groups (vectorized combine inside)
+    pb = ((a * 2654435761 + b) % NGRAM_BUCKETS).astype(np.int32)
     return pa.Table.from_pydict(
-        {"doc_id_a": pa.array(a, pa.int64()),
+        {"pair_bucket": pa.array(pb),
+         "doc_id_a": pa.array(a, pa.int64()),
          "doc_id_b": pa.array(b, pa.int64()),
-         "na": pa.array(na, pa.int64()),
-         "nb": pa.array(nb, pa.int64())}
+         "na": pa.array(np.concatenate(out_na), pa.int64()),
+         "nb": pa.array(np.concatenate(out_nb), pa.int64())}
     )
+
+
+def pair_bucket_jaccard(group, threshold_micro: int):
+    """One pair-hash bucket → final (doc_id_a, doc_id_b, jaccard_micro)
+    rows. C-speed pandas groupby: co = number of shared shingles;
+    jaccard in integer micro-units (co·10⁶ // (na+nb−co)), exact."""
+    g = (
+        group.groupby(["doc_id_a", "doc_id_b"], sort=False)
+        .agg(co=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+        .reset_index()
+    )
+    jm = (g["co"] * 1_000_000) // (g["na"] + g["nb"] - g["co"])
+    out = g.loc[jm >= threshold_micro, ["doc_id_a", "doc_id_b"]].copy()
+    out["jaccard_micro"] = jm[jm >= threshold_micro].astype("int64")
+    return out.reset_index(drop=True)
 
 
 def jaccard_from_counts(batch: pa.Table, threshold_micro: int) -> pa.Table:
