@@ -207,6 +207,7 @@ def run_extract_job(
     *,
     resume: bool = True,
     pdf_concurrency: tuple[int, int] | None = None,
+    stats_sink=None,
 ) -> dict:
     """Run (or resume) the extraction job; returns global metrics.
 
@@ -233,6 +234,8 @@ def run_extract_job(
             ShardWriter(out_dir), batch_format="pyarrow", batch_size=None
         )
         partials = stats_ds.to_pandas()  # tiny: one row per (block, shard)
+        if stats_sink is not None:
+            stats_sink(stats_ds.stats())
 
         folded: dict[int, dict] = {}
         for r in partials.itertuples(index=False):

@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--corpus-rows", type=int, default=None)
+    # per-stage execution stats to stderr (SURVEY.md §2.5 A4: the
+    # reference's queue-depth snapshot becomes ds.stats())
+    ap.add_argument("--stats", action="store_true")
     args = ap.parse_args(argv)
 
     import ray
@@ -53,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.monotonic()
         metrics = run_extract_job(
-            args.input, args.output, resume=not args.no_resume
+            args.input, args.output, resume=not args.no_resume,
+            stats_sink=(lambda s: print(s, file=sys.stderr))
+            if args.stats else None,
         )
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
         if metrics["wall_sec"] > 0:

@@ -1,0 +1,83 @@
+"""Property tests (hypothesis): total functions, determinism, span
+invariants — randomized depth behind the fixture suite (SURVEY.md
+§5.2.2). No Ray needed: the extraction core is pure."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from documentconvert_ray.config import DEFAULT_CONFIG
+from documentconvert_ray.functions.decode import decode_bytes
+from documentconvert_ray.functions.html_extract import extract_html
+from documentconvert_ray.functions.pdf_extract import extract_pdf
+from documentconvert_ray.functions.textstats import (
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from documentconvert_ray.stages.extract import sniff_doc_type
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_decode_total_and_deterministic(raw):
+    """decode_bytes never raises and is a pure function of its input."""
+    t1, e1 = decode_bytes(raw)
+    t2, e2 = decode_bytes(raw)
+    assert (t1, e1) == (t2, e2)
+    assert isinstance(t1, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_sniff_total(raw):
+    assert sniff_doc_type(raw) in ("html", "pdf", "other")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_html_extract_total_and_span_invariants(raw):
+    """extract_html never raises on arbitrary bytes; spans are sorted,
+    non-overlapping, in-bounds, and tile the output exactly."""
+    res = extract_html(raw, DEFAULT_CONFIG)
+    assert isinstance(res.text_md, str)
+    prev_end = -2
+    for s in res.spans:
+        assert 0 <= s["start"] < s["end"] <= len(res.text_md)
+        assert s["start"] > prev_end
+        prev_end = s["end"]
+    if res.spans:
+        assert res.spans[0]["start"] == 0
+        assert res.spans[-1]["end"] == len(res.text_md)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pdf_extract_total(raw):
+    """extract_pdf never raises — malformed bytes become error results
+    (M12 semantics: failures are rows, not exceptions)."""
+    res = extract_pdf(b"%PDF-1.4\n" + raw, DEFAULT_CONFIG)
+    assert isinstance(res.text_md, str)
+    assert res.ok or res.error_kind
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_fingerprints_deterministic(text):
+    assert simhash64(text) == simhash64(text)
+    sig = minhash_signature(shingles(text))
+    assert sig == minhash_signature(shingles(text))
+    assert len(sig) == 64
+    assert all(0 <= v < (1 << 31) for v in sig)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=1, max_size=300), st.text(min_size=1, max_size=300))
+def test_minhash_similarity_monotone_identity(a, b):
+    """Identical texts agree on every signature slot; the signature is
+    a function of the shingle set only."""
+    assert minhash_signature(shingles(a)) == minhash_signature(shingles(a + ""))
+    sa, sb = shingles(a), shingles(b)
+    if sa == sb:
+        assert minhash_signature(sa) == minhash_signature(sb)
