@@ -200,6 +200,43 @@ def _stats_partials(batch: pa.Table, shard_id: int) -> pa.Table:
     )
 
 
+def dedup_input_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Input-hygiene exact url-dedup (SURVEY.md §2.7 — not in the
+    reference; off the hot path by design): keep ONE row per url,
+    deterministically — the earliest ``warc_ts``, ties broken by
+    ``crc32(html)`` then payload bytes, so the winner is independent
+    of row order, batch size, and partition count.
+
+    Shuffle shape: explicit crc32(url)-bucketed groupby (64 groups)
+    with a C-speed pandas winner-select inside each bucket, the same
+    idiom as the dedup stages. Run as a PREP pass that writes a
+    deduped corpus copy; the shard-resumable extract job then runs on
+    stable input (cross-shard dedup inside the job would break
+    per-shard manifest independence)."""
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return batch.append_column(
+            "_url_bucket",
+            pa.array([zlib.crc32(u.encode()) % 64 for u in urls], pa.int32()),
+        )
+
+    def winners(df):
+        df = df.copy()
+        df["_tie"] = [zlib.crc32(p or b"") for p in df["html"]]
+        df = df.sort_values(
+            ["url", "warc_ts", "_tie", "html"], kind="mergesort"
+        ).drop_duplicates("url", keep="first")
+        return df.drop(columns=["_url_bucket", "_tie"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_url_bucket")
+        .map_groups(winners, batch_format="pandas")
+    )
+
+
 def run_extract_job(
     input_path: str | list[str],
     out_dir: str,

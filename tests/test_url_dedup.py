@@ -1,0 +1,54 @@
+"""Input url-dedup prep pass: deterministic winner per url regardless
+of row order / partitioning (SURVEY.md §2.7)."""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from documentconvert_ray.pipelines.extract import dedup_input_urls
+from documentconvert_ray.sources.corpus import CORPUS_SCHEMA
+
+
+def _corpus_with_dups():
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        url = f"https://ex.example/{i % 10}"  # each url appears 4×
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts + datetime.timedelta(seconds=i % 7),
+                "html": f"<html><p>v{i}</p></html>".encode(),
+                "text": "",
+                "lang": "en",
+            }
+        )
+    return rows
+
+
+@pytest.mark.parametrize("shuffle_seed,blocks", [(None, 2), (3, 8), (11, 1)])
+def test_winner_is_order_and_partition_independent(
+    ray_session, shuffle_seed, blocks
+):
+    import ray.data
+
+    rows = _corpus_with_dups()
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    ).repartition(blocks)
+    if shuffle_seed is not None:
+        ds = ds.random_shuffle(seed=shuffle_seed)
+    out = dedup_input_urls(ds).to_pandas().sort_values("url")
+    assert len(out) == 10
+    # winner = min (warc_ts, crc32(html), html) per url — recompute
+    # naively and compare
+    import zlib
+
+    expected = {}
+    for r in rows:
+        key = (r["warc_ts"], zlib.crc32(r["html"]), r["html"])
+        if r["url"] not in expected or key < expected[r["url"]][0]:
+            expected[r["url"]] = (key, r["html"])
+    got = dict(zip(out["url"], out["html"]))
+    assert got == {u: h for u, (_, h) in expected.items()}
