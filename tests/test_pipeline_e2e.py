@@ -66,6 +66,21 @@ def test_e2e_batch_size_invariance(ray_session, expected_by_url, html_bs, pdf_bs
     _check_against_fixtures(rows, expected_by_url)
 
 
+def test_part_column_is_url_hash(ray_session):
+    """Every output row's `part` equals crc32(url) % num_partitions —
+    the deterministic placement key (SURVEY.md §4.3.1)."""
+    import zlib
+
+    from documentconvert_ray.config import DEFAULT_CONFIG
+
+    ds = build_extract_ds(corpus_files())
+    for batch in ds.iter_batches(batch_size=500, batch_format="pyarrow"):
+        urls = batch.column("url").to_pylist()
+        parts = batch.column("part").to_pylist()
+        for u, p in zip(urls, parts):
+            assert p == zlib.crc32(u.encode()) % DEFAULT_CONFIG.num_partitions
+
+
 def test_e2e_elephant_routing(ray_session, expected_by_url):
     """Skew leg: with a tiny elephant threshold every sizable PDF is
     re-routed through the single-row elephant pool — output must stay
