@@ -134,7 +134,8 @@ def q_ngram_top20(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID (n-gram/stopword voting) — non-SQL op."""
+    """Heuristic language ID (CJK ratio + marker-word voting); the
+    DuckDB oracle is generated from the same marker tables."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         tx.LangIdStage, batch_format="pyarrow", batch_size=256,
@@ -616,6 +617,60 @@ def queries() -> dict:
 
 _STOP_SQL = "('the','a','and','of','to')"
 
+
+def _lang_id_sql() -> str:
+    """Build the lang_id oracle from the SAME marker tables the Python
+    heuristic uses (functions/textstats._LANG_MARKERS) — one source of
+    truth; tie-break = first language in ascending name order with the
+    max score, exactly the Python scan order."""
+    from ..functions.textstats import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+
+    def markers(lang: str) -> str:
+        return "(" + ",".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + ")"
+
+    scores = ",\n               ".join(
+        f"len(list_filter(toks, t -> t IN {markers(l)})) AS s_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ",".join(f"s_{l}" for l in langs) + ")"
+    pick = ("CASE "
+            + " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs)
+            + " END")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_transform(
+                   list_filter(
+                     string_split_regex(lower(substr(text,1,4000)), '\\s+'),
+                     x -> x <> ''),
+                   x -> trim(x, '.,!?;:()[]"''')) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, text, len(toks) AS n_toks,
+               {scores}
+          FROM t
+        ),
+        cjk AS (
+          SELECT doc_id,
+                 length(regexp_replace(substr(text,1,2000),
+                        '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk,
+                 least(length(text), 2000) AS n_head
+          FROM documents
+        )
+        SELECT s.doc_id AS doc_id,
+               CASE
+                 WHEN length(s.text) = 0 THEN ''
+                 WHEN cjk.n_cjk * 10 >= cjk.n_head THEN 'zh'
+                 WHEN s.n_toks = 0 OR {best} = 0 THEN ''
+                 WHEN {best} * 50 < s.n_toks THEN ''
+                 ELSE {pick}
+               END AS lang_pred
+        FROM s JOIN cjk USING (doc_id)
+    """
+
 ORACLES: dict[str, str] = {
     "doc_stats_by_lang": """
         SELECT lang,
@@ -729,6 +784,7 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 5
     """,
+    "lang_id": _lang_id_sql(),
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,

@@ -27,6 +27,7 @@ SQL_QUERIES = [
     "embedding_near_dups",
     "latest_orders",
     "filter_regex",
+    "lang_id",
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
@@ -75,7 +76,7 @@ def test_rows_only_queries_run(registry, ray_session):
     from check_oracles import to_pandas
 
     qs, oracles = registry
-    for name in ["lang_id", "doc_fingerprints", "extract_error_stats"]:
+    for name in ["doc_fingerprints", "extract_error_stats"]:
         df = to_pandas(qs[name](SF_DIR))
         assert len(df) > 0, name
 
