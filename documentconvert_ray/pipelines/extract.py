@@ -252,6 +252,13 @@ def run_extract_job(
     import json as _json
 
     files = expand_input_files(input_path)
+    if files == [input_path] and not os.path.exists(input_path):
+        raise FileNotFoundError(f"no input parquet at {input_path}")
+    if not any(os.path.exists(f) for f in files):
+        # empty input dir/glob: a valid no-op run, not a crash
+        return {"rows": 0, "ok": 0, "errors": 0, "out_md_bytes": 0,
+                "by_error_kind": {}, "shards": 0,
+                "resumed_shards": 0, "processed_shards": 0}
     shards = mf.shard_map(files)
     fp = cfg.fingerprint()
 

@@ -145,6 +145,32 @@ def test_job_resume_partial_manifest(ray_session, expected_by_url, tmp_path):
     assert m3["processed_shards"] == len(corpus_files())
 
 
+def test_empty_input_is_noop_and_missing_raises(ray_session, tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    m = run_extract_job(str(empty), str(tmp_path / "out"))
+    assert m["rows"] == 0 and m["processed_shards"] == 0
+    with pytest.raises(FileNotFoundError):
+        run_extract_job(str(tmp_path / "nope"), str(tmp_path / "out2"))
+
+
+def test_resume_across_parallelism_change(ray_session, tmp_path):
+    """Execution sizing (pool/batch) is not part of the manifest
+    fingerprint: a rerun at different parallelism resumes cleanly."""
+    out_dir = str(tmp_path / "out")
+    m1 = run_extract_job(
+        CORPUS_DIR, out_dir,
+        ExtractConfig(pdf_pool_min=1, pdf_pool_max=1, pdf_batch_size=4),
+    )
+    m2 = run_extract_job(
+        CORPUS_DIR, out_dir,
+        ExtractConfig(pdf_pool_min=2, pdf_pool_max=4, pdf_batch_size=64),
+    )
+    assert m2["processed_shards"] == 0
+    assert m2["resumed_shards"] == m1["processed_shards"]
+    assert m2["rows"] == m1["rows"]
+
+
 def test_row_order_independence(ray_session, expected_by_url):
     """Extraction is per-row pure: shuffling input rows changes nothing."""
     import ray.data
