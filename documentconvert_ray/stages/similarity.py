@@ -69,8 +69,6 @@ def global_topk(group, k: int = 5):
     """Final per-query reduction: (query_id) group → top-k with rank.
 
     Deterministic tie-break: (-sim, neighbor_id)."""
-    import pandas as pd
-
     g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
     g = g.reset_index(drop=True)
     g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
