@@ -145,6 +145,34 @@ def test_job_resume_partial_manifest(ray_session, expected_by_url, tmp_path):
     assert m3["processed_shards"] == len(corpus_files())
 
 
+def test_shard_writer_retry_idempotent(ray_session, tmp_path):
+    """A retried write task replaces its own file (content-derived
+    name), never duplicates rows — the write-side exactly-once claim."""
+    import pyarrow as pa
+
+    from documentconvert_ray.pipelines.extract import ShardWriter
+    from documentconvert_ray.stages.extract import OUTPUT_SCHEMA
+
+    batch = pa.Table.from_pylist(
+        [
+            {f.name: {"url": "https://a/1", "warc_ts": 0, "lang": "en",
+                      "doc_type": "html", "ok": True, "error_kind": "",
+                      "error": "", "text_md": "x", "spans": [],
+                      "text_sha256": "s", "n_bytes": 1, "n_md_bytes": 1,
+                      "part": 0}.get(f.name)
+             for f in OUTPUT_SCHEMA}
+        ],
+        schema=OUTPUT_SCHEMA,
+    ).append_column("shard", pa.array([3], pa.int32()))
+    w = ShardWriter(str(tmp_path / "out"))
+    w(batch)
+    w(batch)  # simulated Ray task retry
+    files = glob.glob(str(tmp_path / "out" / "data" / "shard=3" / "*.parquet"))
+    assert len(files) == 1
+    t = pads.dataset(files[0]).to_table()
+    assert t.num_rows == 1
+
+
 def test_empty_input_is_noop_and_missing_raises(ray_session, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()

@@ -95,6 +95,18 @@ def test_ann_ivf_recall_vs_brute_force(registry, ray_session):
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
 
 
+def test_simhash_pairs_deterministic(registry, ray_session):
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    a = to_pandas(qs["simhash_near_dups"](SF_DIR))
+    b = to_pandas(qs["simhash_near_dups"](SF_DIR))
+    assert a.sort_values(list(a.columns)).reset_index(drop=True).equals(
+        b.sort_values(list(b.columns)).reset_index(drop=True)
+    )
+    assert (a["hamming"] <= 3).all() if len(a) else True
+
+
 def test_minhash_pairs_deterministic(registry, ray_session):
     from check_oracles import to_pandas
 
