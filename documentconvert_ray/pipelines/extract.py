@@ -107,8 +107,18 @@ class ShardWriter:
     re-scan measured ~3× the core pipeline time at 32 CPUs).
 
     Idempotent under Ray task retries: the output filename is a pure
-    function of the batch content (first url + row count), so a retried
-    task atomically replaces its own file, never duplicates rows.
+    function of the batch content — an XOR-fold of sha256(url ||
+    text_sha256) over every row of the slice, so two DISTINCT blocks
+    can never share a name (a retried task atomically replaces its own
+    file, never duplicates rows, and equal-first-url/equal-row-count
+    blocks cannot silently overwrite each other).
+
+    Durability ordering: the data tmp file is fsynced before the
+    rename, and the shard directory is fsynced after it, so a shard's
+    data is on disk BEFORE its manifest (write_manifest fsyncs the
+    manifest) — a crash can leave an orphan data file (cleaned by
+    clean_partial_shards) but never a manifest that points at
+    lost data.
     """
 
     def __init__(self, out_dir: str) -> None:
@@ -131,14 +141,24 @@ class ShardWriter:
             sub = data.filter(mask)
             d = mf.shard_data_dir(self.out_dir, sid)
             os.makedirs(d, exist_ok=True)
-            first_url = sub.column("url")[0].as_py()
-            stem = _h.sha1(
-                f"{first_url}\x00{sub.num_rows}".encode()
-            ).hexdigest()[:16]
+            digest = 0
+            for u, s in zip(sub.column("url").to_pylist(),
+                            sub.column("text_sha256").to_pylist()):
+                digest ^= int(
+                    _h.sha256(f"{u}\x00{s}".encode()).hexdigest(), 16
+                )
+            stem = f"{digest:064x}"[:16]
             final = os.path.join(d, f"part-{stem}.parquet")
             tmp = final + f".tmp-{os.getpid()}"
             _pq.write_table(sub, tmp)
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
             os.replace(tmp, final)
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             out_parts.append(_stats_partials(sub, sid))
         return pa.concat_tables(out_parts)
 

@@ -24,7 +24,6 @@ import pyarrow as pa
 
 from ..functions.textstats import (
     hamming64,
-    jaccard,
     lsh_band_keys,
     minhash_signature,
     shingles,
@@ -341,8 +340,12 @@ def verify_jaccard_pairs(
 
     out_a, out_b, out_j = [], [], []
     for a, b in pairs:
-        j = jaccard(sh(a), sh(b))
-        jm = int(j * 1_000_000)
+        sa, sb = sh(a), sh(b)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        # integer micro-units directly on set sizes (no float rounding;
+        # SURVEY.md §7.4 — matches the oracle-checked co*10⁶ // union)
+        jm = (inter * 1_000_000) // union if union else 0
         if jm >= threshold_micro:
             out_a.append(a)
             out_b.append(b)

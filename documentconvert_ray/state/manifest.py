@@ -73,17 +73,29 @@ def read_manifest(out_dir: str, shard: int) -> dict | None:
 
 def completed_shards(out_dir: str, shards: dict[str, int],
                      config_fingerprint: str) -> set[int]:
-    """Shards whose manifest exists and matches (input file, config)."""
+    """Shards whose manifest exists and matches (input file, config).
+
+    The manifest alone is not trusted: a shard with rows > 0 must also
+    still have its data directory with at least one parquet file —
+    otherwise (data lost/deleted while the manifest survived) the shard
+    is reprocessed instead of silently reported complete."""
+    import glob as _glob
+
     done: set[int] = set()
     for path, sid in shards.items():
         m = read_manifest(out_dir, sid)
         if (
-            m is not None
-            and m.get("input_file") == path
-            and m.get("config_fingerprint") == config_fingerprint
-            and m.get("engine_version") == ENGINE_VERSION
+            m is None
+            or m.get("input_file") != path
+            or m.get("config_fingerprint") != config_fingerprint
+            or m.get("engine_version") != ENGINE_VERSION
         ):
-            done.add(sid)
+            continue
+        if m.get("rows", 0) > 0 and not _glob.glob(
+            os.path.join(shard_data_dir(out_dir, sid), "*.parquet")
+        ):
+            continue  # manifest without data → reprocess
+        done.add(sid)
     return done
 
 
