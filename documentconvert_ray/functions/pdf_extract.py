@@ -255,6 +255,7 @@ class _PdfDoc:
         self.raw = raw
         self.objects: dict[int, tuple[int, int]] = {}  # num -> (body_start, body_end)
         self._cache: dict[int, object] = {}
+        self._objstm_loaded = False
         for m in _OBJ_RE.finditer(raw):
             num = int(m.group(1))
             end = raw.find(b"endobj", m.end())
@@ -274,10 +275,50 @@ class _PdfDoc:
             return self._cache[num]
         span = self.objects.get(num)
         if span is None:
-            return None
+            # not a top-level object: it may live inside a /ObjStm
+            # object stream (PDF 1.5+ compressed-object layout)
+            self._load_objstms()
+            return self._cache.get(num)
         obj = _Lexer(self.raw, span[0]).parse()
         self._cache[num] = obj
         return obj
+
+    def _load_objstms(self) -> None:
+        """Decode every /Type /ObjStm stream once and register its
+        embedded objects (PDF 1.5 compressed objects). Top-level
+        definitions win; within/between streams, first definition wins
+        (document order) — deterministic."""
+        if self._objstm_loaded:
+            return
+        self._objstm_loaded = True
+        hits = []
+        for m in re.finditer(rb"/Type\s*/ObjStm\b", self.raw):
+            for num, (s, e) in self.objects.items():
+                if s <= m.start() < e:
+                    hits.append((s, num))
+                    break
+        for _s, num in sorted(hits):
+            try:
+                lex = _Lexer(self.raw, self.objects[num][0])
+                sdict = lex.parse()
+                n = self.resolve(sdict.get("N"))
+                first = self.resolve(sdict.get("First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                data = self.get_stream(num)
+                header = data[:first].split()
+                for i in range(min(n, len(header) // 2)):
+                    onum = int(header[2 * i])
+                    ooff = int(header[2 * i + 1])
+                    if onum in self.objects or onum in self._cache:
+                        continue
+                    self._cache[onum] = _Lexer(data, first + ooff).parse()
+            except (PdfError, ValueError):
+                continue  # a broken stream loses its objects, not the doc
+
+    def _all_object_nums(self) -> list[int]:
+        self._load_objstms()
+        return sorted(set(self.objects) | set(self._cache))
 
     def get_stream(self, num: int) -> bytes:
         """Decoded stream bytes for object `num`."""
@@ -313,6 +354,16 @@ class _PdfDoc:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError("truncated_pdf", f"flate error: {e}") from e
+            elif f == "ASCIIHexDecode":
+                hexs = re.sub(rb"\s+", b"", data.split(b">", 1)[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                try:
+                    data = bytes.fromhex(hexs.decode("ascii"))
+                except (ValueError, UnicodeDecodeError) as e:
+                    raise PdfError(
+                        "pdf_parse_error", f"bad ASCIIHex data: {e}"
+                    ) from e
             elif f is None:
                 pass
             else:
@@ -334,8 +385,10 @@ class _PdfDoc:
             except PdfError:
                 continue
         if root is None:
-            # some writers put /Root in an XRef stream dict; scan objects
-            for num in sorted(self.objects):
+            # xref-stream PDFs have no `trailer` keyword (/Root lives
+            # in the /Type /XRef stream dict); scan every object —
+            # including /ObjStm-embedded ones — for the catalog
+            for num in self._all_object_nums():
                 obj = self.get_object(num)
                 if isinstance(obj, dict) and obj.get("Type") == "Catalog":
                     root = obj
@@ -345,7 +398,7 @@ class _PdfDoc:
             pages_obj = self.resolve(root.get("Pages"))
             self._walk_pages(pages_obj, out, depth=0)
         if not out:
-            for num in sorted(self.objects):
+            for num in self._all_object_nums():
                 obj = self.get_object(num)
                 if isinstance(obj, dict) and obj.get("Type") == "Page":
                     out.append(obj)
@@ -770,6 +823,11 @@ from .html_extract import ExtractResult  # same result shape for both legs
 def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
     """bytes → (text_md, spans) for a PDF payload. Never raises."""
     try:
+        # spec-mandated trailer: a payload without %%EOF is truncated.
+        # Checked up front so every truncation classifies the same way
+        # (deterministic error_kind regardless of where the cut lands).
+        if not raw.rstrip(b" \t\r\n\x00").endswith(b"%%EOF"):
+            raise PdfError("truncated_pdf", "missing %%EOF trailer")
         doc = _PdfDoc(raw)
         pages = doc.pages()
         blocks: list[Block] = []

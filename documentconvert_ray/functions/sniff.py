@@ -17,7 +17,14 @@ _HTML_HINT_RE = re.compile(
 
 DOC_HTML = "html"
 DOC_PDF = "pdf"
+DOC_OFFICE = "office"
 DOC_OTHER = "other"
+
+# OLE2 compound-file magic (legacy .doc/.xls/.ppt)
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+# OOXML = a zip whose head names an office part
+_ZIP_MAGIC = b"PK\x03\x04"
+_OOXML_HINTS = (b"[Content_Types].xml", b"word/", b"xl/", b"ppt/")
 
 
 def sniff_doc_type(raw: bytes) -> str:
@@ -25,15 +32,26 @@ def sniff_doc_type(raw: bytes) -> str:
 
     1. ``%PDF-`` magic within the first 1024 bytes (real-world PDFs may
        carry a preamble) → pdf;
-    2. an HTML tag hint within the first 4096 bytes (case-insensitive,
+    2. OLE2 compound-file magic at offset 0, or a zip whose first 4 KiB
+       names an OOXML part → office (classified so the error row says
+       "office_unsupported" instead of generic "unsupported" — the
+       reference's office leg, services/document_service.py:128-185,
+       needs LibreOffice which this environment lacks);
+    3. an HTML tag hint within the first 4096 bytes (case-insensitive,
        after optional BOM/whitespace) → html;
-    3. otherwise → other.
+    4. otherwise → other.
     """
     if not raw:
         return DOC_OTHER
     head = raw[:1024]
     if head.startswith(b"%PDF-") or b"%PDF-" in head:
         return DOC_PDF
+    if raw.startswith(_OLE2_MAGIC):
+        return DOC_OFFICE
+    if raw.startswith(_ZIP_MAGIC) and any(
+        h in raw[:4096] for h in _OOXML_HINTS
+    ):
+        return DOC_OFFICE
     if _HTML_HINT_RE.search(raw[:4096]):
         return DOC_HTML
     return DOC_OTHER

@@ -84,13 +84,19 @@ def _conc(max_cap: int | None = None) -> tuple[int, int]:
 
 
 def q_extract_pipeline(sf_dir: str):
-    """Flagship: synth corpus → full extraction; returns result sans
-    heavy text columns (rows-only check; byte-level equality is the
-    pytest fixture suite's job)."""
+    """Flagship: synth corpus → full extraction. Returns the
+    SQL-checkable projection: the corpus generator embeds the payload
+    KIND in each url, so a DuckDB oracle over the raw corpus parquet
+    independently derives doc_type (sniffer vs ground truth), ok /
+    error_kind (html always extracts; a pdf extracts iff its %%EOF
+    trailer survives — verified exhaustively in sources/corpus tests;
+    office/junk classify as errors) and n_bytes. Byte-level equality
+    of text_md itself is the pytest fixture suite's job
+    (tests/test_pipeline_e2e.py)."""
     files = expand_input_files(_corpus_dir())
     ds = build_extract_ds(files, DEFAULT_CONFIG)
     return ds.select_columns(
-        ["url", "doc_type", "ok", "error_kind", "text_sha256", "n_bytes", "part"]
+        ["url", "doc_type", "ok", "error_kind", "n_bytes"]
     )
 
 
@@ -904,5 +910,53 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _extract_oracle_cte() -> str:
+    """Shared CTE for the flagship oracles: derives doc_type / ok /
+    error_kind / n_bytes INDEPENDENTLY from the raw corpus parquet —
+    kind from the generator's url path (ground truth by construction),
+    pdf success from the %%EOF trailer bytes (hex-compare of the last
+    6 payload bytes; the Python side's upfront truncation check makes
+    this exact — equivalence verified over 5k docs incl. every
+    adversarial variant in tests/test_pdf_extract.py)."""
+    glob = os.path.join(_corpus_dir(), "*.parquet")
+    return f"""
+        WITH src AS (
+          SELECT url,
+                 regexp_extract(url, '/(html|pdf|office|junk)/', 1) AS kind,
+                 octet_length(html) AS nb,
+                 (octet_length(html) >= 6 AND
+                  substr(hex(html), octet_length(html)*2 - 11, 12)
+                    = '2525454F460A') AS has_eof
+          FROM read_parquet('{glob}')
+        ),
+        derived AS (
+          SELECT url,
+                 CASE WHEN kind = 'junk' THEN 'other' ELSE kind END
+                     AS doc_type,
+                 CASE WHEN kind = 'html' THEN TRUE
+                      WHEN kind = 'pdf' THEN has_eof
+                      ELSE FALSE END AS ok,
+                 CASE WHEN kind = 'html' THEN ''
+                      WHEN kind = 'pdf' AND has_eof THEN ''
+                      WHEN kind = 'pdf' THEN 'truncated_pdf'
+                      WHEN kind = 'office' THEN 'office_unsupported'
+                      ELSE 'unsupported' END AS error_kind,
+                 CAST(nb AS BIGINT) AS n_bytes
+          FROM src
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # built lazily: the CTE embeds the (engine-versioned) corpus path
+    # and materializes the corpus if needed
+    cte = _extract_oracle_cte()
+    out["extract_pipeline"] = (
+        cte + "SELECT url, doc_type, ok, error_kind, n_bytes FROM derived"
+    )
+    out["extract_error_stats"] = (
+        cte + """SELECT doc_type, ok, error_kind, count(*) AS n_docs
+                 FROM derived GROUP BY 1, 2, 3"""
+    )
+    return out

@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions.html_extract import extract_html
 from ..functions.pdf_extract import extract_pdf
-from ..functions.sniff import DOC_HTML, DOC_PDF, sniff_doc_type
+from ..functions.sniff import DOC_HTML, DOC_OFFICE, DOC_PDF, sniff_doc_type
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -126,6 +126,16 @@ class SniffAndExtractHtml:
                 cols["text_sha256"][i] = _sha256(res.text_md)
             elif dt == DOC_PDF:
                 pdf_payloads[i] = raw  # finished by the actor stage
+            elif dt == DOC_OFFICE:
+                # reference M2 leg (office → PDF → markdown) requires
+                # LibreOffice, absent in this environment: classified
+                # error row instead of generic "unsupported"
+                cols["ok"][i] = False
+                cols["error_kind"][i] = "office_unsupported"
+                cols["error"][i] = (
+                    "office document (OLE2/OOXML): no converter available"
+                )
+                cols["text_sha256"][i] = _sha256("")
             else:
                 cols["ok"][i] = False
                 cols["error_kind"][i] = "unsupported"

@@ -157,3 +157,93 @@ def test_empty_page_ok():
     pdf = build_pdf("")
     res = extract_pdf(pdf)
     assert res.ok and res.text_md == ""
+
+
+# ------------------------- round-2 profile widening (VERDICT r1 #5)
+
+
+def test_missing_eof_is_truncated():
+    pdf = build_pdf("BT /F1 10 Tf 72 700 Td (x) Tj ET")
+    assert extract_pdf(pdf).ok
+    cut = pdf[: pdf.rindex(b"%%EOF")]
+    res = extract_pdf(cut)
+    assert not res.ok and res.error_kind == "truncated_pdf"
+
+
+def test_asciihex_filter():
+    import binascii
+
+    content = b"BT /F1 10 Tf 72 700 Td (hex encoded text) Tj ET"
+    data = binascii.hexlify(content) + b">"
+    pdf = build_pdf("")  # template; splice a hex content stream in
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + data + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "hex encoded text" in res.text_md
+
+
+def _build_objstm_pdf(content: bytes) -> bytes:
+    """Page dict + font inside a /ObjStm; xref STREAM, no trailer."""
+    page = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    header = b"3 0 5 " + str(len(page) + 1).encode()
+    stm = header + b"\n" + page + b"\n" + font
+    z = zlib.compress(stm)
+    first = len(header) + 1
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        6: (b"<< /Type /ObjStm /N 2 /First " + str(first).encode()
+            + b" /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(bodies):
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    xr = zlib.compress(b"\x00" * 28)
+    pos = len(out)
+    out += (b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+            b"/Filter /FlateDecode /Length " + str(len(xr)).encode()
+            + b" >>\nstream\n" + xr + b"\nendstream\nendobj\n")
+    out += b"startxref\n" + str(pos).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+def test_objstm_and_xref_stream():
+    pdf = _build_objstm_pdf(b"BT /F1 10 Tf 72 700 Td (from objstm) Tj ET")
+    res = extract_pdf(pdf)
+    assert res.ok, (res.error_kind, res.error)
+    assert "from objstm" in res.text_md
+
+
+def test_corpus_flagship_oracle_equivalence():
+    """The DuckDB flagship oracle's derivation (kind from url, pdf ok
+    from %%EOF) must equal actual extraction for EVERY generated doc —
+    the invariant the CORRECTNESS gate rests on."""
+    import re
+
+    from documentconvert_ray.config import DEFAULT_CONFIG
+    from documentconvert_ray.functions.html_extract import extract_html
+    from documentconvert_ray.functions.sniff import sniff_doc_type
+    from documentconvert_ray.sources.corpus import doc_row
+
+    for i in range(0, 1200):
+        row = doc_row(i)
+        kind = re.search(r"/(html|pdf|office|junk)/", row["url"]).group(1)
+        raw = row["html"]
+        dt = sniff_doc_type(raw)
+        assert dt == {"junk": "other"}.get(kind, kind), (i, kind, dt)
+        if dt == "html":
+            res = extract_html(raw, DEFAULT_CONFIG)
+            assert res.ok and res.error_kind == "", i
+        elif dt == "pdf":
+            res = extract_pdf(raw, DEFAULT_CONFIG)
+            exp_ok = raw.endswith(b"%%EOF\n")
+            assert res.ok == exp_ok, (i, res.error_kind, res.error)
+            assert res.error_kind == ("" if exp_ok else "truncated_pdf"), i

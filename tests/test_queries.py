@@ -14,6 +14,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 SQL_QUERIES = [
+    "extract_pipeline",
+    "extract_error_stats",
     "doc_stats_by_lang",
     "token_counts",
     "quality_scores",
@@ -76,7 +78,7 @@ def test_rows_only_queries_run(registry, ray_session):
     from check_oracles import to_pandas
 
     qs, oracles = registry
-    for name in ["doc_fingerprints", "extract_error_stats"]:
+    for name in ["doc_fingerprints"]:
         df = to_pandas(qs[name](SF_DIR))
         assert len(df) > 0, name
 

@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from documentconvert_ray.config import DEFAULT_CONFIG
 from documentconvert_ray.functions.html_extract import extract_html
 from documentconvert_ray.functions.pdf_extract import extract_pdf
-from documentconvert_ray.functions.sniff import DOC_HTML, DOC_PDF, sniff_doc_type
+from documentconvert_ray.functions.sniff import (
+    DOC_HTML,
+    DOC_OFFICE,
+    DOC_PDF,
+    sniff_doc_type,
+)
 from documentconvert_ray.sources.corpus import write_corpus
 from documentconvert_ray.stages.extract import SPAN_TYPE
 
@@ -45,6 +50,11 @@ def main() -> None:
                 res = extract_html(payload, DEFAULT_CONFIG)
             elif dt == DOC_PDF:
                 res = extract_pdf(payload, DEFAULT_CONFIG)
+            elif dt == DOC_OFFICE:
+                from documentconvert_ray.functions.html_extract import ExtractResult
+                res = ExtractResult(
+                    False, "", [], "office_unsupported",
+                    "office document (OLE2/OOXML): no converter available")
             else:
                 from documentconvert_ray.functions.html_extract import ExtractResult
                 res = ExtractResult(False, "", [], "unsupported",
