@@ -34,10 +34,34 @@ from ..state import manifest as mf
 
 
 def expand_input_files(input_path: str | list[str]) -> list[str]:
-    """Deterministic sorted list of parquet files for a path/dir/glob."""
+    """Deterministic sorted list of parquet files for a path/dir/glob.
+
+    URI inputs (s3://, file:// — any pyarrow.fs scheme) are listed
+    through the fs layer (reference S1-S3 semantics,
+    s3_download_service.py:102-209) and returned as full URIs, which
+    ``ray.data.read_parquet`` consumes natively."""
     if isinstance(input_path, list):
-        files = list(input_path)
-    elif os.path.isdir(input_path):
+        files: list[str] = []
+        for p in input_path:
+            files.extend(expand_input_files(p))
+        return sorted(set(files))
+    if mf.is_uri(input_path):
+        import pyarrow.fs as pafs
+
+        fs, p = mf.fs_for(input_path)
+        scheme = input_path.split("://", 1)[0]
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.File:
+            return [input_path]
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+        except (OSError, FileNotFoundError):
+            return []
+        return sorted(
+            f"{scheme}://{i.path}" for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        )
+    if os.path.isdir(input_path):
         files = glob.glob(os.path.join(input_path, "**", "*.parquet"),
                           recursive=True)
     else:
@@ -54,8 +78,24 @@ def build_extract_ds(
     pdf_concurrency: tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Lazy Dataset of extraction results (OUTPUT_SCHEMA [+ shard])."""
+    if shard_of_path:
+        # include_paths reports the fs-local path (no scheme); key the
+        # shard map under both spellings so URI inputs resolve
+        norm = dict(shard_of_path)
+        for p, s in list(shard_of_path.items()):
+            if mf.is_uri(p):
+                norm[p.split("://", 1)[1]] = s
+                norm["/" + p.split("://", 1)[1]] = s
+        shard_of_path = norm
+    filesystem = None
+    read_paths = input_files
+    if input_files and mf.is_uri(input_files[0]):
+        # resolve the scheme once and hand Ray the fs + fs-local paths
+        filesystem, _ = mf.fs_for(input_files[0])
+        read_paths = [mf.fs_for(p)[1] for p in input_files]
     ds = ray.data.read_parquet(
-        input_files,
+        read_paths,
+        filesystem=filesystem,
         columns=["url", "warc_ts", "html", "lang"],  # prune: `text` unused
         include_paths=include_shard,
     )
@@ -140,7 +180,6 @@ class ShardWriter:
             mask = pa.array([s == sid for s in shard_col])
             sub = data.filter(mask)
             d = mf.shard_data_dir(self.out_dir, sid)
-            os.makedirs(d, exist_ok=True)
             digest = 0
             for u, s in zip(sub.column("url").to_pylist(),
                             sub.column("text_sha256").to_pylist()):
@@ -149,16 +188,23 @@ class ShardWriter:
                 )
             stem = f"{digest:064x}"[:16]
             final = os.path.join(d, f"part-{stem}.parquet")
-            tmp = final + f".tmp-{os.getpid()}"
-            _pq.write_table(sub, tmp)
-            with open(tmp, "rb") as f:
-                os.fsync(f.fileno())
-            os.replace(tmp, final)
-            dfd = os.open(d, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
+            if mf.is_uri(self.out_dir):
+                # object stores: per-object atomic PUT, no rename/fsync
+                fs, p = mf.fs_for(final)
+                fs.create_dir(mf.fs_for(d)[1], recursive=True)
+                _pq.write_table(sub, p, filesystem=fs)
+            else:
+                os.makedirs(d, exist_ok=True)
+                tmp = final + f".tmp-{os.getpid()}"
+                _pq.write_table(sub, tmp)
+                with open(tmp, "rb") as f:
+                    os.fsync(f.fileno())
+                os.replace(tmp, final)
+                dfd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
             out_parts.append(_stats_partials(sub, sid))
         return pa.concat_tables(out_parts)
 
@@ -220,41 +266,162 @@ def _stats_partials(batch: pa.Table, shard_id: int) -> pa.Table:
     )
 
 
-def dedup_input_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _url_projection(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Pass-1 projection for the url-dedup: ONLY (bucket, url, ts_us,
+    crc, sha) — payload bytes never enter the shuffle."""
+    import hashlib
+    import zlib
+
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    return pa.Table.from_pydict(
+        {"bucket": pa.array(
+            [zlib.crc32(u.encode()) % n_buckets for u in urls], pa.int32()),
+         "url": batch.column("url"),
+         "ts_us": batch.column("warc_ts").cast(pa.int64()),
+         "crc": pa.array([zlib.crc32(p or b"") for p in payloads], pa.int64()),
+         "sha": pa.array([hashlib.sha256(p or b"").hexdigest()
+                          for p in payloads], pa.string())}
+    )
+
+
+def _bucket_dup_winners(g):
+    """One url-hash bucket of projection rows → one row per DUPLICATED
+    url: its winner key (min (ts_us, crc, sha)) and the winner key's
+    multiplicity (k_winner > 1 ⟺ byte-identical rows tie)."""
+    import pandas as pd
+
+    g = g.sort_values(["url", "ts_us", "crc", "sha"], kind="mergesort")
+    sizes = g.groupby("url")["url"].transform("size")
+    dups = g[sizes > 1]
+    if dups.empty:
+        return pd.DataFrame(
+            {"url": pd.Series(dtype="object"),
+             "ts_us": pd.Series(dtype="int64"),
+             "crc": pd.Series(dtype="int64"),
+             "sha": pd.Series(dtype="object"),
+             "k_winner": pd.Series(dtype="int64")})
+    win = dups.drop_duplicates("url", keep="first")[
+        ["url", "ts_us", "crc", "sha"]]
+    k = (
+        dups.merge(win, on=["url", "ts_us", "crc", "sha"], how="inner")
+        .groupby("url").size()
+    )
+    win = win.assign(k_winner=win["url"].map(k).astype("int64"))
+    return win.reset_index(drop=True)
+
+
+def dedup_input_urls(ds: ray.data.Dataset,
+                     n_buckets: int | None = None) -> ray.data.Dataset:
     """Input-hygiene exact url-dedup (SURVEY.md §2.7 — not in the
     reference; off the hot path by design): keep ONE row per url,
     deterministically — the earliest ``warc_ts``, ties broken by
-    ``crc32(html)`` then payload bytes, so the winner is independent
+    ``crc32(html)`` then ``sha256(html)``, so the winner is independent
     of row order, batch size, and partition count.
 
-    Shuffle shape: explicit crc32(url)-bucketed groupby (64 groups)
-    with a C-speed pandas winner-select inside each bucket, the same
-    idiom as the dedup stages. Run as a PREP pass that writes a
-    deduped corpus copy; the shard-resumable extract job then runs on
-    stable input (cross-shard dedup inside the job would break
-    per-shard manifest independence)."""
+    Scale shape (VERDICT r1 #4 — payload bytes never shuffle):
+
+    1. projection pass: only (url, ts_us, crc, sha) rows enter a
+       size-derived url-hash-bucketed groupby; each bucket emits the
+       winner key per DUPLICATED url (tiny: O(dup urls));
+    2. the dup-winner table is the broadcast small side (its size is
+       bounded by the duplication rate, not the corpus — input-hygiene
+       assumption; a corpus that is mostly duplicates would use a
+       url-bucketed full shuffle instead);
+    3. streaming filter pass: rows of unique urls pass through
+       untouched, rows of duplicated urls pass iff they match their
+       url's winner key;
+    4. only when a winner key is byte-identical across ≥2 rows
+       (k_winner > 1: same url+ts+payload) does a second tiny scan
+       route JUST those urls' rows through a bucketed pick-one groupby
+       — the only place payload rows can shuffle, and only for that
+       degenerate slice.
+
+    Run as a PREP pass that writes a deduped corpus copy; the
+    shard-resumable extract job then runs on stable input (cross-shard
+    dedup inside the job would break per-shard manifest
+    independence)."""
     import zlib
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        return batch.append_column(
-            "_url_bucket",
-            pa.array([zlib.crc32(u.encode()) % 64 for u in urls], pa.int32()),
-        )
+    from ..stages.dedup import derive_buckets
 
-    def winners(df):
-        df = df.copy()
-        df["_tie"] = [zlib.crc32(p or b"") for p in df["html"]]
-        df = df.sort_values(
-            ["url", "warc_ts", "_tie", "html"], kind="mergesort"
-        ).drop_duplicates("url", keep="first")
-        return df.drop(columns=["_url_bucket", "_tie"])
+    if n_buckets is None:
+        n_buckets = derive_buckets(ds.count())
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_url_bucket")
-        .map_groups(winners, batch_format="pandas")
+    proj = ds.map_batches(
+        lambda b: _url_projection(b, n_buckets),
+        batch_format="pyarrow", batch_size=None,
     )
+    winners = (
+        proj.groupby("bucket")
+        .map_groups(_bucket_dup_winners, batch_format="pandas")
+        .to_pandas()  # small side: one row per duplicated url
+    )
+    dup_key = {
+        u: (int(t), int(c), s)
+        for u, t, c, s in zip(winners["url"], winners["ts_us"],
+                              winners["crc"], winners["sha"])
+    }
+    needs_pick = frozenset(
+        winners.loc[winners["k_winner"] > 1, "url"]
+    )
+    dup_ref = ray.put((dup_key, needs_pick))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        dups, picks = ray.get(dup_ref)
+        urls = batch.column("url").to_pylist()
+        mask = [True] * len(urls)
+        ts = None
+        payloads = None
+        for i, u in enumerate(urls):
+            key = dups.get(u)
+            if key is None:
+                continue
+            if u in picks:
+                mask[i] = False  # handled by the pick pass
+                continue
+            if ts is None:
+                ts = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+                payloads = batch.column("html").to_pylist()
+            p = payloads[i] or b""
+            row_key = (ts[i], zlib.crc32(p),
+                       hashlib.sha256(p).hexdigest())
+            mask[i] = row_key == key
+        return batch.filter(pa.array(mask))
+
+    main = ds.map_batches(keep_winners, batch_format="pyarrow",
+                          batch_size=None)
+    if not needs_pick:
+        return main
+
+    def only_picks(batch: pa.Table) -> pa.Table:
+        _dups, picks = ray.get(dup_ref)
+        urls = batch.column("url").to_pylist()
+        sub = batch.filter(pa.array([u in picks for u in urls]))
+        return sub.append_column(
+            "_b", pa.array(
+                [zlib.crc32(u.encode()) % n_buckets
+                 for u in sub.column("url").to_pylist()], pa.int32()))
+
+    def pick_one(df):
+        import hashlib
+
+        df = df.copy()
+        df["_crc"] = [zlib.crc32(p or b"") for p in df["html"]]
+        df["_sha"] = [hashlib.sha256(p or b"").hexdigest()
+                      for p in df["html"]]
+        df = df.sort_values(["url", "warc_ts", "_crc", "_sha"],
+                            kind="mergesort").drop_duplicates("url")
+        return df.drop(columns=["_b", "_crc", "_sha"])
+
+    picked = (
+        ds.map_batches(only_picks, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(pick_one, batch_format="pandas")
+    )
+    return main.union(picked)
 
 
 def run_extract_job(
@@ -271,14 +438,18 @@ def run_extract_job(
     Requires an initialized Ray session (owned by the caller)."""
     import json as _json
 
+    _EMPTY = {"rows": 0, "ok": 0, "errors": 0, "out_md_bytes": 0,
+              "by_error_kind": {}, "shards": 0,
+              "resumed_shards": 0, "processed_shards": 0}
     files = expand_input_files(input_path)
-    if files == [input_path] and not os.path.exists(input_path):
-        raise FileNotFoundError(f"no input parquet at {input_path}")
-    if not any(os.path.exists(f) for f in files):
-        # empty input dir/glob: a valid no-op run, not a crash
-        return {"rows": 0, "ok": 0, "errors": 0, "out_md_bytes": 0,
-                "by_error_kind": {}, "shards": 0,
-                "resumed_shards": 0, "processed_shards": 0}
+    if isinstance(input_path, str) and not mf.is_uri(input_path):
+        if files == [input_path] and not os.path.exists(input_path):
+            raise FileNotFoundError(f"no input parquet at {input_path}")
+        if not any(os.path.exists(f) for f in files):
+            # empty input dir/glob: a valid no-op run, not a crash
+            return dict(_EMPTY)
+    elif not files:
+        return dict(_EMPTY)
     shards = mf.shard_map(files)
     fp = cfg.fingerprint()
 

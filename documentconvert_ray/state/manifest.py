@@ -36,6 +36,22 @@ MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 
 
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a path or URI — the
+    reference reads/writes S3 via boto3 (s3_download_service.py:102-209,
+    s3_upload_service.py); here any pyarrow.fs scheme (s3://, file://,
+    …) works uniformly for inputs, shard output and manifests."""
+    import pyarrow.fs as pafs
+
+    if is_uri(path):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def shard_map(input_files: list[str]) -> dict[str, int]:
     """Stable input-file → shard-id assignment (sorted order rank)."""
     return {p: i for i, p in enumerate(sorted(input_files))}
@@ -50,11 +66,20 @@ def shard_data_dir(out_dir: str, shard: int) -> str:
 
 
 def write_manifest(out_dir: str, shard: int, payload: dict) -> None:
-    """Atomic write: tmp file + rename (SURVEY.md §7.4 resume rule)."""
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    """Atomic write. Local: tmp file + fsync + rename (SURVEY.md §7.4
+    resume rule). URI outputs (e.g. s3://): one direct object write —
+    object stores give per-object atomic PUT, which is the same
+    all-or-nothing guarantee the rename provides locally."""
     path = manifest_path(out_dir, shard)
-    tmp = path + ".tmp"
     payload = dict(payload, engine_version=ENGINE_VERSION, shard=shard)
+    if is_uri(out_dir):
+        fs, p = fs_for(path)
+        fs.create_dir(os.path.dirname(p), recursive=True)
+        with fs.open_output_stream(p) as f:
+            f.write(json.dumps(payload, sort_keys=True).encode())
+        return
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, sort_keys=True)
         f.flush()
@@ -64,6 +89,13 @@ def write_manifest(out_dir: str, shard: int, payload: dict) -> None:
 
 def read_manifest(out_dir: str, shard: int) -> dict | None:
     path = manifest_path(out_dir, shard)
+    if is_uri(out_dir):
+        fs, p = fs_for(path)
+        try:
+            with fs.open_input_stream(p) as f:
+                return json.loads(f.read().decode())
+        except (OSError, json.JSONDecodeError):
+            return None
     try:
         with open(path) as f:
             return json.load(f)
@@ -79,8 +111,6 @@ def completed_shards(out_dir: str, shards: dict[str, int],
     still have its data directory with at least one parquet file —
     otherwise (data lost/deleted while the manifest survived) the shard
     is reprocessed instead of silently reported complete."""
-    import glob as _glob
-
     done: set[int] = set()
     for path, sid in shards.items():
         m = read_manifest(out_dir, sid)
@@ -91,12 +121,26 @@ def completed_shards(out_dir: str, shards: dict[str, int],
             or m.get("engine_version") != ENGINE_VERSION
         ):
             continue
-        if m.get("rows", 0) > 0 and not _glob.glob(
-            os.path.join(shard_data_dir(out_dir, sid), "*.parquet")
-        ):
+        if m.get("rows", 0) > 0 and not _shard_has_data(out_dir, sid):
             continue  # manifest without data → reprocess
         done.add(sid)
     return done
+
+
+def _shard_has_data(out_dir: str, sid: int) -> bool:
+    import glob as _glob
+
+    d = shard_data_dir(out_dir, sid)
+    if is_uri(out_dir):
+        import pyarrow.fs as pafs
+
+        fs, p = fs_for(d)
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+        except (OSError, FileNotFoundError):
+            return False
+        return any(i.path.endswith(".parquet") for i in infos)
+    return bool(_glob.glob(os.path.join(d, "*.parquet")))
 
 
 def clean_partial_shards(out_dir: str, shards_to_run: set[int]) -> None:
@@ -104,6 +148,13 @@ def clean_partial_shards(out_dir: str, shards_to_run: set[int]) -> None:
     output from a crashed run (the redo-from-pending analogue)."""
     for sid in shards_to_run:
         d = shard_data_dir(out_dir, sid)
+        if is_uri(out_dir):
+            fs, p = fs_for(d)
+            try:
+                fs.delete_dir(p)
+            except (OSError, FileNotFoundError):
+                pass
+            continue
         if os.path.isdir(d):
             shutil.rmtree(d)
 

@@ -52,3 +52,43 @@ def test_winner_is_order_and_partition_independent(
             expected[r["url"]] = (key, r["html"])
     got = dict(zip(out["url"], out["html"]))
     assert got == {u: h for u, (_, h) in expected.items()}
+
+
+def test_projection_excludes_payload():
+    """Pass-1 shuffle schema must never include payload columns."""
+    import pyarrow as pa_
+
+    from documentconvert_ray.pipelines.extract import _url_projection
+
+    t = pa_.Table.from_pylist(_corpus_with_dups(), schema=CORPUS_SCHEMA)
+    out = _url_projection(t, 16)
+    assert set(out.column_names) == {"bucket", "url", "ts_us", "crc", "sha"}
+
+
+def test_exact_identical_rows_keep_one(ray_session):
+    """Byte-identical (url, ts, payload) rows across partitions →
+    exactly one survives (the k_winner>1 pick pass)."""
+    import pyarrow as pa_
+    import ray.data
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):
+        rows.append(
+            {"url": f"https://ex.example/{i % 3}",  # 3 urls, 4 identical rows
+             "warc_ts": ts,
+             "html": f"<html><p>same {i % 3}</p></html>".encode(),
+             "text": "", "lang": "en"}
+        )
+    rows.append(
+        {"url": "https://ex.example/unique", "warc_ts": ts,
+         "html": b"<html><p>u</p></html>", "text": "", "lang": "en"}
+    )
+    ds = ray.data.from_arrow(
+        pa_.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    ).repartition(6)
+    out = dedup_input_urls(ds).to_pandas()
+    assert len(out) == 4
+    assert sorted(out["url"]) == [
+        "https://ex.example/0", "https://ex.example/1",
+        "https://ex.example/2", "https://ex.example/unique"]
