@@ -310,6 +310,34 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_embedding_near_dups_ivf(sf_dir: str):
+    """The 100 TB path for embedding near-dup: IVF multi-probe
+    bucketing (each vector lands in its nprobe=3 nearest-centroid
+    buckets) → per-bucket O(B²) cosine sweep → bucketed pair dedup.
+    Nothing is broadcast but the centroid matrix; per-bucket work is
+    bounded by the centroid count scaling with N. Approximate (pairs
+    can straddle all probed buckets) → no SQL oracle; recall vs the
+    exact q_embedding_near_dups is asserted in tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = ds.count()
+    n_cents = max(8, min(4096, n_vecs // 512))
+    cents = sim.train_centroids(ds, n_centroids=n_cents, iters=3)
+    cref = ray.put(cents)
+    n_pb = dd.derive_buckets(n_vecs, rows_per_doc=4, floor=16)
+    assigned = ds.map_batches(
+        sim.IvfMultiAssign, fn_constructor_args=(cref, 3),
+        batch_format="pyarrow", batch_size=512,
+        concurrency=_conc(), num_cpus=1,
+    )
+    pairs = assigned.groupby("bucket").map_groups(
+        lambda g: sim.bucket_cosine_pairs(g, 0.4, n_pb),
+        batch_format="pandas",
+    )
+    return pairs.groupby("pair_bucket").map_groups(
+        sim.dedup_vec_pairs, batch_format="pandas"
+    )
+
+
 def q_latest_orders(sf_dir: str):
     """Sort/limit (SURVEY.md §2.6 O1: ORDER BY ts DESC + LIMIT):
     100 most recent orders, deterministic (o_orderdate DESC,
@@ -674,6 +702,7 @@ def queries() -> dict:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "latest_orders": q_latest_orders,
         "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,

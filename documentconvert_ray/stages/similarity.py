@@ -234,3 +234,66 @@ class IvfTopKPartial(CosineTopKPartial):
                 "sim": pa.array(out_s, pa.float64()),
             }
         )
+
+
+class IvfMultiAssign:
+    """vec → nprobe (bucket, vec_id, embedding) rows — multi-probe
+    duplication so near-dup pairs that straddle a centroid boundary
+    still meet in SOME shared bucket. The scale path for the pairwise
+    sweep: per-bucket O(B²) matmuls instead of O(N²) against a
+    whole-corpus broadcast."""
+
+    def __init__(self, cents_ref, nprobe: int = 2) -> None:
+        self.cents = (ray.get(cents_ref)
+                      if not isinstance(cents_ref, np.ndarray) else cents_ref)
+        self.nprobe = nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = normalize(_mat(batch.column("embedding")))
+        sims = m @ self.cents.T  # (n, k)
+        k = min(self.nprobe, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # (n, k)
+        out_b = top.reshape(-1).astype(np.int32)
+        out_v = np.repeat(vids, k)
+        out_m = np.repeat(m, k, axis=0)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(out_b),
+             "vec_id": pa.array(out_v),
+             "embedding": pa.array(list(out_m), pa.list_(pa.float64()))})
+
+
+def bucket_cosine_pairs(group, tau: float, n_pair_buckets: int):
+    """One IVF bucket → (pair_bucket, vec_id_a, vec_id_b) for every
+    in-bucket pair with cosine ≥ tau (vectors arrive normalized)."""
+    import pandas as pd
+
+    vids = group["vec_id"].to_numpy(dtype=np.int64)
+    if len(vids) < 2:
+        return pd.DataFrame(
+            {"pair_bucket": pd.Series(dtype="int32"),
+             "vec_id_a": pd.Series(dtype="int64"),
+             "vec_id_b": pd.Series(dtype="int64")})
+    mat = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in group["embedding"]])
+    sims = mat @ mat.T
+    iu, ju = np.nonzero(np.triu(sims >= tau, k=1))
+    a = np.minimum(vids[iu], vids[ju])
+    b = np.maximum(vids[iu], vids[ju])
+    keep = a < b  # a == b when a vector met its own probe duplicate
+    a, b = a[keep], b[keep]
+    pb = ((a * 2654435761 + b) % n_pair_buckets).astype(np.int32)
+    return pd.DataFrame(
+        {"pair_bucket": pd.Series(pb, dtype="int32"),
+         "vec_id_a": pd.Series(a, dtype="int64"),
+         "vec_id_b": pd.Series(b, dtype="int64")})
+
+
+def dedup_vec_pairs(group):
+    """Pair-bucket group → each (a, b) once (probes overlap)."""
+    return (
+        group.sort_values(["vec_id_a", "vec_id_b"], kind="mergesort")
+        .drop_duplicates(["vec_id_a", "vec_id_b"])
+        .drop(columns=["pair_bucket"])
+        .reset_index(drop=True)
+    )

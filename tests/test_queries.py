@@ -97,6 +97,21 @@ def test_ann_ivf_recall_vs_brute_force(registry, ray_session):
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
 
 
+def test_embedding_near_dups_ivf_recall(registry, ray_session):
+    """IVF multi-probe near-dup is approximate; require recall ≥ 0.9
+    vs the exact broadcast sweep and NO false positives (every emitted
+    pair is cosine-verified in its bucket)."""
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    exact = to_pandas(qs["embedding_near_dups"](SF_DIR))
+    approx = to_pandas(qs["embedding_near_dups_ivf"](SF_DIR))
+    e = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    a = set(zip(approx["vec_id_a"], approx["vec_id_b"]))
+    assert len(a - e) == 0, "false positives"
+    assert len(e & a) / len(e) >= 0.9
+
+
 def test_simhash_pairs_deterministic(registry, ray_session):
     from check_oracles import to_pandas
 
