@@ -69,17 +69,6 @@ def _cents_col(series) -> "np.ndarray":
     return np.floor(np.asarray(series, dtype=np.float64) * 100 + 0.5).astype(np.int64)
 
 
-def _conc(max_cap: int | None = None) -> tuple[int, int]:
-    """Actor-pool sizing derived from the cluster (never a hard-coded
-    cap — VERDICT r1 flagged the fixed ``(1, 4)`` caps as idling 28 of 32
-    CPUs). Autoscaling (1, n_cpus) pools: Ray only grows a pool while
-    the stage is the bottleneck, so a generous max costs nothing on
-    small inputs but lets big scans use the whole cluster."""
-    n = int(ray.cluster_resources().get("CPU", 4))
-    hi = max(2, n if max_cap is None else min(n, max_cap))
-    return (1, hi)
-
-
 # ------------------------------------------------------- extraction queries
 
 
@@ -155,8 +144,7 @@ def q_lang_id(sf_dir: str):
     DuckDB oracle is generated from the same marker tables."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        tx.LangIdStage, batch_format="pyarrow", batch_size=256,
-        concurrency=_conc(), num_cpus=1,
+        tx.LangIdStage(), batch_format="pyarrow", batch_size=256,
     )
 
 
@@ -184,9 +172,8 @@ def q_minhash_dup_pairs(sf_dir: str):
     n_docs = ds.count()  # parquet metadata, no scan
     n_band_buckets = dd.derive_buckets(n_docs, rows_per_doc=16)
     bands = ds.map_batches(
-        dd.MinHashStage, fn_constructor_kwargs={"n_buckets": n_band_buckets},
+        dd.MinHashStage(n_buckets=n_band_buckets),
         batch_format="pyarrow", batch_size=256,
-        concurrency=_conc(), num_cpus=1,
     )
     # bucketed candidate shuffle: size-derived group count, vectorized
     # per-band pair emission inside (one Python call per band_key was
@@ -222,9 +209,8 @@ def q_minhash_dup_pairs(sf_dir: str):
     n_jb = dd.derive_buckets(len(cand_ids), rows_per_doc=1,
                              target=25_000, floor=8)
     sets = ds.map_batches(
-        dd.ShingleSetStage, fn_constructor_args=(cand_ref, n_jb),
+        dd.ShingleSetStage(cand_ref, n_jb),
         batch_format="pyarrow", batch_size=256,
-        concurrency=_conc(), num_cpus=1,
     )
     reqs = pairs_u.map_batches(
         lambda b: dd.pair_fetch_requests(b, n_jb), batch_format="pyarrow"
@@ -248,9 +234,8 @@ def q_simhash_near_dups(sf_dir: str):
     nb = dd.derive_buckets(n_docs, rows_per_doc=4)
     npb = dd.derive_buckets(n_docs, rows_per_doc=2, floor=16)
     bands = ds.map_batches(
-        dd.SimHashStage, fn_constructor_kwargs={"n_buckets": nb},
+        dd.SimHashStage(n_buckets=nb),
         batch_format="pyarrow", batch_size=256,
-        concurrency=_conc(), num_cpus=1,
     )
     verified = (
         bands.groupby("bucket")
@@ -301,12 +286,9 @@ def q_embedding_near_dups(sf_dir: str):
     cref = ray.put(sim.load_corpus_matrix(path))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(
-        sim.CosinePairsPartial,
-        fn_constructor_args=(cref, 0.4),
+        sim.CosinePairsPartial(cref, 0.4),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=_conc(),
-        num_cpus=1,
     )
 
 
@@ -325,9 +307,8 @@ def q_embedding_near_dups_ivf(sf_dir: str):
     cref = ray.put(cents)
     n_pb = dd.derive_buckets(n_vecs, rows_per_doc=4, floor=16)
     assigned = ds.map_batches(
-        sim.IvfMultiAssign, fn_constructor_args=(cref, 3),
+        sim.IvfMultiAssign(cref, 3),
         batch_format="pyarrow", batch_size=512,
-        concurrency=_conc(), num_cpus=1,
     )
     pairs = assigned.groupby("bucket").map_groups(
         lambda g: sim.bucket_cosine_pairs(g, 0.4, n_pb),
@@ -601,12 +582,9 @@ def q_knn_cosine(sf_dir: str):
     qref = ray.put(_query_vectors(sf_dir))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     partials = ds.map_batches(
-        sim.CosineTopKPartial,
-        fn_constructor_args=(qref, KNN_K),
+        sim.CosineTopKPartial(qref, KNN_K),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=_conc(),
-        num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.global_topk(g, KNN_K), batch_format="pandas"
@@ -630,16 +608,12 @@ def q_ann_ivf(sf_dir: str):
     pref = ray.put(probes)
     qref = ray.put(qvecs)
     assigned = ds.map_batches(
-        sim.IvfAssign, fn_constructor_args=(cref,), batch_format="pyarrow",
-        batch_size=512, concurrency=_conc(), num_cpus=1,
+        sim.IvfAssign(cref), batch_format="pyarrow", batch_size=512,
     )
     partials = assigned.map_batches(
-        sim.IvfTopKPartial,
-        fn_constructor_args=(qref, pref, KNN_K),
+        sim.IvfTopKPartial(qref, pref, KNN_K),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=_conc(),
-        num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.global_topk(g, KNN_K), batch_format="pandas"
@@ -663,8 +637,7 @@ def q_multimodal_decode(sf_dir: str):
 
     ds = ds.map_batches(to_payload, batch_format="pyarrow")
     return ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", batch_size=128,
-        concurrency=_conc(), num_cpus=1,
+        ImageDecodeStage(), batch_format="pyarrow", batch_size=128,
     )
 
 
@@ -680,8 +653,7 @@ def q_frame_sample(sf_dir: str):
 
     ds = ds.map_batches(to_payload, batch_format="pyarrow")
     return ds.map_batches(
-        FrameSampleStage, batch_format="pyarrow", batch_size=128,
-        concurrency=_conc(), num_cpus=1,
+        FrameSampleStage(), batch_format="pyarrow", batch_size=128,
     )
 
 
