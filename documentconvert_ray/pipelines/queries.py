@@ -160,10 +160,11 @@ def q_minhash_dup_pairs(sf_dir: str):
 
     shingle→minhash→band (map_batches, no shuffle)
     → groupby(band bucket): vectorized candidate-pair emission
-    → groupby(pair bucket): pair dedup (bands overlap)
     → broadcast the candidate doc-id SET (ints, O(candidates));
       re-shingle only those docs in map_batches
     → groupby(doc bucket): attach each pair half's shingle set
+      (duplicate pairs from overlapping bands deduped here, inside
+      the shuffle that runs anyway)
     → groupby(pair bucket): integer-exact Jaccard ≥ 0.7.
 
     Only int64 ids/hashes shuffle; shingle sets shuffle only for
@@ -181,30 +182,15 @@ def q_minhash_dup_pairs(sf_dir: str):
     n_pair_buckets = dd.derive_buckets(n_docs, rows_per_doc=2, floor=16)
     cand = bands.groupby("bucket").map_groups(
         dd.band_bucket_pairs, batch_format="pandas"
-    )
-
-    def add_pb(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"pair_bucket": pa.array(dd._pair_bucket_arr(
-                batch.column("doc_id_a"), batch.column("doc_id_b"),
-                n_pair_buckets)),
-             "doc_id_a": batch.column("doc_id_a").cast(pa.int64()),
-             "doc_id_b": batch.column("doc_id_b").cast(pa.int64())})
-
-    pairs_u = (
-        cand.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pair_bucket")
-        .map_groups(dd.dedup_pairs, batch_format="pandas")
-        .materialize()  # small: unique candidate pairs only
-    )
+    ).materialize()  # small: candidate pairs only (consumed twice)
     empty = pa.Table.from_pydict(
         {"doc_id_a": pa.array([], pa.int64()),
          "doc_id_b": pa.array([], pa.int64()),
          "jaccard_micro": pa.array([], pa.int64())})
-    if pairs_u.count() == 0:
+    if cand.count() == 0:
         return empty
-    cand_ids = frozenset(pairs_u.unique("doc_id_a")) | frozenset(
-        pairs_u.unique("doc_id_b"))
+    cand_ids = frozenset(cand.unique("doc_id_a")) | frozenset(
+        cand.unique("doc_id_b"))
     cand_ref = ray.put(cand_ids)
     n_jb = dd.derive_buckets(len(cand_ids), rows_per_doc=1,
                              target=25_000, floor=8)
@@ -212,7 +198,7 @@ def q_minhash_dup_pairs(sf_dir: str):
         dd.ShingleSetStage(cand_ref, n_jb),
         batch_format="pyarrow", batch_size=256,
     )
-    reqs = pairs_u.map_batches(
+    reqs = cand.map_batches(
         lambda b: dd.pair_fetch_requests(b, n_jb), batch_format="pyarrow"
     )
     halves = sets.union(reqs).groupby("jb").map_groups(

@@ -454,9 +454,13 @@ def pair_fetch_requests(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 def attach_shingles(group, n_pair_buckets: int):
     """One doc-id bucket of shingle-set rows + request rows → request
-    rows with their doc's shingle set attached, re-bucketed by pair."""
+    rows with their doc's shingle set attached, re-bucketed by pair.
+    Duplicate requests (the same pair emitted by several matching
+    bands) are dropped here — inside the shuffle the pipeline already
+    pays for — so no dedicated pair-dedup shuffle is needed."""
     docs = group[group["pair_a"] < 0]
-    reqs = group[group["pair_a"] >= 0]
+    reqs = group[group["pair_a"] >= 0].drop_duplicates(
+        ["doc_id", "pair_a", "pair_b"])
     sh_of = dict(zip(docs["doc_id"], docs["sh"]))
     n_of = dict(zip(docs["doc_id"], docs["n_sh"]))
     reqs = reqs[reqs["doc_id"].isin(sh_of)]
