@@ -140,10 +140,137 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(data)
 
 
-def parse_html(text: str) -> Node:
+def parse_html_stdlib(text: str) -> Node:
+    """Reference tree builder on stdlib HTMLParser — kept as the
+    differential-test baseline for the fast scanner below."""
     tb = _TreeBuilder()
     tb.feed(text)
     tb.close()
+    return tb.root
+
+
+# ------------------------------------------------------- fast tokenizer
+#
+# stdlib html.parser was 73% of the HTML leg's CPU (the leg is ~70% of
+# the whole extraction job). This scanner replicates the subset of its
+# tokenization the tree builder consumes — start/end/self-closing tags
+# with tolerant attributes, entity conversion in data and attribute
+# values, comment/declaration/PI skipping, raw-text (CDATA) mode for
+# script/style, literal '<' recovery — and drives the SAME handler
+# methods, so the tree (and therefore the output) is identical.
+# tests/test_html_extract.py diff-tests it against parse_html_stdlib
+# over the full corpus generator, including every adversarial variant.
+
+_START_TAG_RE = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>][^\s/>=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([^\s/>][^\s/>=]*)(\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CHARREF_RE = re.compile(r"&")
+
+
+def _unesc(s: str) -> str:
+    if "&" in s:
+        from html import unescape
+
+        return unescape(s)
+    return s
+
+
+def _fast_feed(text: str, tb: _TreeBuilder) -> None:
+    n = len(text)
+    pos = 0
+    find = text.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                tb.handle_data(_unesc(text[pos:]))
+            return
+        if lt > pos:
+            tb.handle_data(_unesc(text[pos:lt]))
+        nxt = text[lt + 1] if lt + 1 < n else ""
+        if nxt == "/":
+            m = _END_TAG_RE.match(text, lt)
+            if m:
+                tb.handle_endtag(m.group(1).lower())
+                pos = m.end()
+            else:
+                gt = find(">", lt)  # bogus end tag → skip it
+                pos = n if gt < 0 else gt + 1
+            continue
+        if nxt == "!":
+            if text.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+            continue
+        if nxt == "?":
+            gt = find(">", lt)
+            pos = n if gt < 0 else gt + 1
+            continue
+        if not nxt.isalpha():
+            tb.handle_data("<")
+            pos = lt + 1
+            continue
+        m = _START_TAG_RE.match(text, lt)
+        if not m:
+            tb.handle_data("<")  # malformed start tag → literal '<'
+            pos = lt + 1
+            continue
+        tag = m.group(1).lower()
+        attrs: list = []
+        raw_attrs = m.group(2)
+        # only class/id (boilerplate tokens) and href (links) are ever
+        # read downstream — skip attribute parsing when none can occur
+        if raw_attrs and tag != "a" and "class" not in raw_attrs \
+                and "id" not in raw_attrs:
+            raw_attrs = ""
+        if raw_attrs:
+            for am in _ATTR_RE.finditer(raw_attrs):
+                name = am.group(1).lower()
+                if am.group(2) is None:
+                    attrs.append((name, None))
+                else:
+                    v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is None:
+                        v = am.group(5) or ""
+                    attrs.append((name, _unesc(v)))
+        pos = m.end()
+        if m.group(3):
+            tb.handle_startendtag(tag, attrs)
+            continue
+        tb.handle_starttag(tag, attrs)
+        if tag in ("script", "style"):
+            # raw-text mode: scan to the matching close tag; content is
+            # data WITHOUT entity conversion (html.parser cdata mode)
+            cm = re.compile(rf"</\s*{tag}", re.IGNORECASE).search(text, pos)
+            if cm:
+                if cm.start() > pos:
+                    tb.handle_data(text[pos:cm.start()])
+                em = _END_TAG_RE.match(text, cm.start())
+                if em:
+                    tb.handle_endtag(em.group(1).lower())
+                    pos = em.end()
+                else:
+                    gt = find(">", cm.start())
+                    pos = n if gt < 0 else gt + 1
+            else:
+                tb.handle_data(text[pos:])
+                pos = n
+
+
+def parse_html(text: str) -> Node:
+    tb = _TreeBuilder()
+    _fast_feed(text, tb)
     return tb.root
 
 
@@ -160,27 +287,39 @@ def _is_boiler_attr(node: Node) -> bool:
     return False
 
 
-def _text_link_chars(node, in_link: bool = False) -> tuple[int, int]:
-    """(total text chars, chars under <a>) — whitespace-collapsed lengths."""
+def _collapsed_len(s: str) -> int:
+    """len of whitespace-collapsed-and-stripped s (C-level split/join;
+    str.split() and the \\s+ collapse agree on the whitespace set — the
+    corpus-wide differential test against the stdlib parse guards
+    this)."""
+    return len(" ".join(s.split()))
+
+
+def _subtree_stats(node, memo: dict) -> tuple[int, int, int]:
+    """One bottom-up pass computing (text_chars, link_chars, tag_count)
+    for every Node — prune() then reads the memo instead of re-walking
+    each nested container's subtree (quadratic on deep div chains).
+    link_chars counts text under an <a> at-or-below the node itself
+    (ancestor links don't count), matching a fresh per-node walk."""
     if isinstance(node, str):
-        n = len(_WS_RE.sub(" ", node).strip())
-        return n, (n if in_link else 0)
+        return _collapsed_len(node), 0, 0
     t = l = 0
-    link = in_link or node.tag == "a"
+    tags = 1
     for c in node.children:
-        ct, cl = _text_link_chars(c, link)
-        t += ct
-        l += cl
-    return t, l
+        if type(c) is str:  # inline the leaf case (half of all calls)
+            t += _collapsed_len(c)
+        else:
+            ct, cl, ctags = _subtree_stats(c, memo)
+            t += ct
+            l += cl
+            tags += ctags
+    if node.tag == "a":
+        l = t
+    memo[id(node)] = (t, l, tags)
+    return t, l, tags
 
 
-def _tag_count(node) -> int:
-    if isinstance(node, str):
-        return 0
-    return 1 + sum(_tag_count(c) for c in node.children)
-
-
-def prune(node: Node, cfg: ExtractConfig) -> Node | None:
+def prune(node: Node, cfg: ExtractConfig, _memo: dict | None = None) -> Node | None:
     """Tag-tree pruning: drop boilerplate subtrees, keep content.
 
     Rules (in order, integer arithmetic only):
@@ -191,16 +330,21 @@ def prune(node: Node, cfg: ExtractConfig) -> Node | None:
     4. containers with many tags but text density below
        cfg.text_density_pct (text_chars*100 < tag_count*text_density_pct
        scaled) → drop.
+
+    Subtree stats come from one bottom-up pre-pass (`_subtree_stats`);
+    decisions use the ORIGINAL (pre-pruning) subtree, as before.
     """
+    if _memo is None:
+        _memo = {}
+        _subtree_stats(node, _memo)
     if node.tag in BOILERPLATE_TAGS:
         return None
     if _is_boiler_attr(node):
         return None
     if node.tag in ("div", "section", "ul", "ol", "table", "article"):
-        t, l = _text_link_chars(node)
+        t, l, tags = _memo[id(node)]
         if t >= cfg.min_block_chars and l * 100 > t * cfg.link_density_pct:
             return None
-        tags = _tag_count(node)
         # low text density: lots of markup, little text (menus, widgets)
         if tags >= 5 and t * 100 < tags * cfg.text_density_pct * 5:
             return None
@@ -209,7 +353,7 @@ def prune(node: Node, cfg: ExtractConfig) -> Node | None:
         if isinstance(c, str):
             kept.append(c)
         else:
-            p = prune(c, cfg)
+            p = prune(c, cfg, _memo)
             if p is not None:
                 kept.append(p)
     node.children = kept

@@ -126,3 +126,38 @@ def test_spans_slice_exactly():
 def test_blockquote():
     out = md("<body><blockquote>Quoted wisdom text.</blockquote></body>")
     assert "> Quoted wisdom text." in out
+
+
+def test_fast_parser_matches_stdlib_parser():
+    """The regex scanner must produce the IDENTICAL rendered output to
+    the stdlib-HTMLParser tree builder for every generated doc,
+    including all adversarial variants (unclosed/mis-nested tags,
+    entities, encodings) — the guard for the fast path."""
+    from documentconvert_ray.config import DEFAULT_CONFIG
+    from documentconvert_ray.functions.decode import decode_bytes
+    from documentconvert_ray.functions.html_extract import (
+        _emit_blocks,
+        parse_html,
+        parse_html_stdlib,
+        prune,
+    )
+    from documentconvert_ray.functions.markdown import render
+    from documentconvert_ray.sources.corpus import doc_row
+
+    def md_via(parser, raw):
+        text, _ = decode_bytes(raw)
+        p = prune(parser(text), DEFAULT_CONFIG)
+        blocks = []
+        if p is not None:
+            _emit_blocks(p, blocks, DEFAULT_CONFIG)
+        return render(blocks)
+
+    checked = 0
+    for i in range(1500):
+        row = doc_row(i)
+        if "/html/" not in row["url"]:
+            continue
+        assert md_via(parse_html, row["html"]) == md_via(
+            parse_html_stdlib, row["html"]), f"doc {i}"
+        checked += 1
+    assert checked > 1000
