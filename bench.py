@@ -141,7 +141,10 @@ def run_bench() -> dict:
     pool = max(2, NUM_CPUS // 4)
     cfg = ExtractConfig(pdf_pool_min=pool, pdf_pool_max=pool)
     runs = []
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+    # best-of-3: the sandbox host shows ±40-60% contention windows
+    # (12.7 s vs 29.7 s for the identical job 20 min apart); min over
+    # three runs is the standard estimator for machine capability
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         metrics = run_extract_job(d, out_dir, cfg, resume=False)
@@ -154,6 +157,9 @@ def run_bench() -> dict:
     result["extract_errors"] = metrics["errors"]
 
     # ---- representative queries over the sf tables
+    if os.environ.get("BENCH_QUERIES", "1") == "0":
+        ray.shutdown()
+        return result
     qs = queries()
     for name in QUERY_NAMES:
         t0 = time.monotonic()
@@ -170,7 +176,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 cpus (stand-in for N vs 4N
-    nodes — SURVEY.md §4.3.6)."""
+    nodes — SURVEY.md §4.3.6).
+
+    The sandbox host's run-to-run noise (±40%) would otherwise dominate
+    the ratio when the two configs sample different noise windows, so
+    the pair is run INTERLEAVED (8, 32, 8, 32 — $SCALING_PAIRS pairs)
+    and each side takes its best: both sides sample the same windows."""
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -178,6 +189,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             BENCH_CORPUS_ROWS=str(BENCH_CORPUS_ROWS),
+            BENCH_QUERIES="0",  # scaling scores the extraction job only
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -189,18 +201,29 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    pairs = int(os.environ.get("SCALING_PAIRS", "2"))
+    lo_secs, hi_secs = [], []
+    lo_tp, hi_tp = [], []
+    for _ in range(pairs):
+        r_lo = one(lo)
+        r_hi = one(hi)
+        lo_secs.append(r_lo["value"])
+        hi_secs.append(r_hi["value"])
+        lo_tp.append(r_lo["docs_per_sec"])
+        hi_tp.append(r_hi["docs_per_sec"])
+    best_lo, best_hi = min(lo_secs), min(hi_secs)
+    eff = (best_lo / best_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "unit": "ratio",
         "sf": SF_DIR,
         "corpus_rows": BENCH_CORPUS_ROWS,
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"sec_{lo}": best_lo,
+        f"sec_{hi}": best_hi,
+        f"sec_{lo}_runs": lo_secs,
+        f"sec_{hi}_runs": hi_secs,
+        f"docs_per_sec_{lo}": max(lo_tp),
+        f"docs_per_sec_{hi}": max(hi_tp),
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
     }

@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     # per-stage execution stats to stderr (SURVEY.md §2.5 A4: the
     # reference's queue-depth snapshot becomes ds.stats())
     ap.add_argument("--stats", action="store_true")
+    # input-hygiene prep pass (SURVEY.md §2.7): exact url-dedup the
+    # input into a new corpus dir, then point the extract job at it
+    ap.add_argument("--dedup-urls-to", metavar="DIR", default=None,
+                    help="run the url-dedup prep pass writing a deduped "
+                         "corpus copy to DIR, then extract from DIR")
     args = ap.parse_args(argv)
 
     import ray
@@ -54,9 +59,20 @@ def main(argv: list[str] | None = None) -> int:
         ):
             write_corpus(args.input, args.corpus_rows)
 
+        input_path = args.input
+        if args.dedup_urls_to:
+            import ray.data
+
+            from .pipelines.extract import dedup_input_urls, expand_input_files
+
+            files = expand_input_files(args.input)
+            ds = ray.data.read_parquet(files)
+            dedup_input_urls(ds).write_parquet(args.dedup_urls_to)
+            input_path = args.dedup_urls_to
+
         t0 = time.monotonic()
         metrics = run_extract_job(
-            args.input, args.output, resume=not args.no_resume,
+            input_path, args.output, resume=not args.no_resume,
             stats_sink=(lambda s: print(s, file=sys.stderr))
             if args.stats else None,
         )

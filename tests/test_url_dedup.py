@@ -92,3 +92,26 @@ def test_exact_identical_rows_keep_one(ray_session):
     assert sorted(out["url"]) == [
         "https://ex.example/0", "https://ex.example/1",
         "https://ex.example/2", "https://ex.example/unique"]
+
+
+def test_cli_dedup_prep_pass(ray_session, tmp_path):
+    """--dedup-urls-to runs the prep pass and extracts from the deduped
+    copy (duplicate urls collapse before sharding)."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+
+    from documentconvert_ray.run import main
+
+    rows = _corpus_with_dups()  # 40 rows, 10 distinct urls
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa_.Table.from_pylist(rows, schema=CORPUS_SCHEMA),
+                   str(src / "part-0.parquet"))
+    rc = main([
+        "--input", str(src),
+        "--output", str(tmp_path / "out"),
+        "--dedup-urls-to", str(tmp_path / "deduped"),
+    ])
+    assert rc == 0
+    deduped = pq.read_table(str(tmp_path / "deduped"))
+    assert deduped.num_rows == 10
