@@ -12,8 +12,10 @@ MinerU's pipeline (`pipeline_doc_analyze` → `pipeline_result_to_middle_json`
 - heading detection by font size;
 - Markdown rendering with per-page span offsets.
 
-Supported profile: PDFs with uncompressed or FlateDecode content
-streams, standard fonts, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
+Supported profile: PDFs with uncompressed, FlateDecode, LZWDecode or
+ASCIIHexDecode content streams (incl. /ObjStm object streams and
+xref-stream documents), standard fonts plus Type0/CID fonts carrying a
+/ToUnicode CMap, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
 ruled tables via ``re``/``m``/``l`` path ops, figures via ``cm`` + ``Do``.
 Object resolution is scan-based (every ``N G obj``), so damaged xref
 tables are recoverable by construction (FIXTURES.md §3 adversarial
@@ -354,6 +356,8 @@ class _PdfDoc:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError("truncated_pdf", f"flate error: {e}") from e
+            elif f == "LZWDecode":
+                data = lzw_decode(data)
             elif f == "ASCIIHexDecode":
                 hexs = re.sub(rb"\s+", b"", data.split(b">", 1)[0])
                 if len(hexs) % 2:
@@ -418,6 +422,82 @@ class _PdfDoc:
                 self._walk_pages(self.resolve(k), out, depth + 1)
 
 
+# ----------------------------------------------------- ToUnicode CMaps
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(?:<([0-9a-fA-F]+)>|\[(.*?)\])",
+    re.S,
+)
+_HEXONE_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+
+
+def _utf16_hex(h: bytes) -> str:
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream → {2-byte CID code: unicode str}.
+
+    Covers bfchar pairs and bfrange in both forms (incrementing dst,
+    per-code dst array) — the subset every real-world ToUnicode CMap
+    uses (reference gets this via MinerU's font layer)."""
+    out: dict[int, str] = {}
+    for m in _BFRANGE_RE.finditer(data):
+        for rm in _RANGE_RE.finditer(m.group(1)):
+            lo = int(rm.group(1), 16)
+            hi = int(rm.group(2), 16)
+            if hi < lo or hi - lo > 0x10000:
+                continue
+            if rm.group(3) is not None:
+                base = _utf16_hex(rm.group(3))
+                if len(base) == 1:
+                    b0 = ord(base)
+                    for c in range(lo, hi + 1):
+                        out[c] = chr(b0 + (c - lo))
+                elif base:  # multi-char dst: last code unit increments
+                    head, last = base[:-1], ord(base[-1])
+                    for c in range(lo, hi + 1):
+                        out[c] = head + chr(last + (c - lo))
+            else:
+                dsts = _HEXONE_RE.findall(rm.group(4) or b"")
+                for c, d in zip(range(lo, hi + 1), dsts):
+                    out[c] = _utf16_hex(d)
+    for m in _BFCHAR_RE.finditer(data):
+        for pm in _HEXPAIR_RE.finditer(m.group(1)):
+            out[int(pm.group(1), 16)] = _utf16_hex(pm.group(2))
+    return out
+
+
+def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict[str, dict[int, str]]:
+    """Resource-name → ToUnicode map for a page's Type0/CID fonts.
+    Simple (latin-1, single-byte) fonts are absent from the result —
+    the interpreter keeps its default decoding for them."""
+    out: dict[str, dict[int, str]] = {}
+    res = doc.resolve(pdict.get("Resources"))
+    if not isinstance(res, dict):
+        return out
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        fd = doc.resolve(fref)
+        if not isinstance(fd, dict) or fd.get("Subtype") != "Type0":
+            continue
+        tu = fd.get("ToUnicode")
+        if isinstance(tu, _Ref):
+            try:
+                out[name] = parse_tounicode(doc.get_stream(tu.num))
+            except PdfError:
+                continue
+    return out
+
+
 # -------------------------------------------------- content-stream engine
 
 _TOKEN_RE = re.compile(
@@ -444,12 +524,15 @@ class _ContentInterp:
     page's content stream, collecting text items, ruled lines and
     figure placements."""
 
-    def __init__(self, page_idx: int, seq_base: int) -> None:
+    def __init__(self, page_idx: int, seq_base: int,
+                 font_cmaps: "dict[str, dict[int, str]] | None" = None) -> None:
         self.page = page_idx
         self.items: list[_TextItem] = []
         self.figs: list[_FigItem] = []
         self.geom = _PageGeom()
         self.seq = seq_base
+        self.font_cmaps = font_cmaps or {}
+        self.cmap: dict[int, str] | None = None  # active Type0 font map
         # text state
         self.size = 0.0
         self.leading = 0.0
@@ -465,7 +548,15 @@ class _ContentInterp:
 
     # -- helpers
     def _show(self, s: bytes) -> None:
-        txt = s.decode("latin-1")
+        if self.cmap is not None:
+            # Type0/CID font: 2-byte codes through the ToUnicode map
+            cm = self.cmap
+            txt = "".join(
+                cm.get((s[i] << 8) | s[i + 1], "")
+                for i in range(0, len(s) - 1, 2)
+            )
+        else:
+            txt = s.decode("latin-1")
         if txt:
             adv = 0.5 * self.size * len(txt)  # 0.5 em/char, deterministic
             self.items.append(
@@ -552,6 +643,9 @@ class _ContentInterp:
 
         if op == "Tf" and len(stack) >= 2:
             self.size = num(-1)
+            fname = stack[-2]
+            self.cmap = (self.font_cmaps.get(fname)
+                         if isinstance(fname, str) else None)
         elif op == "TL" and len(stack) >= 1:
             self.leading = num(-1)
         elif op == "Td" and len(stack) >= 2:
@@ -845,7 +939,8 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
                         datas.append(doc.get_stream(c.num))
             elif isinstance(pdict.get("Contents"), _Ref):
                 datas.append(doc.get_stream(pdict["Contents"].num))
-            interp = _ContentInterp(pidx, seq_base)
+            interp = _ContentInterp(pidx, seq_base,
+                                    page_font_cmaps(doc, pdict))
             for d in datas:
                 interp.run(d)
             seq_base = interp.seq
@@ -856,3 +951,54 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
         return ExtractResult(False, "", [], e.kind, str(e)[:200])
     except Exception as e:  # noqa: BLE001 — row-level capture (M12 semantics)
         return ExtractResult(False, "", [], "pdf_parse_error", str(e)[:200])
+
+
+# --------------------------------------------------------------- LZW codec
+#
+# PDF LZWDecode (spec 7.4.4): 9→12-bit growing codes, Clear=256,
+# EOD=257, EarlyChange=1 (code length bumps one code early). The
+# matching encoder lives in sources/corpus.py's generator; the
+# round-trip and fixture tests pin both ends.
+
+
+def lzw_decode(data: bytes) -> bytes:
+    CLEAR, EOD = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    codelen = 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    for b in data:
+        bitbuf = (bitbuf << 8) | b
+        bitcnt += 8
+        while bitcnt >= codelen:
+            code = (bitbuf >> (bitcnt - codelen)) & ((1 << codelen) - 1)
+            bitcnt -= codelen
+            if code == CLEAR:
+                table = list(base)
+                codelen = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("truncated_pdf", "bad LZW start code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("truncated_pdf", f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            # EarlyChange=1: width grows when the NEXT append would
+            # reach the limit
+            if len(table) + 1 >= (1 << codelen) and codelen < 12:
+                codelen += 1
+    return bytes(out)

@@ -202,18 +202,104 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder (EarlyChange=1). Code width
+    mirrors the decoder's table length (which lags the encoder by one
+    entry) so both bump at the same code index; round-trip pinned by
+    tests against functions.pdf_extract.lzw_decode."""
+    CLEAR, EOD = 256, 257
+    bits = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bits.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258  # decoder-table-length simulation (drives width)
+    first = True
+    emit(CLEAR, width)
+    w = b""
+
+    def after_emit() -> None:
+        nonlocal first, dec_len, width
+        if first:
+            first = False
+        else:
+            dec_len += 1
+        if dec_len + 1 >= (1 << width) and width < 12:
+            width += 1
+
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        after_emit()
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([ch])
+        if dec_len >= 4093:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            dec_len = 258
+            first = True
+    if w:
+        emit(table[w], width)
+        after_emit()
+    emit(EOD, width)
+    if bitcnt:
+        bits.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(bits)
+
+
+def _tounicode_cmap() -> bytes:
+    """Minimal real-shape ToUnicode CMap: identity bfrange over
+    printable ASCII plus redundant bfchar entries (both sections get
+    exercised by the parser)."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /Synth-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+        b"3 beginbfchar\n<0041> <0041>\n<0061> <0061>\n<0030> <0030>\n"
+        b"endbfchar\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+        b"end\nend\n"
+    )
+
+
 def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
-                  with_fig: bool) -> tuple[str, list[str]]:
-    """Build one page's content stream; returns (stream_str, shown_texts)."""
+                  with_fig: bool, cid: bool = False) -> tuple[str, list[str]]:
+    """Build one page's content stream; returns (stream_str, shown_texts).
+    ``cid=True`` writes text as 2-byte-code hex strings (Type0/CID font
+    with Identity-H + ToUnicode, the real-world embedded-font shape)."""
     shown: list[str] = []
     ops: list[str] = []
 
     def text_at(x: float, y: float, size: float, s: str) -> None:
         s_ascii = s.encode("ascii", "replace").decode("ascii")
         shown.append(s_ascii)
-        ops.append(
-            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(s_ascii)}) Tj ET"
-        )
+        if cid:
+            codes = "".join(f"{ord(ch):04x}" for ch in s_ascii)
+            ops.append(
+                f"BT /F1 {size:g} Tf {x:g} {y:g} Td <{codes}> Tj ET"
+            )
+        else:
+            ops.append(
+                f"BT /F1 {size:g} Tf {x:g} {y:g} Td "
+                f"({_pdf_escape(s_ascii)}) Tj ET"
+            )
 
     top = 760.0
     # title (heading by size)
@@ -285,7 +371,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     compress = r.random() < 0.5
     variant = r.random()
     structure = r.random()  # < 0.15 → xref-stream + ObjStm layout
-    filt = r.random()       # < 0.12 → ASCIIHexDecode content filter
+    filt = r.random()       # < 0.12 ASCIIHex; < 0.24 LZW content filter
+    cid = r.random() < 0.12  # Type0/CID font + ToUnicode CMap
 
     page_streams: list[bytes] = []
     all_shown: list[str] = []
@@ -296,7 +383,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         two_col = r.random() < 0.25
         with_table = r.random() < 0.25
         with_fig = r.random() < 0.2
-        s, shown = _pdf_text_ops(r, two_col, with_table, with_fig)
+        s, shown = _pdf_text_ops(r, two_col, with_table, with_fig, cid=cid)
         all_shown.extend(shown)
         page_streams.append(s.encode("latin-1"))
 
@@ -307,6 +394,9 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
 
             data = binascii.hexlify(s) + b">"
             extra = b" /Filter /ASCIIHexDecode"
+        elif filt < 0.24:
+            data = _lzw_encode(s)
+            extra = b" /Filter /LZWDecode"
         elif compress:
             data = zlib.compress(s)
             extra = b" /Filter /FlateDecode"
@@ -330,17 +420,33 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     kid_refs = b" ".join(
         f"{first_page + 2 * i} 0 R".encode() for i in range(n)
     )
+    if cid:
+        tu_num = xobj_num + 1
+        cmap = _tounicode_cmap()
+        font_body = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+            b"/Encoding /Identity-H /ToUnicode " + str(tu_num).encode()
+            + b" 0 R /DescendantFonts [<< /Type /Font "
+            b"/Subtype /CIDFontType2 /BaseFont /Synth-CID >>] >>"
+        )
+    else:
+        font_body = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     bodies: dict[int, bytes] = {
         catalog_num: b"<< /Type /Catalog /Pages 2 0 R >>",
         pages_num: b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count "
         + str(n).encode() + b" >>",
-        font_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        font_num: font_body,
         xobj_num: (
             b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
             b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
             b"stream\n\x00\nendstream"
         ),
     }
+    if cid:
+        bodies[tu_num] = (
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream"
+        )
     for i in range(n):
         pnum = first_page + 2 * i
         cnum = pnum + 1
@@ -371,7 +477,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         content = header + b"\n" + b"\n".join(parts)
         first = len(header) + 1
         zdata = zlib.compress(content)
-        objstm_num = xobj_num + 1
+        objstm_num = max(max(bodies), xobj_num) + 1
         bodies[objstm_num] = (
             b"<< /Type /ObjStm /N " + str(len(offs)).encode()
             + b" /First " + str(first).encode()

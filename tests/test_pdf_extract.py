@@ -247,3 +247,69 @@ def test_corpus_flagship_oracle_equivalence():
             exp_ok = raw.endswith(b"%%EOF\n")
             assert res.ok == exp_ok, (i, res.error_kind, res.error)
             assert res.error_kind == ("" if exp_ok else "truncated_pdf"), i
+
+
+def test_lzw_roundtrip_and_filter():
+    import random
+
+    from documentconvert_ray.functions.pdf_extract import lzw_decode
+    from documentconvert_ray.sources.corpus import _lzw_encode
+
+    rng = random.Random(7)
+    for n in (0, 1, 100, 5000, 15000):
+        data = bytes(rng.getrandbits(8) for _ in range(n))
+        assert lzw_decode(_lzw_encode(data)) == data
+        rep = (b"stream table BT ET " * (n // 16 + 1))[:n]
+        assert lzw_decode(_lzw_encode(rep)) == rep
+
+    content = b"BT /F1 10 Tf 72 700 Td (lzw encoded text) Tj ET"
+    data = _lzw_encode(content)
+    pdf = build_pdf("")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + data + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "lzw encoded text" in res.text_md
+
+
+def _build_cid_pdf(cmap: bytes, hex_codes: str) -> bytes:
+    content = f"BT /F1 10 Tf 72 700 Td <{hex_codes}> Tj ET".encode()
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /T "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        6: (b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(bodies):
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_cid_font_tounicode_bfrange():
+    """Non-identity bfrange: codes 0x0100-0x0102 map to 'x','y','z'."""
+    cmap = (b"1 beginbfrange\n<0100> <0102> <0078>\nendbfrange\n")
+    res = extract_pdf(_build_cid_pdf(cmap, "010001010102"))
+    assert res.ok and "xyz" in res.text_md
+
+
+def test_cid_font_tounicode_bfchar_and_array_range():
+    cmap = (b"1 beginbfrange\n<0010> <0011> [<0041> <0042>]\nendbfrange\n"
+            b"1 beginbfchar\n<0012> <2022>\nendbfchar\n")
+    res = extract_pdf(_build_cid_pdf(cmap, "001000110012"))
+    assert res.ok and "AB•" in res.text_md
+
+
+def test_cid_font_unmapped_codes_drop():
+    cmap = b"1 beginbfchar\n<0041> <0041>\nendbfchar\n"
+    res = extract_pdf(_build_cid_pdf(cmap, "00410099"))  # 0x99 unmapped
+    assert res.ok and "A" in res.text_md and "\x99" not in res.text_md
