@@ -35,6 +35,9 @@ QUERY_NAMES = [
     "simhash_near_dups",
     "ngram_jaccard_dups",
     "embedding_near_dups",
+    "embedding_near_dups_ivf",
+    "hash_sample",
+    "per_lang_top5",
     "events_hourly",
     "user_sessions",
     "pricing_summary",

@@ -278,6 +278,50 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (training-data subset selection):
+    keep rows whose multiplicative doc_id hash lands under the rate.
+    Pure map-side filter — no shuffle, no RNG, reproducible across
+    runs/partitionings; the SQL oracle computes the same formula."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keep = ((ids * 2654435761) % 4294967296) % 100 < 7
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def q_per_lang_top5(sf_dir: str):
+    """Per-group top-k (quota sampling shape): the 5 largest docs per
+    lang, deterministic tie-break (n_chars desc, doc_id asc). Per-batch
+    partial top-5 per lang (combiner) → tiny per-lang final reduce —
+    the shuffle carries ≤ 5·n_blocks rows per lang, never the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(df):
+        return (
+            df.sort_values(["lang", "n_chars", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(5)
+        )
+
+    def final(g):
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort").head(5)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "n_chars", "rnk"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_embedding_near_dups_ivf(sf_dir: str):
     """The 100 TB path for embedding near-dup: IVF multi-probe
     bucketing (each vector lands in its nprobe=3 nearest-centroid
@@ -661,6 +705,8 @@ def queries() -> dict:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
+        "hash_sample": q_hash_sample,
+        "per_lang_top5": q_per_lang_top5,
         "latest_orders": q_latest_orders,
         "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,
@@ -881,6 +927,22 @@ ORACLES: dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "hash_sample": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 7
+    """,
+    "per_lang_top5": """
+        WITH r AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk
+          FROM documents)
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5
     """,
     "latest_orders": """
         SELECT o_orderkey, o_custkey, o_orderdate,

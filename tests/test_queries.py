@@ -30,6 +30,8 @@ SQL_QUERIES = [
     "latest_orders",
     "filter_regex",
     "lang_id",
+    "hash_sample",
+    "per_lang_top5",
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
