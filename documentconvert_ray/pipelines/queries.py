@@ -28,7 +28,12 @@ from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages import text as tx
 from ..stages.extract import OUTPUT_SCHEMA  # noqa: F401 (re-export for tests)
-from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
+from ..stages.multimodal import (
+    FeatureExtractStage,
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+)
 from .extract import build_extract_ds, expand_input_files
 
 # Synthetic web-corpus size used by the extraction queries at any sf
@@ -671,6 +676,46 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Decode → resize chain (stub kernels, real plumbing): bounded
+    integer aspect-preserving rescale of the decoded dims."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(ImageDecodeStage(), batch_format="pyarrow",
+                     batch_size=128)
+        .map_batches(ImageResizeStage(224), batch_format="pyarrow")
+    )
+
+
+def q_multimodal_features(sf_dir: str):
+    """Feature-extraction stage (stub kernel: md5-prefix signature +
+    distinct-byte count; real shape: batched model inference emitting
+    compact feature rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(FeatureExtractStage(), batch_format="pyarrow",
+                     batch_size=128)
+    )
+
+
 def q_frame_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -718,6 +763,8 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
     }
 
@@ -964,6 +1011,29 @@ ORACLES: dict[str, str] = {
                    AS height,
                CAST(3 AS BIGINT) AS channels,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "multimodal_resize": """
+        WITH d AS (
+          SELECT doc_id,
+                 64 + octet_length(encode(text)) % 512 AS w,
+                 64 + (octet_length(encode(text)) * 7) % 512 AS h
+          FROM documents),
+        m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM d)
+        SELECT doc_id,
+               CAST(CASE WHEN mx > 224 THEN w * 224 // mx ELSE w END
+                    AS BIGINT) AS width,
+               CAST(CASE WHEN mx > 224 THEN h * 224 // mx ELSE h END
+                    AS BIGINT) AS height,
+               mx > 224 AS resized
+        FROM m
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               substr(md5(text), 1, 16) AS feature_sig,
+               CAST(len(list_distinct(
+                      regexp_extract_all(hex(encode(text)), '..')))
+                    AS BIGINT) AS n_distinct_bytes
         FROM documents
     """,
     "frame_sample": """

@@ -81,3 +81,53 @@ class FrameSampleStage:
                 "frame_idx": pa.array(frames, pa.int64()),
             }
         )
+
+
+class ImageResizeStage:
+    """'Resize' stage: decoded dims → target-bounded dims preserving
+    aspect ratio with integer arithmetic (floor), the shape a real
+    thumbnailer has. Runs AFTER ImageDecodeStage on its metadata
+    columns; with real codecs the payload would flow through too."""
+
+    def __init__(self, max_side: int = 224) -> None:
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = np.asarray(batch.column("width").to_pylist(), dtype=np.int64)
+        h = np.asarray(batch.column("height").to_pylist(), dtype=np.int64)
+        m = np.maximum(w, h)
+        scale_needed = m > self.max_side
+        # integer floor scaling: new = dim * max_side // longest
+        nw = np.where(scale_needed, w * self.max_side // m, w)
+        nh = np.where(scale_needed, h * self.max_side // m, h)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "width": pa.array(nw), "height": pa.array(nh),
+             "resized": pa.array(scale_needed)})
+
+
+class FeatureExtractStage:
+    """'Feature extraction' stage: payload → compact feature row. The
+    kernel is a stub (md5-prefix signature + byte-histogram entropy
+    proxy in integer micro-units) — swap for a real embedding model;
+    the Ray shape (batched actor-pool inference, small output rows) is
+    the real thing."""
+
+    def __init__(self) -> None:
+        import hashlib
+
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs: list[str] = []
+        n_distinct: list[int] = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            sigs.append(self._md5(p).hexdigest()[:16])
+            n_distinct.append(len(set(p)))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "feature_sig": pa.array(sigs, pa.string()),
+             "n_distinct_bytes": pa.array(n_distinct, pa.int64())})

@@ -35,6 +35,8 @@ SQL_QUERIES = [
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_features",
     "frame_sample",
 ]
 
