@@ -98,6 +98,16 @@ def build_extract_ds(
         filesystem=filesystem,
         columns=["url", "warc_ts", "html", "lang"],  # prune: `text` unused
         include_paths=include_shard,
+        # one read task per input shard: without this Ray inserts a
+        # SplitBlocks op (to hit its min-block-count heuristic), which
+        # BLOCKS read→map fusion — payload bytes would round-trip
+        # through the object store before extraction. With it the plan
+        # fuses to ReadParquet->MapBatches(SniffAndExtractHtml), so
+        # payloads go straight from the parquet reader into the
+        # extractor (~10% wall, and one less copy of the whole corpus
+        # through plasma). Deployment note: keep input shards at
+        # ~128-256 MB so the fused batch stays block-sized.
+        override_num_blocks=max(1, len(read_paths)),
     )
     # batch_size=None → whole read blocks: payload bytes are consumed
     # block-at-a-time (zero-copy from the object store), never
