@@ -1,0 +1,101 @@
+"""OOXML (.docx) → Markdown extraction, stdlib-only.
+
+The reference's office leg shells out to LibreOffice → PDF → MinerU
+(services/document_service.py:128-185, 599-650) because it targets
+every legacy format. The modern OOXML subset needs no converter at
+all: a .docx is a zip whose ``word/document.xml`` holds paragraphs
+(``<w:p>``), text runs (``<w:t>``), heading styles
+(``<w:pStyle w:val="HeadingN"/>``) and tables (``<w:tbl>``); this
+module parses that subset directly into the same Block/render model
+the HTML and PDF legs use. Legacy OLE2 payloads remain classified
+``office_unsupported`` error rows.
+
+Determinism: upfront end-of-central-directory check (a zip whose EOCD
+record is missing is truncated — the analogue of the PDF %%EOF rule,
+and exactly mirrorable in the flagship's SQL oracle); fixed regex
+parse, document order preserved.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from html import unescape
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from .html_extract import ExtractResult
+from .markdown import Block, render
+
+_P_RE = re.compile(r"<w:p[ >].*?</w:p>|<w:p/>", re.S)
+_T_RE = re.compile(r"<w:t(?: [^>]*)?>(.*?)</w:t>", re.S)
+_STYLE_RE = re.compile(r'<w:pStyle[^>]*w:val="Heading([1-6])"')
+_TBL_RE = re.compile(r"<w:tbl>.*?</w:tbl>", re.S)
+_TR_RE = re.compile(r"<w:tr[ >].*?</w:tr>|<w:tr>.*?</w:tr>", re.S)
+_TC_RE = re.compile(r"<w:tc>.*?</w:tc>", re.S)
+_WS_RE = re.compile(r"\s+")
+
+
+def _runs_text(xml: str) -> str:
+    return _WS_RE.sub(" ", unescape("".join(_T_RE.findall(xml)))).strip()
+
+
+def extract_docx(raw: bytes,
+                 cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
+    """bytes → (text_md, spans) for an OOXML payload. Never raises."""
+    try:
+        # EOCD check first (empty-comment zips end with the 22-byte
+        # PK\x05\x06 record): missing → truncated payload, classified
+        # deterministically (and SQL-mirrorable byte check)
+        if len(raw) < 22 or raw[-22:-18] != b"PK\x05\x06":
+            return ExtractResult(
+                False, "", [], "office_truncated",
+                "zip end-of-central-directory record missing")
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(raw))
+            with zf.open("word/document.xml") as f:
+                xml = f.read().decode("utf-8", "replace")
+        except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError) as e:
+            return ExtractResult(
+                False, "", [], "office_unsupported",
+                f"not a parseable OOXML document: {e}"[:200])
+
+        blocks: list[Block] = []
+        # tables are rendered as markdown tables and removed from the
+        # paragraph stream (their <w:p> cells would otherwise double)
+        tables = _TBL_RE.findall(xml)
+        body = _TBL_RE.sub("\x00TBL\x00", xml)
+        ti = 0
+        for seg in body.split("\x00TBL\x00"):
+            for pm in _P_RE.finditer(seg):
+                p = pm.group(0)
+                txt = _runs_text(p)
+                if not txt:
+                    continue
+                sm = _STYLE_RE.search(p)
+                if sm:
+                    blocks.append(
+                        Block("heading", "#" * int(sm.group(1)) + " " + txt))
+                else:
+                    blocks.append(Block("para", txt))
+            if ti < len(tables):
+                rows = []
+                for tr in _TR_RE.findall(tables[ti]):
+                    cells = [_runs_text(tc).replace("|", "\\|")
+                             for tc in _TC_RE.findall(tr)]
+                    if any(cells):
+                        rows.append(cells)
+                if rows:
+                    width = max(len(r) for r in rows)
+                    norm = [r + [""] * (width - len(r)) for r in rows]
+                    lines = ["| " + " | ".join(norm[0]) + " |",
+                             "| " + " | ".join(["---"] * width) + " |"]
+                    for r in norm[1:]:
+                        lines.append("| " + " | ".join(r) + " |")
+                    blocks.append(Block("table", "\n".join(lines)))
+                ti += 1
+        text_md, spans = render(blocks)
+        return ExtractResult(True, text_md, spans)
+    except Exception as e:  # noqa: BLE001 — row-level capture (M12)
+        return ExtractResult(False, "", [], "office_parse_error",
+                             str(e)[:200])

@@ -1061,7 +1061,11 @@ def _extract_oracle_cte() -> str:
                  octet_length(html) AS nb,
                  (octet_length(html) >= 6 AND
                   substr(hex(html), octet_length(html)*2 - 11, 12)
-                    = '2525454F460A') AS has_eof
+                    = '2525454F460A') AS has_eof,
+                 substr(hex(html), 1, 8) = 'D0CF11E0' AS is_ole2,
+                 (octet_length(html) >= 22 AND
+                  substr(hex(html), octet_length(html)*2 - 43, 8)
+                    = '504B0506') AS has_eocd
           FROM read_parquet('{glob}')
         ),
         derived AS (
@@ -1070,11 +1074,15 @@ def _extract_oracle_cte() -> str:
                      AS doc_type,
                  CASE WHEN kind = 'html' THEN TRUE
                       WHEN kind = 'pdf' THEN has_eof
+                      WHEN kind = 'office' THEN NOT is_ole2 AND has_eocd
                       ELSE FALSE END AS ok,
                  CASE WHEN kind = 'html' THEN ''
                       WHEN kind = 'pdf' AND has_eof THEN ''
                       WHEN kind = 'pdf' THEN 'truncated_pdf'
-                      WHEN kind = 'office' THEN 'office_unsupported'
+                      WHEN kind = 'office' AND is_ole2
+                          THEN 'office_unsupported'
+                      WHEN kind = 'office' AND has_eocd THEN ''
+                      WHEN kind = 'office' THEN 'office_truncated'
                       ELSE 'unsupported' END AS error_kind,
                  CAST(nb AS BIGINT) AS n_bytes
           FROM src

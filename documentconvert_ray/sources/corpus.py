@@ -553,24 +553,99 @@ def make_junk(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     return payload, "", ""
 
 
+_DOCX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def make_docx(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .docx (zip: [Content_Types].xml +
+    word/document.xml) with headings, paragraphs, runs and a table —
+    deterministic bytes (fixed zip timestamps)."""
+    import io
+    import zipfile
+
+    shown: list[str] = []
+    parts: list[str] = []
+
+    def para(txt: str, heading: int = 0) -> None:
+        shown.append(txt)
+        style = (f'<w:pPr><w:pStyle w:val="Heading{heading}"/></w:pPr>'
+                 if heading else "")
+        # split into 1-3 runs to exercise run concatenation
+        k = r.randint(1, 3)
+        cut = sorted(r.sample(range(1, max(2, len(txt))), k - 1)) if k > 1 else []
+        pieces, prev = [], 0
+        for c in cut + [len(txt)]:
+            pieces.append(txt[prev:c])
+            prev = c
+        runs = "".join(
+            f"<w:r><w:t xml:space=\"preserve\">{_xml_escape(p)}</w:t></w:r>"
+            for p in pieces)
+        parts.append(f"<w:p>{style}{runs}</w:p>")
+
+    para(" ".join(r.choice(_WORDS) for _ in range(4)).title(), heading=1)
+    for _ in range(r.randint(2, 8)):
+        if r.random() < 0.15:
+            para(" ".join(r.choice(_WORDS) for _ in range(3)).title(),
+                 heading=r.choice((2, 3)))
+        else:
+            para(_paragraph(r, "en"))
+    if r.random() < 0.3:
+        rows = []
+        for _ri in range(r.randint(2, 4)):
+            cells = [f"{r.choice(_WORDS)} {r.randint(0, 99)}"
+                     for _ in range(3)]
+            shown.extend(cells)
+            rows.append(
+                "<w:tr>" + "".join(
+                    f"<w:tc><w:p><w:r><w:t>{_xml_escape(c)}</w:t></w:r></w:p></w:tc>"
+                    for c in cells) + "</w:tr>")
+        parts.append("<w:tbl>" + "".join(rows) + "</w:tbl>")
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + "".join(parts) + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in (("[Content_Types].xml", _DOCX_CT),
+                           ("word/document.xml", xml)):
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, data)
+    return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
 def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
-    """OLE2 (.doc/.xls) or OOXML (.docx) magic-byte payloads — the
-    reference's office leg (services/document_service.py:128-185) needs
-    LibreOffice; here they must classify as doc_type='office' with
-    error_kind='office_unsupported'."""
+    """Office payloads: ~50% legacy OLE2 (.doc/.xls magic — classified
+    office_unsupported, the reference needs LibreOffice there), ~50%
+    real minimal OOXML .docx which the engine extracts DIRECTLY
+    (functions/office_extract.py); ~15% of the docx slice is truncated
+    (EOCD record cut → deterministic office_truncated)."""
     r = _rng(doc_id, seed + 21)
     if r.random() < 0.5:
         payload = (
             b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 compound file
             + bytes(r.getrandbits(8) for _ in range(504))
         )
-    else:
-        payload = (
-            b"PK\x03\x04\x14\x00\x00\x00\x08\x00"  # zip local header
-            + b"[Content_Types].xml"
-            + bytes(r.getrandbits(8) for _ in range(r.randint(64, 256)))
-        )
-    return payload, "", ""
+        return payload, "", ""
+    payload, naive = make_docx(r)
+    if r.random() < 0.15:
+        payload = payload[: int(len(payload) * 0.7)]  # truncated zip
+        return payload, "", "en"
+    return payload, naive, "en"
 
 
 # ----------------------------------------------------------------- table

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions.html_extract import extract_html
+from ..functions.office_extract import extract_docx
 from ..functions.pdf_extract import extract_pdf
 from ..functions.sniff import DOC_HTML, DOC_OFFICE, DOC_PDF, sniff_doc_type
 
@@ -127,15 +128,26 @@ class SniffAndExtractHtml:
             elif dt == DOC_PDF:
                 pdf_payloads[i] = raw  # finished by the actor stage
             elif dt == DOC_OFFICE:
-                # reference M2 leg (office → PDF → markdown) requires
-                # LibreOffice, absent in this environment: classified
-                # error row instead of generic "unsupported"
-                cols["ok"][i] = False
-                cols["error_kind"][i] = "office_unsupported"
-                cols["error"][i] = (
-                    "office document (OLE2/OOXML): no converter available"
-                )
-                cols["text_sha256"][i] = _sha256("")
+                if raw.startswith(b"\xd0\xcf\x11\xe0"):
+                    # legacy OLE2 (.doc/.xls): the reference's converter
+                    # chain needs LibreOffice, absent here → classified
+                    # error row (not generic "unsupported")
+                    cols["ok"][i] = False
+                    cols["error_kind"][i] = "office_unsupported"
+                    cols["error"][i] = (
+                        "legacy OLE2 office document: no converter available"
+                    )
+                    cols["text_sha256"][i] = _sha256("")
+                else:
+                    # OOXML (.docx): extracted directly (stdlib zip +
+                    # XML — functions/office_extract.py), no LibreOffice
+                    res = extract_docx(raw, cfg)
+                    cols["ok"][i] = res.ok
+                    cols["error_kind"][i] = res.error_kind
+                    cols["error"][i] = res.error
+                    cols["text_md"][i] = res.text_md
+                    cols["spans"][i] = res.spans
+                    cols["text_sha256"][i] = _sha256(res.text_md)
             else:
                 cols["ok"][i] = False
                 cols["error_kind"][i] = "unsupported"

@@ -1,0 +1,77 @@
+"""OOXML (.docx) extraction: stdlib zip+XML subset (SURVEY M2/M4 —
+the reference needs LibreOffice; the OOXML slice needs nothing)."""
+
+import io
+import random
+import zipfile
+
+from documentconvert_ray.functions.office_extract import extract_docx
+from documentconvert_ray.sources.corpus import make_docx
+
+
+def _docx(xml: str, name: str = "word/document.xml") -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(name, xml)
+    return buf.getvalue()
+
+
+W = '<w:document xmlns:w="x"><w:body>{}</w:body></w:document>'
+
+
+def test_paragraphs_and_headings():
+    xml = W.format(
+        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        "<w:r><w:t>Title Here</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>Body text one.</w:t></w:r></w:p>"
+    )
+    res = extract_docx(_docx(xml))
+    assert res.ok
+    assert "# Title Here" in res.text_md
+    assert "Body text one." in res.text_md
+
+
+def test_runs_concatenate_and_entities():
+    xml = W.format(
+        '<w:p><w:r><w:t xml:space="preserve">A &amp; </w:t></w:r>'
+        "<w:r><w:t>B</w:t></w:r></w:p>"
+    )
+    res = extract_docx(_docx(xml))
+    assert res.ok and "A & B" in res.text_md
+
+
+def test_table_renders_markdown():
+    xml = W.format(
+        "<w:tbl>"
+        "<w:tr><w:tc><w:p><w:r><w:t>h1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>h2</w:t></w:r></w:p></w:tc></w:tr>"
+        "<w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl>"
+    )
+    res = extract_docx(_docx(xml))
+    assert res.ok
+    assert "| h1 | h2 |" in res.text_md
+    assert "| a | b |" in res.text_md
+
+
+def test_truncated_zip_classifies():
+    payload = _docx(W.format("<w:p><w:r><w:t>x</w:t></w:r></w:p>"))
+    res = extract_docx(payload[: len(payload) * 2 // 3])
+    assert not res.ok and res.error_kind == "office_truncated"
+
+
+def test_missing_document_xml_is_unsupported():
+    res = extract_docx(_docx("<x/>", name="other/part.xml"))
+    assert not res.ok and res.error_kind == "office_unsupported"
+
+
+def test_generator_roundtrip_deterministic():
+    r1 = random.Random(5)
+    r2 = random.Random(5)
+    p1, n1 = make_docx(r1)
+    p2, n2 = make_docx(r2)
+    assert p1 == p2 and n1 == n2  # byte-identical payloads
+    res = extract_docx(p1)
+    assert res.ok and n1.split()[0] in res.text_md

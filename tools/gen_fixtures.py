@@ -51,10 +51,18 @@ def main() -> None:
             elif dt == DOC_PDF:
                 res = extract_pdf(payload, DEFAULT_CONFIG)
             elif dt == DOC_OFFICE:
-                from documentconvert_ray.functions.html_extract import ExtractResult
-                res = ExtractResult(
-                    False, "", [], "office_unsupported",
-                    "office document (OLE2/OOXML): no converter available")
+                if payload.startswith(b"\xd0\xcf\x11\xe0"):
+                    from documentconvert_ray.functions.html_extract import (
+                        ExtractResult,
+                    )
+                    res = ExtractResult(
+                        False, "", [], "office_unsupported",
+                        "legacy OLE2 office document: no converter available")
+                else:
+                    from documentconvert_ray.functions.office_extract import (
+                        extract_docx,
+                    )
+                    res = extract_docx(payload, DEFAULT_CONFIG)
             else:
                 from documentconvert_ray.functions.html_extract import ExtractResult
                 res = ExtractResult(False, "", [], "unsupported",
