@@ -170,6 +170,26 @@ _ATTR_RE = re.compile(
     r"([^\s/>][^\s/>=]*)(\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 _END_TAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# html.parser's tagfind_tolerant shape: name directly after '</',
+# junk before '>' discarded (e.g. '</p class="x">' still closes p)
+_END_NAME_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />]*)")
+
+
+def _bogus_tail(tb: _TreeBuilder, text: str, lt: int) -> int:
+    """html.parser's incomplete-construct fallback: emit raw data up to
+    (and including) the next '>', else up to the next '<', else just
+    the '<' itself; parsing then continues. No entity conversion
+    (stdlib emits this chunk without charref handling)."""
+    k = text.find(">", lt + 1)
+    if k >= 0:
+        tb.handle_data(text[lt:k + 1])
+        return k + 1
+    k = text.find("<", lt + 1)
+    if k >= 0:
+        tb.handle_data(text[lt:k])
+        return k
+    tb.handle_data(text[lt:lt + 1])
+    return lt + 1
 _CHARREF_RE = re.compile(r"&")
 
 
@@ -199,21 +219,32 @@ def _fast_feed(text: str, tb: _TreeBuilder) -> None:
             if m:
                 tb.handle_endtag(m.group(1).lower())
                 pos = m.end()
+                continue
+            m = _END_NAME_RE.match(text, lt)
+            gt = find(">", lt + 1)
+            if m and gt >= 0:
+                # junk before '>' discarded, tag still closes
+                tb.handle_endtag(m.group(1).lower())
+                pos = gt + 1
+            elif gt >= 0:
+                pos = gt + 1  # bogus end tag ('</ x>') → skipped
             else:
-                gt = find(">", lt)  # bogus end tag → skip it
-                pos = n if gt < 0 else gt + 1
+                pos = _bogus_tail(tb, text, lt)
             continue
         if nxt == "!":
             if text.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                pos = n if end < 0 else end + 3
+                if end < 0:  # unterminated comment → bogus-data rule
+                    pos = _bogus_tail(tb, text, lt)
+                else:
+                    pos = end + 3
             else:
                 gt = find(">", lt)
-                pos = n if gt < 0 else gt + 1
+                pos = gt + 1 if gt >= 0 else _bogus_tail(tb, text, lt)
             continue
         if nxt == "?":
             gt = find(">", lt)
-            pos = n if gt < 0 else gt + 1
+            pos = gt + 1 if gt >= 0 else _bogus_tail(tb, text, lt)
             continue
         if not nxt.isalpha():
             tb.handle_data("<")
@@ -229,9 +260,12 @@ def _fast_feed(text: str, tb: _TreeBuilder) -> None:
         raw_attrs = m.group(2)
         # only class/id (boilerplate tokens) and href (links) are ever
         # read downstream — skip attribute parsing when none can occur
-        if raw_attrs and tag != "a" and "class" not in raw_attrs \
-                and "id" not in raw_attrs:
-            raw_attrs = ""
+        # (case-insensitive: attribute NAMES are lowercased on parse,
+        # so CLASS=/Id= must not bypass the prefilter)
+        if raw_attrs and tag != "a":
+            low = raw_attrs.lower()
+            if "class" not in low and "id" not in low:
+                raw_attrs = ""
         if raw_attrs:
             for am in _ATTR_RE.finditer(raw_attrs):
                 name = am.group(1).lower()

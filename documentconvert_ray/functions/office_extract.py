@@ -31,7 +31,7 @@ _P_RE = re.compile(r"<w:p[ >].*?</w:p>|<w:p/>", re.S)
 _T_RE = re.compile(r"<w:t(?: [^>]*)?>(.*?)</w:t>", re.S)
 _STYLE_RE = re.compile(r'<w:pStyle[^>]*w:val="Heading([1-6])"')
 _TBL_RE = re.compile(r"<w:tbl>.*?</w:tbl>", re.S)
-_TR_RE = re.compile(r"<w:tr[ >].*?</w:tr>|<w:tr>.*?</w:tr>", re.S)
+_TR_RE = re.compile(r"<w:tr[ >].*?</w:tr>", re.S)
 _TC_RE = re.compile(r"<w:tc>.*?</w:tc>", re.S)
 _WS_RE = re.compile(r"\s+")
 
@@ -44,10 +44,15 @@ def extract_docx(raw: bytes,
                  cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
     """bytes → (text_md, spans) for an OOXML payload. Never raises."""
     try:
-        # EOCD check first (empty-comment zips end with the 22-byte
-        # PK\x05\x06 record): missing → truncated payload, classified
-        # deterministically (and SQL-mirrorable byte check)
-        if len(raw) < 22 or raw[-22:-18] != b"PK\x05\x06":
+        # EOCD check first: the PK\x05\x06 end-of-central-directory
+        # record must appear in the final 64 KiB + 22 bytes (the spec's
+        # maximum comment length) — missing → truncated payload,
+        # classified deterministically. Comment-less zips (all the
+        # corpus generates) put it exactly 22 bytes from EOF, which is
+        # what the flagship SQL oracle mirrors.
+        if len(raw) < 22 or raw.rfind(
+            b"PK\x05\x06", max(0, len(raw) - 65557)
+        ) < 0:
             return ExtractResult(
                 False, "", [], "office_truncated",
                 "zip end-of-central-directory record missing")
@@ -55,7 +60,13 @@ def extract_docx(raw: bytes,
             zf = zipfile.ZipFile(io.BytesIO(raw))
             with zf.open("word/document.xml") as f:
                 xml = f.read().decode("utf-8", "replace")
-        except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError) as e:
+        except zipfile.BadZipFile as e:
+            # an EOCD-bearing payload the zip machinery still rejects
+            # is cut/corrupt content, not an unsupported format
+            return ExtractResult(
+                False, "", [], "office_truncated",
+                f"corrupt zip structure: {e}"[:200])
+        except (KeyError, OSError, NotImplementedError) as e:
             return ExtractResult(
                 False, "", [], "office_unsupported",
                 f"not a parseable OOXML document: {e}"[:200])

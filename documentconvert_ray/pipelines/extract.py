@@ -157,11 +157,11 @@ class ShardWriter:
     re-scan measured ~3× the core pipeline time at 32 CPUs).
 
     Idempotent under Ray task retries: the output filename is a pure
-    function of the batch content — an XOR-fold of sha256(url ||
-    text_sha256) over every row of the slice, so two DISTINCT blocks
-    can never share a name (a retried task atomically replaces its own
-    file, never duplicates rows, and equal-first-url/equal-row-count
-    blocks cannot silently overwrite each other).
+    function of the batch content — a SEQUENTIAL sha256 over every
+    (url, text_sha256) row of the slice (collision-resistant; an XOR
+    fold would let duplicate rows cancel pairwise), so two distinct
+    blocks can never share a name: a retried task atomically replaces
+    its own file, never duplicates rows.
 
     Durability ordering: the data tmp file is fsynced before the
     rename, and the shard directory is fsynced after it, so a shard's
@@ -190,13 +190,14 @@ class ShardWriter:
             mask = pa.array([s == sid for s in shard_col])
             sub = data.filter(mask)
             d = mf.shard_data_dir(self.out_dir, sid)
-            digest = 0
+            hh = _h.sha256()
             for u, s in zip(sub.column("url").to_pylist(),
                             sub.column("text_sha256").to_pylist()):
-                digest ^= int(
-                    _h.sha256(f"{u}\x00{s}".encode()).hexdigest(), 16
-                )
-            stem = f"{digest:064x}"[:16]
+                hh.update(u.encode())
+                hh.update(b"\x00")
+                hh.update(s.encode())
+                hh.update(b"\x01")
+            stem = hh.hexdigest()[:16]
             final = os.path.join(d, f"part-{stem}.parquet")
             if mf.is_uri(self.out_dir):
                 # object stores: per-object atomic PUT, no rename/fsync
@@ -222,10 +223,11 @@ class ShardWriter:
 def _stats_partials(batch: pa.Table, shard_id: int) -> pa.Table:
     """One shard-slice of a batch → one partial-stats row.
 
-    The content digest is an XOR-fold of sha256(url || text_sha256) —
-    order-insensitive and mergeable, so partials combine in any order
-    (SURVEY.md §2.5: mergeable partial aggregation before the tiny
-    final combine)."""
+    The content digest is a SUM (mod 2^256) of per-row
+    sha256(url || text_sha256) — order-insensitive and mergeable like
+    an XOR fold, but duplicate rows cannot cancel pairwise (h+h ≠ 0),
+    so a digest match certifies the multiset of rows (SURVEY.md §2.5:
+    mergeable partial aggregation before the tiny final combine)."""
     import hashlib as _h
 
     shards = [shard_id] * batch.num_rows
@@ -251,7 +253,7 @@ def _stats_partials(batch: pa.Table, shard_id: int) -> pa.Table:
             a["by_error_kind"][k] = a["by_error_kind"].get(k, 0) + 1
         a["out_md_bytes"] += md_lens[i]
         h = _h.sha256((urls[i] + "\x00" + shas[i]).encode()).hexdigest()
-        a["digest"] ^= int(h, 16)
+        a["digest"] = (a["digest"] + int(h, 16)) % (1 << 256)
 
     import json as _json
 
@@ -380,7 +382,9 @@ def dedup_input_urls(ds: ray.data.Dataset,
     def keep_winners(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        dups, picks = ray.get(dup_ref)
+        from ..stages.similarity import resolve_broadcast
+
+        dups, picks = resolve_broadcast(dup_ref, key="url-dedup")
         urls = batch.column("url").to_pylist()
         mask = [True] * len(urls)
         ts = None
@@ -407,7 +411,9 @@ def dedup_input_urls(ds: ray.data.Dataset,
         return main
 
     def only_picks(batch: pa.Table) -> pa.Table:
-        _dups, picks = ray.get(dup_ref)
+        from ..stages.similarity import resolve_broadcast
+
+        _dups, picks = resolve_broadcast(dup_ref, key="url-dedup")
         urls = batch.column("url").to_pylist()
         sub = batch.filter(pa.array([u in picks for u in urls]))
         return sub.append_column(
@@ -459,6 +465,15 @@ def run_extract_job(
             # empty input dir/glob: a valid no-op run, not a crash
             return dict(_EMPTY)
     elif not files:
+        # URI input: distinguish a typo'd path (error, like the local
+        # FileNotFoundError branch) from an existing-but-empty prefix
+        # (valid no-op)
+        if isinstance(input_path, str):
+            import pyarrow.fs as _pafs
+
+            fs, p = mf.fs_for(input_path)
+            if fs.get_file_info(p).type == _pafs.FileType.NotFound:
+                raise FileNotFoundError(f"no input at {input_path}")
         return dict(_EMPTY)
     shards = mf.shard_map(files)
     fp = cfg.fingerprint()
@@ -494,7 +509,7 @@ def run_extract_job(
             a["ok"] += int(r.ok)
             a["errors"] += int(r.errors)
             a["out_md_bytes"] += int(r.out_md_bytes)
-            a["digest"] ^= int(r.digest_hex, 16)
+            a["digest"] = (a["digest"] + int(r.digest_hex, 16)) % (1 << 256)
             for k, v in _json.loads(r.by_error_kind).items():
                 a["by_error_kind"][k] = a["by_error_kind"].get(k, 0) + v
 

@@ -658,19 +658,22 @@ def q_ann_ivf(sf_dir: str):
 # ------------------------------------------------------ multimodal queries
 
 
+def _text_payload(batch: pa.Table) -> pa.Table:
+    """documents.text → opaque binary payload column (the stand-in for
+    image/audio/video bytes in the multimodal stages)."""
+    payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Binary-column decode plumbing (stubbed kernel; real actor-pool
     stage). documents.text bytes stand in for image payloads."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(_text_payload, batch_format="pyarrow")
     return ds.map_batches(
         ImageDecodeStage(), batch_format="pyarrow", batch_size=128,
     )
@@ -681,15 +684,8 @@ def q_multimodal_resize(sf_dir: str):
     integer aspect-preserving rescale of the decoded dims."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
     return (
-        ds.map_batches(to_payload, batch_format="pyarrow")
+        ds.map_batches(_text_payload, batch_format="pyarrow")
         .map_batches(ImageDecodeStage(), batch_format="pyarrow",
                      batch_size=128)
         .map_batches(ImageResizeStage(224), batch_format="pyarrow")
@@ -702,15 +698,8 @@ def q_multimodal_features(sf_dir: str):
     compact feature rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
     return (
-        ds.map_batches(to_payload, batch_format="pyarrow")
+        ds.map_batches(_text_payload, batch_format="pyarrow")
         .map_batches(FeatureExtractStage(), batch_format="pyarrow",
                      batch_size=128)
     )
@@ -719,14 +708,7 @@ def q_multimodal_features(sf_dir: str):
 def q_frame_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"),
-             "payload": pa.array(payloads, pa.binary())}
-        )
-
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(_text_payload, batch_format="pyarrow")
     return ds.map_batches(
         FrameSampleStage(), batch_format="pyarrow", batch_size=128,
     )

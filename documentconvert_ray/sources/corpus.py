@@ -490,20 +490,22 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         for num in sorted(bodies):
             offsets[num] = len(out)
             out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
-        # xref stream (W [1 2 1]); the scan-based parser only needs
-        # /Root from its dict, but the entries are well-formed
-        entries = bytearray(b"\x00\x00\x00\xff")
+        # xref stream (W [1 4 1] — 4-byte offsets so documents of any
+        # size fit; 2 bytes overflowed at 64 KiB); the scan-based
+        # parser only needs /Root from its dict, but the entries are
+        # well-formed
+        entries = bytearray(b"\x00\x00\x00\x00\x00\xff")
         for num in range(1, xref_num + 1):
             if num in offsets:
-                entries += b"\x01" + offsets[num].to_bytes(2, "big") + b"\x00"
+                entries += b"\x01" + offsets[num].to_bytes(4, "big") + b"\x00"
             else:  # in the object stream
-                entries += b"\x02" + objstm_num.to_bytes(2, "big") + b"\x00"
+                entries += b"\x02" + objstm_num.to_bytes(4, "big") + b"\x00"
         zent = zlib.compress(bytes(entries))
         xref_pos = len(out)
         out += (
             str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
             + str(xref_num + 1).encode()
-            + b" /W [1 2 1] /Root 1 0 R /Filter /FlateDecode /Length "
+            + b" /W [1 4 1] /Root 1 0 R /Filter /FlateDecode /Length "
             + str(len(zent)).encode() + b" >>\nstream\n" + zent
             + b"\nendstream\nendobj\n"
         )

@@ -363,12 +363,12 @@ def hamming_filter_pairs(batch: pa.Table, max_hamming: int,
          "hamming": pa.array(ham[keep])})
 
 
-def dedup_pairs(group):
+def dedup_pairs(group, a: str = "doc_id_a", b: str = "doc_id_b"):
     """One pair-hash bucket → each (a, b) pair once (first row wins;
     all duplicate rows of a pair carry identical payload columns)."""
     return (
-        group.sort_values(["doc_id_a", "doc_id_b"], kind="mergesort")
-        .drop_duplicates(["doc_id_a", "doc_id_b"])
+        group.sort_values([a, b], kind="mergesort")
+        .drop_duplicates([a, b])
         .drop(columns=["pair_bucket"])
         .reset_index(drop=True)
     )
@@ -399,23 +399,22 @@ class ShingleSetStage:
     nothing, so only candidate shingle sets ever shuffle."""
 
     def __init__(self, cand_ref, n_buckets: int, k_shingle: int = 3) -> None:
-        import ray
-
-        self.cand = (ray.get(cand_ref)
-                     if not isinstance(cand_ref, (set, frozenset))
-                     else cand_ref)
+        self._cand_ref = cand_ref  # resolved lazily in the worker
         self.n_buckets = n_buckets
         self.k = k_shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        from .similarity import resolve_broadcast
+
+        cand = resolve_broadcast(self._cand_ref, key="shingle-cand")
         ids_out: list[int] = []
         sh_out: list = []
         n_out: list[int] = []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
-            if doc_id not in self.cand:
+            if doc_id not in cand:
                 continue
             ss = shingles(text or "", self.k)
             arr = np.sort(np.fromiter(ss, dtype=np.uint64,

@@ -47,25 +47,52 @@ def normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# Broadcast resolution for stages used as plain task callables: the
+# instance stores the ObjectRef and resolves it lazily in the WORKER
+# (cached per process, incl. any derived transform), so the payload
+# flows through the object store exactly once per node instead of
+# being baked into the cloudpickled task closure on the driver
+# (review r2: driver-side __init__ ray.get defeated every broadcast).
+_REF_CACHE: dict[str, object] = {}
+
+
+def resolve_broadcast(ref, transform=None, key: str = ""):
+    if not isinstance(ref, ray.ObjectRef):
+        return transform(ref) if transform else ref
+    k = ref.hex() + "|" + key
+    if k not in _REF_CACHE:
+        if len(_REF_CACHE) > 16:
+            _REF_CACHE.clear()
+        v = ray.get(ref)
+        _REF_CACHE[k] = transform(v) if transform else v
+    return _REF_CACHE[k]
+
+
 class CosineTopKPartial:
     """Per-batch partial top-k: emits (query_id, neighbor_id, sim) for
     the batch-local top-k of every query; the global top-k reduction
     then runs over ≤ k·n_batches rows per query, not the corpus."""
 
     def __init__(self, queries_ref, k: int = 5) -> None:
-        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
-        self.qids = np.asarray(sorted(q), dtype=np.int64)
-        self.qmat = normalize(
-            np.asarray([q[i] for i in self.qids], dtype=np.float64)
-        )
+        self._qref = queries_ref
         self.k = k
 
+    def _queries(self):
+        def prep(q):
+            qids = np.asarray(sorted(q), dtype=np.int64)
+            qmat = normalize(
+                np.asarray([q[i] for i in qids], dtype=np.float64))
+            return qids, qmat
+
+        return resolve_broadcast(self._qref, prep, key="topk-q")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qmat = self._queries()
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = normalize(_mat(batch.column("embedding")))
-        sims = self.qmat @ mat.T  # (nq, nb)
+        sims = qmat @ mat.T  # (nq, nb)
         out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
+        for qi, qid in enumerate(qids):
             row = sims[qi]
             mask = vids != qid  # exclude self
             idx = np.nonzero(mask)[0]
@@ -105,18 +132,25 @@ class CosinePairsPartial:
     buckets (same __call__, bucket-filtered)."""
 
     def __init__(self, corpus_ref, tau: float) -> None:
-        ids, mat = ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
-        self.ids = np.asarray(ids, dtype=np.int64)
-        self.mat = normalize(np.asarray(mat, dtype=np.float64))
+        self._cref = corpus_ref
         self.tau = tau
 
+    def _corpus(self):
+        def prep(v):
+            ids, mat = v
+            return (np.asarray(ids, dtype=np.int64),
+                    normalize(np.asarray(mat, dtype=np.float64)))
+
+        return resolve_broadcast(self._cref, prep, key="pairs-corpus")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cids, cmat = self._corpus()
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = normalize(_mat(batch.column("embedding")))
-        sims = m @ self.mat.T  # (nb, N)
+        sims = m @ cmat.T  # (nb, N)
         hit_r, hit_c = np.nonzero(sims >= self.tau)
         a = vids[hit_r]
-        b = self.ids[hit_c]
+        b = cids[hit_c]
         keep = a < b  # each unordered pair exactly once, no self-pairs
         return pa.Table.from_pydict(
             {"vec_id_a": pa.array(a[keep]), "vec_id_b": pa.array(b[keep])}
@@ -193,11 +227,12 @@ class IvfAssign:
     """Adds the IVF bucket id to each vector row."""
 
     def __init__(self, cents_ref) -> None:
-        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self._cref = cents_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cents = resolve_broadcast(self._cref, key="ivf-cents")
         m = normalize(_mat(batch.column("embedding")))
-        assign = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
+        assign = np.argmax(m @ cents.T, axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(assign, pa.int32()))
 
 
@@ -207,17 +242,24 @@ class IvfTopKPartial(CosineTopKPartial):
 
     def __init__(self, queries_ref, probe_ref, k: int = 5) -> None:
         super().__init__(queries_ref, k)
-        probes = ray.get(probe_ref) if not isinstance(probe_ref, dict) else probe_ref
-        self.probes = {int(q): set(v) for q, v in probes.items()}
+        self._pref = probe_ref
+
+    def _probes(self):
+        return resolve_broadcast(
+            self._pref,
+            lambda p: {int(q): set(v) for q, v in p.items()},
+            key="ivf-probes")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qmat = self._queries()
+        probes = self._probes()
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int32)
         mat = normalize(_mat(batch.column("embedding")))
-        sims = self.qmat @ mat.T
+        sims = qmat @ mat.T
         out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            probe = self.probes.get(int(qid), set())
+        for qi, qid in enumerate(qids):
+            probe = probes.get(int(qid), set())
             mask = (vids != qid) & np.isin(buckets, list(probe))
             idx = np.nonzero(mask)[0]
             if idx.size == 0:
@@ -244,14 +286,14 @@ class IvfMultiAssign:
     whole-corpus broadcast."""
 
     def __init__(self, cents_ref, nprobe: int = 2) -> None:
-        self.cents = (ray.get(cents_ref)
-                      if not isinstance(cents_ref, np.ndarray) else cents_ref)
+        self._cref = cents_ref
         self.nprobe = nprobe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cents = resolve_broadcast(self._cref, key="ivf-cents")
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = normalize(_mat(batch.column("embedding")))
-        sims = m @ self.cents.T  # (n, k)
+        sims = m @ cents.T  # (n, k)
         k = min(self.nprobe, sims.shape[1])
         top = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # (n, k)
         out_b = top.reshape(-1).astype(np.int32)
@@ -290,10 +332,8 @@ def bucket_cosine_pairs(group, tau: float, n_pair_buckets: int):
 
 
 def dedup_vec_pairs(group):
-    """Pair-bucket group → each (a, b) once (probes overlap)."""
-    return (
-        group.sort_values(["vec_id_a", "vec_id_b"], kind="mergesort")
-        .drop_duplicates(["vec_id_a", "vec_id_b"])
-        .drop(columns=["pair_bucket"])
-        .reset_index(drop=True)
-    )
+    """Pair-bucket group → each (a, b) once (probes overlap); shares
+    the dedup-stage implementation, keyed on the vec id columns."""
+    from .dedup import dedup_pairs
+
+    return dedup_pairs(group, a="vec_id_a", b="vec_id_b")

@@ -161,3 +161,25 @@ def test_fast_parser_matches_stdlib_parser():
             parse_html_stdlib, row["html"]), f"doc {i}"
         checked += 1
     assert checked > 1000
+
+    # adversarial constructs the generator never emits (review r2):
+    # uppercase attrs, unterminated comments/decls/PIs/end tags,
+    # empty-comment form, end tags with junk attributes
+    cases = [
+        b'<body><div CLASS="menu"><a href="/a">junk link</a></div>'
+        b'<p>Real content paragraph here ok.</p></body>',
+        b'<body><p>keep this text ok</p><!-- lost tail goes on</body></html>',
+        b'<body><p>before</p><!--><p>after empty comment form</p></body>',
+        b'<body><p>x</p></ bogus-no-gt',
+        b'<body><p>y</p><?php unterminated',
+        b'<body><p>z</p><!DOCTYPE junk-no-gt',
+        b'<body><div Id="comments"><p>pruned commentary</p></div>'
+        b'<p>kept body paragraph text.</p></body>',
+        b'<body><P CLASS="x">Upper tag</P><p data-ID="7">mixed</p></body>',
+        b'<body><p>close with junk</p class="x"><p>next para text.</p></body>',
+        b'<body><p>t</p></><p>after empty endtag.</p></body>',
+        b'<body><p>unterminated start <a href="x',
+        b'<body><p>amp tail &amp; <!-- c',
+    ]
+    for c in cases:
+        assert md_via(parse_html, c) == md_via(parse_html_stdlib, c), c

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def shard_digest(files: list[str]) -> tuple[int, int]:
-    """(row_count, xor_digest) from the small columns only."""
+    """(row_count, sum-mod-2^256 digest) from the small columns only."""
     import pyarrow.parquet as pq
 
     digest = 0
@@ -33,7 +33,7 @@ def shard_digest(files: list[str]) -> tuple[int, int]:
         for url, sha in zip(t.column("url").to_pylist(),
                             t.column("text_sha256").to_pylist()):
             h = hashlib.sha256((url + "\x00" + sha).encode()).hexdigest()
-            digest ^= int(h, 16)
+            digest = (digest + int(h, 16)) % (1 << 256)
     return rows, digest
 
 
