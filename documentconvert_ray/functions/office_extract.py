@@ -35,6 +35,14 @@ _TR_RE = re.compile(r"<w:tr[ >].*?</w:tr>", re.S)
 _TC_RE = re.compile(r"<w:tc>.*?</w:tc>", re.S)
 _WS_RE = re.compile(r"\s+")
 
+# spreadsheet (xlsx) parts
+_ROW_RE = re.compile(r"<row[ >].*?</row>", re.S)
+_CELL_RE = re.compile(r"<c(?: ([^>/]*))?(?:/>|>(.*?)</c>)", re.S)
+_V_RE = re.compile(r"<v>(.*?)</v>", re.S)
+_IS_T_RE = re.compile(r"<t(?: [^>]*)?>(.*?)</t>", re.S)
+_SI_RE = re.compile(r"<si>(.*?)</si>", re.S)
+_TYPE_RE = re.compile(r'(?:^|\s)t="([^"]+)"')
+
 
 def _runs_text(xml: str) -> str:
     return _WS_RE.sub(" ", unescape("".join(_T_RE.findall(xml)))).strip()
@@ -58,8 +66,16 @@ def extract_docx(raw: bytes,
                 "zip end-of-central-directory record missing")
         try:
             zf = zipfile.ZipFile(io.BytesIO(raw))
-            with zf.open("word/document.xml") as f:
-                xml = f.read().decode("utf-8", "replace")
+            names = set(zf.namelist())
+            if "word/document.xml" in names:
+                with zf.open("word/document.xml") as f:
+                    xml = f.read().decode("utf-8", "replace")
+            elif any(n.startswith("xl/worksheets/") for n in names):
+                return _extract_xlsx(zf, names)
+            else:
+                return ExtractResult(
+                    False, "", [], "office_unsupported",
+                    "OOXML zip without a known main part")
         except zipfile.BadZipFile as e:
             # an EOCD-bearing payload the zip machinery still rejects
             # is cut/corrupt content, not an unsupported format
@@ -110,3 +126,57 @@ def extract_docx(raw: bytes,
     except Exception as e:  # noqa: BLE001 — row-level capture (M12)
         return ExtractResult(False, "", [], "office_parse_error",
                              str(e)[:200])
+
+
+def _extract_xlsx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
+    """xl/worksheets/*.xml → one markdown table per sheet (first row is
+    the header). Cell values: shared strings (t="s" → sharedStrings
+    index), inline strings (t="inlineStr" → <is><t>), raw <v>
+    otherwise."""
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        with zf.open("xl/sharedStrings.xml") as f:
+            sst = f.read().decode("utf-8", "replace")
+        shared = [
+            _WS_RE.sub(" ", unescape("".join(_IS_T_RE.findall(si)))).strip()
+            for si in _SI_RE.findall(sst)
+        ]
+    blocks: list[Block] = []
+    for sheet in sorted(n for n in names if n.startswith("xl/worksheets/")
+                        and n.endswith(".xml")):
+        with zf.open(sheet) as f:
+            xml = f.read().decode("utf-8", "replace")
+        rows: list[list[str]] = []
+        for rxml in _ROW_RE.findall(xml):
+            cells: list[str] = []
+            for cm in _CELL_RE.finditer(rxml):
+                attrs = cm.group(1) or ""
+                body = cm.group(2) or ""
+                tm = _TYPE_RE.search(attrs)
+                ctype = tm.group(1) if tm else ""
+                if ctype == "s":
+                    vm = _V_RE.search(body)
+                    idx = int(vm.group(1)) if vm else -1
+                    cells.append(shared[idx]
+                                 if 0 <= idx < len(shared) else "")
+                elif ctype == "inlineStr":
+                    cells.append(_WS_RE.sub(" ", unescape(
+                        "".join(_IS_T_RE.findall(body)))).strip())
+                else:
+                    vm = _V_RE.search(body)
+                    cells.append(unescape(vm.group(1)).strip()
+                                 if vm else "")
+            cells = [c.replace("|", "\\|") for c in cells]
+            if any(cells):
+                rows.append(cells)
+        if not rows:
+            continue
+        width = max(len(r) for r in rows)
+        norm = [r + [""] * (width - len(r)) for r in rows]
+        lines = ["| " + " | ".join(norm[0]) + " |",
+                 "| " + " | ".join(["---"] * width) + " |"]
+        for r in norm[1:]:
+            lines.append("| " + " | ".join(r) + " |")
+        blocks.append(Block("table", "\n".join(lines)))
+    text_md, spans = render(blocks)
+    return ExtractResult(True, text_md, spans)

@@ -630,20 +630,100 @@ def make_docx(r: random.Random) -> tuple[bytes, str]:
     return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
 
 
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+    'worksheet+xml"/></Types>'
+)
+
+
+def make_xlsx(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .xlsx (zip: [Content_Types].xml + worksheet +
+    sharedStrings): header row of shared strings, data rows mixing
+    shared strings, inline strings and numbers."""
+    import io
+    import zipfile
+
+    shown: list[str] = []
+    shared: list[str] = []
+
+    def sref(s: str) -> int:
+        shared.append(s)
+        return len(shared) - 1
+
+    n_cols = r.randint(2, 4)
+    headers = [f"{r.choice(_WORDS)}" for _ in range(n_cols)]
+    rows_xml: list[str] = []
+    cells = "".join(
+        f'<c r="{chr(65 + j)}1" t="s"><v>{sref(h)}</v></c>'
+        for j, h in enumerate(headers))
+    shown.extend(headers)
+    rows_xml.append(f'<row r="1">{cells}</row>')
+    for i in range(r.randint(2, 8)):
+        parts: list[str] = []
+        for j in range(n_cols):
+            ref = f"{chr(65 + j)}{i + 2}"
+            roll = r.random()
+            if roll < 0.4:
+                w = r.choice(_WORDS)
+                shown.append(w)
+                parts.append(f'<c r="{ref}" t="s"><v>{sref(w)}</v></c>')
+            elif roll < 0.6:
+                w = r.choice(_WORDS)
+                shown.append(w)
+                parts.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{w}</t></is></c>')
+            else:
+                v = r.randint(0, 9999)
+                shown.append(str(v))
+                parts.append(f'<c r="{ref}"><v>{v}</v></c>')
+        rows_xml.append(f'<row r="{i + 2}">{"".join(parts)}</row>')
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        f'2006/main" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in (("[Content_Types].xml", _XLSX_CT),
+                           ("xl/sharedStrings.xml", sst),
+                           ("xl/worksheets/sheet1.xml", sheet)):
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, data)
+    return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
 def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
-    """Office payloads: ~50% legacy OLE2 (.doc/.xls magic — classified
-    office_unsupported, the reference needs LibreOffice there), ~50%
-    real minimal OOXML .docx which the engine extracts DIRECTLY
-    (functions/office_extract.py); ~15% of the docx slice is truncated
-    (EOCD record cut → deterministic office_truncated)."""
+    """Office payloads: ~40% legacy OLE2 (.doc/.xls magic — classified
+    office_unsupported, the reference needs LibreOffice there), ~40%
+    real minimal OOXML .docx and ~20% .xlsx, both extracted DIRECTLY
+    (functions/office_extract.py); ~15% of the OOXML slice is
+    truncated (EOCD record cut → deterministic office_truncated)."""
     r = _rng(doc_id, seed + 21)
-    if r.random() < 0.5:
+    roll = r.random()
+    if roll < 0.4:
         payload = (
             b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 compound file
             + bytes(r.getrandbits(8) for _ in range(504))
         )
         return payload, "", ""
-    payload, naive = make_docx(r)
+    if roll < 0.8:
+        payload, naive = make_docx(r)
+    else:
+        payload, naive = make_xlsx(r)
     if r.random() < 0.15:
         payload = payload[: int(len(payload) * 0.7)]  # truncated zip
         return payload, "", "en"

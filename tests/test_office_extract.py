@@ -75,3 +75,46 @@ def test_generator_roundtrip_deterministic():
     assert p1 == p2 and n1 == n2  # byte-identical payloads
     res = extract_docx(p1)
     assert res.ok and n1.split()[0] in res.text_md
+
+
+def _xlsx(sheet_xml: str, shared: list | None = None) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        if shared is not None:
+            sst = "<sst>" + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>"
+            z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return buf.getvalue()
+
+
+def test_xlsx_shared_inline_and_numeric_cells():
+    sheet = (
+        '<worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>inline</t></is></c>'
+        '<c r="B2"><v>42</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    res = extract_docx(_xlsx(sheet, shared=["colA", "colB"]))
+    assert res.ok
+    assert "| colA | colB |" in res.text_md
+    assert "| inline | 42 |" in res.text_md
+
+
+def test_xlsx_generator_roundtrip():
+    r = random.Random(11)
+    from documentconvert_ray.sources.corpus import make_xlsx
+
+    p, naive = make_xlsx(r)
+    res = extract_docx(p)
+    assert res.ok
+    for w in naive.split()[:8]:
+        assert w in res.text_md.replace("\\|", "|")
+
+
+def test_ooxml_without_main_part_unsupported():
+    # zip with neither word/document.xml nor xl/worksheets/
+    res = extract_docx(_docx("<x/>", name="ppt/slides/slide1.xml"))
+    assert not res.ok and res.error_kind == "office_unsupported"
