@@ -35,6 +35,11 @@ _TR_RE = re.compile(r"<w:tr[ >].*?</w:tr>", re.S)
 _TC_RE = re.compile(r"<w:tc>.*?</w:tc>", re.S)
 _WS_RE = re.compile(r"\s+")
 
+# presentation (pptx) parts
+_AP_RE = re.compile(r"<a:p(?: [^>]*)?>.*?</a:p>", re.S)
+_AT_RE = re.compile(r"<a:t>(.*?)</a:t>", re.S)
+_SLIDE_NUM_RE = re.compile(r"slide(\d+)\.xml$")
+
 # spreadsheet (xlsx) parts
 _ROW_RE = re.compile(r"<row[ >].*?</row>", re.S)
 _CELL_RE = re.compile(r"<c(?: ([^>/]*))?(?:/>|>(.*?)</c>)", re.S)
@@ -72,6 +77,8 @@ def extract_docx(raw: bytes,
                     xml = f.read().decode("utf-8", "replace")
             elif any(n.startswith("xl/worksheets/") for n in names):
                 return _extract_xlsx(zf, names)
+            elif any(n.startswith("ppt/slides/slide") for n in names):
+                return _extract_pptx(zf, names)
             else:
                 return ExtractResult(
                     False, "", [], "office_unsupported",
@@ -178,5 +185,31 @@ def _extract_xlsx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
         for r in norm[1:]:
             lines.append("| " + " | ".join(r) + " |")
         blocks.append(Block("table", "\n".join(lines)))
+    text_md, spans = render(blocks)
+    return ExtractResult(True, text_md, spans)
+
+
+def _extract_pptx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
+    """ppt/slides/slideN.xml → per-slide heading + one paragraph per
+    <a:p> text block (runs concatenated), slides in numeric order."""
+    slides = []
+    for n in names:
+        m = _SLIDE_NUM_RE.search(n)
+        if m and n.startswith("ppt/slides/slide"):
+            slides.append((int(m.group(1)), n))
+    blocks: list[Block] = []
+    for num, name in sorted(slides):
+        with zf.open(name) as f:
+            xml = f.read().decode("utf-8", "replace")
+        paras = []
+        for pxml in _AP_RE.findall(xml):
+            txt = _WS_RE.sub(
+                " ", unescape("".join(_AT_RE.findall(pxml)))).strip()
+            if txt:
+                paras.append(txt)
+        if paras:
+            blocks.append(Block("heading", f"## Slide {num}"))
+            for txt in paras:
+                blocks.append(Block("para", txt))
     text_md, spans = render(blocks)
     return ExtractResult(True, text_md, spans)

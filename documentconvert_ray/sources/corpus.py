@@ -706,12 +706,69 @@ def make_xlsx(r: random.Random) -> tuple[bytes, str]:
     return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
 
 
+_PPTX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/slides/slide1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.presentationml.'
+    'slide+xml"/></Types>'
+)
+
+
+def make_pptx(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .pptx: 1-4 slides, each with an <a:p> title and
+    body paragraphs of <a:t> runs."""
+    import io
+    import zipfile
+
+    shown: list[str] = []
+    slides: list[str] = []
+    for _s in range(r.randint(1, 4)):
+        paras: list[str] = []
+        title = " ".join(r.choice(_WORDS) for _ in range(3)).title()
+        shown.append(title)
+        paras.append(title)
+        for _ in range(r.randint(1, 4)):
+            txt = _sentence(r, "en", r.randint(4, 10))
+            shown.append(txt)
+            paras.append(txt)
+        body = "".join(
+            "<a:p>" + "".join(
+                f"<a:r><a:t>{_xml_escape(piece)}</a:t></a:r>"
+                for piece in ([p[: len(p) // 2], p[len(p) // 2:]]
+                              if r.random() < 0.3 else [p]))
+            + "</a:p>"
+            for p in paras
+        )
+        slides.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" xmlns:a="http://schemas.'
+            'openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        entries = [("[Content_Types].xml", _PPTX_CT)] + [
+            (f"ppt/slides/slide{i + 1}.xml", s)
+            for i, s in enumerate(slides)
+        ]
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, data)
+    return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
 def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     """Office payloads: ~40% legacy OLE2 (.doc/.xls magic — classified
-    office_unsupported, the reference needs LibreOffice there), ~40%
-    real minimal OOXML .docx and ~20% .xlsx, both extracted DIRECTLY
-    (functions/office_extract.py); ~15% of the OOXML slice is
-    truncated (EOCD record cut → deterministic office_truncated)."""
+    office_unsupported, the reference needs LibreOffice there), ~30%
+    real minimal OOXML .docx, ~15% .xlsx, ~15% .pptx — all three OOXML
+    kinds extracted DIRECTLY (functions/office_extract.py); ~15% of
+    the OOXML slice is truncated (EOCD record cut → deterministic
+    office_truncated)."""
     r = _rng(doc_id, seed + 21)
     roll = r.random()
     if roll < 0.4:
@@ -720,10 +777,12 @@ def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             + bytes(r.getrandbits(8) for _ in range(504))
         )
         return payload, "", ""
-    if roll < 0.8:
+    if roll < 0.7:
         payload, naive = make_docx(r)
-    else:
+    elif roll < 0.85:
         payload, naive = make_xlsx(r)
+    else:
+        payload, naive = make_pptx(r)
     if r.random() < 0.15:
         payload = payload[: int(len(payload) * 0.7)]  # truncated zip
         return payload, "", "en"

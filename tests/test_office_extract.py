@@ -115,6 +115,31 @@ def test_xlsx_generator_roundtrip():
 
 
 def test_ooxml_without_main_part_unsupported():
-    # zip with neither word/document.xml nor xl/worksheets/
-    res = extract_docx(_docx("<x/>", name="ppt/slides/slide1.xml"))
+    # zip with no known main part (not word/, xl/worksheets/, ppt/slides/)
+    res = extract_docx(_docx("<x/>", name="visio/pages/page1.xml"))
     assert not res.ok and res.error_kind == "office_unsupported"
+
+
+def test_pptx_slides_numeric_order():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("ppt/slides/slide10.xml",
+                   "<p:sld><a:p><a:r><a:t>tenth slide text</a:t></a:r></a:p></p:sld>")
+        z.writestr("ppt/slides/slide2.xml",
+                   "<p:sld><a:p><a:r><a:t>second slide text</a:t></a:r></a:p></p:sld>")
+    res = extract_docx(buf.getvalue())
+    assert res.ok
+    assert res.text_md.index("## Slide 2") < res.text_md.index("## Slide 10")
+    assert "second slide text" in res.text_md
+
+
+def test_pptx_generator_roundtrip():
+    from documentconvert_ray.sources.corpus import make_pptx
+
+    r = random.Random(9)
+    p, naive = make_pptx(r)
+    res = extract_docx(p)
+    assert res.ok
+    for w in naive.split()[:8]:
+        assert w in res.text_md
