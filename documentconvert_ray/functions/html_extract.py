@@ -172,7 +172,7 @@ _ATTR_RE = re.compile(
 _END_TAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # html.parser's tagfind_tolerant shape: name directly after '</',
 # junk before '>' discarded (e.g. '</p class="x">' still closes p)
-_END_NAME_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />]*)")
+_END_NAME_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)")
 
 
 def _bogus_tail(tb: _TreeBuilder, text: str, lt: int) -> int:
@@ -190,7 +190,10 @@ def _bogus_tail(tb: _TreeBuilder, text: str, lt: int) -> int:
         return k
     tb.handle_data(text[lt:lt + 1])
     return lt + 1
+
+
 _CHARREF_RE = re.compile(r"&")
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")  # stdlib's commentclose
 
 
 def _unesc(s: str) -> str:
@@ -233,11 +236,13 @@ def _fast_feed(text: str, tb: _TreeBuilder) -> None:
             continue
         if nxt == "!":
             if text.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:  # unterminated comment → bogus-data rule
+                # stdlib closes comments on '--\s*>' (whitespace allowed
+                # before the '>'), not just the literal '-->'
+                cm = _COMMENT_CLOSE_RE.search(text, lt + 4)
+                if cm is None:  # unterminated comment → bogus-data rule
                     pos = _bogus_tail(tb, text, lt)
                 else:
-                    pos = end + 3
+                    pos = cm.end()
             else:
                 gt = find(">", lt)
                 pos = gt + 1 if gt >= 0 else _bogus_tail(tb, text, lt)

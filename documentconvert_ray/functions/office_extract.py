@@ -47,6 +47,16 @@ _V_RE = re.compile(r"<v>(.*?)</v>", re.S)
 _IS_T_RE = re.compile(r"<t(?: [^>]*)?>(.*?)</t>", re.S)
 _SI_RE = re.compile(r"<si>(.*?)</si>", re.S)
 _TYPE_RE = re.compile(r'(?:^|\s)t="([^"]+)"')
+_REF_COL_RE = re.compile(r'(?:^|\s)r="([A-Z]+)\d+"')
+_SHEET_NUM_RE = re.compile(r"sheet(\d+)\.xml$")
+
+
+def _col_index(letters: str) -> int:
+    """'A' → 0, 'B' → 1, … 'AA' → 26 (spreadsheet base-26)."""
+    v = 0
+    for ch in letters:
+        v = v * 26 + (ord(ch) - 64)
+    return v - 1
 
 
 def _runs_text(xml: str) -> str:
@@ -96,11 +106,20 @@ def extract_docx(raw: bytes,
 
         blocks: list[Block] = []
         # tables are rendered as markdown tables and removed from the
-        # paragraph stream (their <w:p> cells would otherwise double)
-        tables = _TBL_RE.findall(xml)
-        body = _TBL_RE.sub("\x00TBL\x00", xml)
+        # paragraph stream (their <w:p> cells would otherwise double);
+        # spans are depth-balanced so a table nested inside a cell
+        # stays within its OUTER table's span (its text flattens into
+        # the containing cell) instead of truncating the outer match
+        spans = _balanced_spans(xml, "<w:tbl>", "</w:tbl>")
+        tables = [xml[a:b] for a, b in spans]
+        segs: list[str] = []
+        prev = 0
+        for a, b in spans:
+            segs.append(xml[prev:a])
+            prev = b
+        segs.append(xml[prev:])
         ti = 0
-        for seg in body.split("\x00TBL\x00"):
+        for seg in segs:
             for pm in _P_RE.finditer(seg):
                 p = pm.group(0)
                 txt = _runs_text(p)
@@ -149,13 +168,25 @@ def _extract_xlsx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
             for si in _SI_RE.findall(sst)
         ]
     blocks: list[Block] = []
-    for sheet in sorted(n for n in names if n.startswith("xl/worksheets/")
-                        and n.endswith(".xml")):
+
+    def sheet_key(n: str):
+        m = _SHEET_NUM_RE.search(n)
+        return (0, int(m.group(1)), n) if m else (1, 0, n)
+
+    sheets = sorted(
+        (n for n in names
+         if n.startswith("xl/worksheets/") and n.endswith(".xml")),
+        key=sheet_key)
+    for sheet in sheets:
         with zf.open(sheet) as f:
             xml = f.read().decode("utf-8", "replace")
         rows: list[list[str]] = []
         for rxml in _ROW_RE.findall(xml):
-            cells: list[str] = []
+            # cells are placed by their r="B2" column reference —
+            # worksheet XML omits empty cells, so positional append
+            # would shift values into the wrong columns
+            by_col: dict[int, str] = {}
+            seq = 0
             for cm in _CELL_RE.finditer(rxml):
                 attrs = cm.group(1) or ""
                 body = cm.group(2) or ""
@@ -164,18 +195,23 @@ def _extract_xlsx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
                 if ctype == "s":
                     vm = _V_RE.search(body)
                     idx = int(vm.group(1)) if vm else -1
-                    cells.append(shared[idx]
-                                 if 0 <= idx < len(shared) else "")
+                    val = shared[idx] if 0 <= idx < len(shared) else ""
                 elif ctype == "inlineStr":
-                    cells.append(_WS_RE.sub(" ", unescape(
-                        "".join(_IS_T_RE.findall(body)))).strip())
+                    val = _WS_RE.sub(" ", unescape(
+                        "".join(_IS_T_RE.findall(body)))).strip()
                 else:
                     vm = _V_RE.search(body)
-                    cells.append(unescape(vm.group(1)).strip()
-                                 if vm else "")
-            cells = [c.replace("|", "\\|") for c in cells]
-            if any(cells):
-                rows.append(cells)
+                    val = unescape(vm.group(1)).strip() if vm else ""
+                rm = _REF_COL_RE.search(attrs)
+                col = _col_index(rm.group(1)) if rm else seq
+                seq = col + 1
+                by_col[col] = val
+            if by_col:
+                width = max(by_col) + 1
+                cells = [by_col.get(j, "").replace("|", "\\|")
+                         for j in range(width)]
+                if any(cells):
+                    rows.append(cells)
         if not rows:
             continue
         width = max(len(r) for r in rows)
@@ -213,3 +249,35 @@ def _extract_pptx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
                 blocks.append(Block("para", txt))
     text_md, spans = render(blocks)
     return ExtractResult(True, text_md, spans)
+
+
+def _balanced_spans(xml: str, open_tok: str, close_tok: str) -> list:
+    """Spans [start, end) of OUTERMOST open_tok..close_tok regions,
+    nesting-aware (regex non-greedy matching would truncate an outer
+    region at the first inner close)."""
+    spans = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(xml)
+    while i < n:
+        o = xml.find(open_tok, i)
+        c = xml.find(close_tok, i)
+        if depth == 0:
+            if o < 0:
+                break
+            start = o
+            depth = 1
+            i = o + len(open_tok)
+            continue
+        if c < 0:  # unterminated table: drop it
+            break
+        if 0 <= o < c:
+            depth += 1
+            i = o + len(open_tok)
+        else:
+            depth -= 1
+            i = c + len(close_tok)
+            if depth == 0:
+                spans.append((start, i))
+    return spans

@@ -473,7 +473,16 @@ def run_extract_job(
 
             fs, p = mf.fs_for(input_path)
             if fs.get_file_info(p).type == _pafs.FileType.NotFound:
-                raise FileNotFoundError(f"no input at {input_path}")
+                # NOTE: on object stores an empty prefix with no marker
+                # object is indistinguishable from a typo; a loud
+                # failure beats a silent successful no-op on a
+                # misconfigured path. Callers with legitimately-empty
+                # prefixes should create the prefix (marker object) or
+                # pass an explicit empty file list.
+                raise FileNotFoundError(
+                    f"no input at {input_path} (path does not exist; "
+                    "for object stores, an empty prefix without a "
+                    "marker object also reports as missing)")
         return dict(_EMPTY)
     shards = mf.shard_map(files)
     fp = cfg.fingerprint()

@@ -78,13 +78,17 @@ class CosineTopKPartial:
         self.k = k
 
     def _queries(self):
-        def prep(q):
-            qids = np.asarray(sorted(q), dtype=np.int64)
-            qmat = normalize(
-                np.asarray([q[i] for i in qids], dtype=np.float64))
-            return qids, qmat
+        r = getattr(self, "_q_resolved", None)
+        if r is None:
+            def prep(q):
+                qids = np.asarray(sorted(q), dtype=np.int64)
+                qmat = normalize(
+                    np.asarray([q[i] for i in qids], dtype=np.float64))
+                return qids, qmat
 
-        return resolve_broadcast(self._qref, prep, key="topk-q")
+            r = resolve_broadcast(self._qref, prep, key="topk-q")
+            self._q_resolved = r  # per-instance memo (plain-value refs)
+        return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat = self._queries()
@@ -136,12 +140,16 @@ class CosinePairsPartial:
         self.tau = tau
 
     def _corpus(self):
-        def prep(v):
-            ids, mat = v
-            return (np.asarray(ids, dtype=np.int64),
-                    normalize(np.asarray(mat, dtype=np.float64)))
+        r = getattr(self, "_c_resolved", None)
+        if r is None:
+            def prep(v):
+                ids, mat = v
+                return (np.asarray(ids, dtype=np.int64),
+                        normalize(np.asarray(mat, dtype=np.float64)))
 
-        return resolve_broadcast(self._cref, prep, key="pairs-corpus")
+            r = resolve_broadcast(self._cref, prep, key="pairs-corpus")
+            self._c_resolved = r
+        return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cids, cmat = self._corpus()
@@ -245,10 +253,14 @@ class IvfTopKPartial(CosineTopKPartial):
         self._pref = probe_ref
 
     def _probes(self):
-        return resolve_broadcast(
-            self._pref,
-            lambda p: {int(q): set(v) for q, v in p.items()},
-            key="ivf-probes")
+        r = getattr(self, "_p_resolved", None)
+        if r is None:
+            r = resolve_broadcast(
+                self._pref,
+                lambda p: {int(q): set(v) for q, v in p.items()},
+                key="ivf-probes")
+            self._p_resolved = r
+        return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat = self._queries()

@@ -13,8 +13,9 @@ immutable files (SURVEY.md §4.3.4-5):
 - ``out/_manifest/shard-<k>.json`` — written atomically (tmp+rename)
   only AFTER the shard's data is fully written, holding lineage
   (input file, row counts, error counts, config fingerprint, engine
-  version) and an order-insensitive content digest (XOR of per-url
-  sha256(text_md) — mergeable, partition-order independent);
+  version) and an order-insensitive content digest (sum mod 2^256 of per-row
+  sha256(url || text_sha256) — mergeable, partition-order independent,
+  and duplicate rows cannot cancel);
 - resume = anti-join: shards with a valid manifest for the same
   (input file, config fingerprint) are skipped; shard data dirs
   without a manifest are partial output from a crashed run and are

@@ -180,6 +180,9 @@ def test_fast_parser_matches_stdlib_parser():
         b'<body><p>t</p></><p>after empty endtag.</p></body>',
         b'<body><p>unterminated start <a href="x',
         b'<body><p>amp tail &amp; <!-- c',
+        b'<body><p>ws comment close</p><!-- note -- ><p>tail text.</p>',
+        b'<body><p>x<!-- a -- > b --><p>more after.</p></body>',
+        b'<body><p>nul endtag</p\x00><p>next paragraph here.</p></body>',
     ]
     for c in cases:
         assert md_via(parse_html, c) == md_via(parse_html_stdlib, c), c

@@ -143,3 +143,45 @@ def test_pptx_generator_roundtrip():
     assert res.ok
     for w in naive.split()[:8]:
         assert w in res.text_md
+
+
+def test_xlsx_sparse_rows_align_by_reference():
+    """Worksheet XML omits empty cells; values must land in their
+    r=\"B2\"-addressed columns, not shift left."""
+    sheet = (
+        '<worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="B2"><v>42</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    res = extract_docx(_xlsx(sheet, shared=["name", "age"]))
+    assert res.ok and "|  | 42 |" in res.text_md
+
+
+def test_xlsx_sheets_numeric_order():
+    def one(txt):
+        return ('<worksheet><sheetData><row r="1">'
+                f'<c r="A1" t="inlineStr"><is><t>{txt}</t></is></c>'
+                '</row></sheetData></worksheet>')
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/worksheets/sheet10.xml", one("s10"))
+        z.writestr("xl/worksheets/sheet2.xml", one("s2"))
+    res = extract_docx(buf.getvalue())
+    assert res.text_md.index("s2") < res.text_md.index("s10")
+
+
+def test_docx_nested_table_keeps_following_content():
+    nested = (
+        "<w:tbl><w:tr ><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>"
+        "<w:tbl><w:tr ><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl></w:tc></w:tr></w:tbl>"
+        "<w:p ><w:r><w:t>after table paragraph</w:t></w:r></w:p>"
+    )
+    res = extract_docx(_docx(W.format(nested)))
+    assert res.ok
+    # the outer span is nesting-balanced: following content survives
+    assert "after table paragraph" in res.text_md
