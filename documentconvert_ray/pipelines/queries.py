@@ -327,6 +327,60 @@ def q_per_lang_top5(sf_dir: str):
     )
 
 
+def q_corpus_curation(sf_dir: str):
+    """Composite training-data curation — the end-to-end shape a real
+    pipeline runs, as ONE streaming Dataset chain:
+
+        quality gate (integer token/stopword ratios, map-side)
+        → exact dedup (md5 groupby keeping min doc_id)
+        → deterministic hash downsample (50%)
+
+    Stays columnar throughout: text is consumed by the first
+    map_batches (md5 + token stats computed in one pass) and never
+    shuffles; the dedup groupby moves only 32-byte keys + ints."""
+    from ..functions.textstats import stopword_count, token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids, md5s, toks, stops = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            ids.append(doc_id)
+            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            toks.append(token_count(text))
+            stops.append(stopword_count(text))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text_md5": pa.array(md5s, pa.string()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "n_stop": pa.array(stops, pa.int64())})
+
+    def quality(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch.column("n_tokens").to_pylist(), dtype=np.int64)
+        ns = np.asarray(batch.column("n_stop").to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array((nt >= 10) & (ns * 50 >= nt)))
+
+    deduped = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .map_batches(quality, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Min("n_tokens", alias_name="n_tokens"))
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keep = ((ids * 2654435761) % 4294967296) % 100 < 50
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id").filter(pa.array(keep)),
+             "n_tokens": batch.column("n_tokens").filter(pa.array(keep))})
+
+    return deduped.map_batches(sample, batch_format="pyarrow")
+
+
 def q_embedding_near_dups_ivf(sf_dir: str):
     """The 100 TB path for embedding near-dup: IVF multi-probe
     bucketing (each vector lands in its nprobe=3 nearest-centroid
@@ -734,6 +788,7 @@ def queries() -> dict:
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "hash_sample": q_hash_sample,
         "per_lang_top5": q_per_lang_top5,
+        "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
         "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,
@@ -962,6 +1017,23 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 7
     """,
+    "corpus_curation": """
+        WITH s AS (
+          SELECT doc_id, text,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x IN {stop})) AS BIGINT) AS n_stop
+          FROM documents),
+        q AS (SELECT * FROM s
+              WHERE n_tokens >= 10 AND n_stop * 50 >= n_tokens),
+        d AS (SELECT md5(text) AS m,
+                     CAST(min(doc_id) AS BIGINT) AS doc_id,
+                     CAST(min(n_tokens) AS BIGINT) AS n_tokens
+              FROM q GROUP BY md5(text))
+        SELECT doc_id, n_tokens FROM d
+        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 50
+    """.format(stop=_STOP_SQL),
     "per_lang_top5": """
         WITH r AS (
           SELECT lang, doc_id, n_chars,

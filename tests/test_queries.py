@@ -32,6 +32,7 @@ SQL_QUERIES = [
     "lang_id",
     "hash_sample",
     "per_lang_top5",
+    "corpus_curation",
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
