@@ -474,11 +474,18 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
-def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict[str, dict[int, str]]:
-    """Resource-name → ToUnicode map for a page's Type0/CID fonts.
-    Simple (latin-1, single-byte) fonts are absent from the result —
-    the interpreter keeps its default decoding for them."""
-    out: dict[str, dict[int, str]] = {}
+# sentinel: Type0/Identity-H font WITHOUT a ToUnicode map — decode
+# 2-byte codes as Unicode code points directly (CID==Unicode holds for
+# the common simple-subset case; the alternative is dropping all text)
+IDENTITY_CMAP = "identity"
+
+
+def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict:
+    """Resource-name → ToUnicode map (or IDENTITY_CMAP sentinel) for a
+    page's Type0/CID fonts. Simple (latin-1, single-byte) fonts are
+    absent from the result — the interpreter keeps its default
+    decoding for them."""
+    out: dict = {}
     res = doc.resolve(pdict.get("Resources"))
     if not isinstance(res, dict):
         return out
@@ -493,8 +500,11 @@ def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict[str, dict[int, str]]:
         if isinstance(tu, _Ref):
             try:
                 out[name] = parse_tounicode(doc.get_stream(tu.num))
-            except PdfError:
                 continue
+            except PdfError:
+                pass
+        if fd.get("Encoding") in ("Identity-H", "Identity-V"):
+            out[name] = IDENTITY_CMAP
     return out
 
 
@@ -551,10 +561,16 @@ class _ContentInterp:
         if self.cmap is not None:
             # Type0/CID font: 2-byte codes through the ToUnicode map
             cm = self.cmap
-            txt = "".join(
-                cm.get((s[i] << 8) | s[i + 1], "")
-                for i in range(0, len(s) - 1, 2)
-            )
+            codes = ((s[i] << 8) | s[i + 1]
+                     for i in range(0, len(s) - 1, 2))
+            if cm is IDENTITY_CMAP:
+                # no ToUnicode: treat CIDs as Unicode code points
+                # (skip NUL and surrogates)
+                txt = "".join(
+                    chr(c) for c in codes
+                    if c and not 0xD800 <= c <= 0xDFFF)
+            else:
+                txt = "".join(cm.get(c, "") for c in codes)
         else:
             txt = s.decode("latin-1")
         if txt:

@@ -313,3 +313,26 @@ def test_cid_font_unmapped_codes_drop():
     cmap = b"1 beginbfchar\n<0041> <0041>\nendbfchar\n"
     res = extract_pdf(_build_cid_pdf(cmap, "00410099"))  # 0x99 unmapped
     assert res.ok and "A" in res.text_md and "\x99" not in res.text_md
+
+
+def test_cid_identity_h_without_tounicode_falls_back():
+    """A Type0/Identity-H font with NO ToUnicode map decodes 2-byte
+    codes as Unicode code points (CID==Unicode simple-subset case)
+    instead of dropping all text."""
+    content = b"BT /F1 10 Tf 72 700 Td <00680069> Tj ET"  # 'hi'
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /T "
+            b"/Encoding /Identity-H >>"),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(bodies):
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    res = extract_pdf(bytes(out))
+    assert res.ok and "hi" in res.text_md
