@@ -499,6 +499,42 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING window aggregate (1-hour windows hopping every 15 min):
+    each event lands in exactly 4 windows — emitted as window-key rows
+    by a per-batch combiner (partial counts/sums per (type, window)),
+    then a small groupby over partials. Window key is integer epoch
+    seconds so the oracle compares exactly (no tz coercion)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    HOP, WIN = 900, 3600
+
+    def partials(df):
+        import pandas as pd
+
+        epoch_us = df["ts"].astype("int64")
+        base = epoch_us // (HOP * 1_000_000)
+        vm = _micro_int_col(df["value"])
+        frames = []
+        for k in range(WIN // HOP):
+            frames.append(pd.DataFrame(
+                {"event_type": df["event_type"],
+                 "win_start_s": (base - k) * HOP,
+                 "v": vm}))
+        out = pd.concat(frames, ignore_index=True)
+        g = (out.groupby(["event_type", "win_start_s"], as_index=False)
+             .agg(n_events=("v", "size"), sum_value_micro=("v", "sum")))
+        g["n_events"] = g["n_events"].astype("int64")
+        g["win_start_s"] = g["win_start_s"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["event_type", "win_start_s"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_micro", alias_name="sum_value_micro"))
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the repo's
     bucketed-combine idiom: user_id-hash buckets, then ONE vectorized
@@ -793,6 +829,7 @@ def queries() -> dict:
         "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "user_sessions": q_user_sessions,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -919,6 +956,20 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
                     AS BIGINT) AS sum_value_micro
         FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 900) AS BIGINT) AS b,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events),
+        x AS (
+          SELECT event_type, (b - k) * 900 AS win_start_s, v
+          FROM e, unnest([0, 1, 2, 3]) AS t(k))
+        SELECT event_type, CAST(win_start_s AS BIGINT) AS win_start_s,
+               count(*) AS n_events,
+               CAST(sum(v) AS BIGINT) AS sum_value_micro
+        FROM x GROUP BY 1, 2
     """,
     "user_sessions": """
         WITH x AS (

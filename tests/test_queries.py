@@ -22,6 +22,7 @@ SQL_QUERIES = [
     "exact_dedup",
     "ngram_top20",
     "events_hourly",
+    "events_sliding",
     "user_sessions",
     "pricing_summary",
     "top_customers",
