@@ -535,6 +535,56 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_value_quantiles(sf_dir: str):
+    """Grouped EXACT order statistics (p25/p50/p90 of value per event
+    type) — the histogram-combiner shape: per-batch partial counts per
+    (type, value_micro), groupby-sum over distinct values, then a tiny
+    per-type weighted-quantile reduce over the value histogram. Only
+    distinct (type, value) rows shuffle, never events; at extreme
+    value cardinality the histogram becomes fixed-precision bins or a
+    quantile sketch (same pipeline shape). Discrete quantile index =
+    ceil(q·N)−1, matching DuckDB's quantile_disc exactly."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        df = df.assign(v=_micro_int_col(df["value"]))
+        g = (df.groupby(["event_type", "v"], as_index=False)
+             .agg(n=("v", "size")))
+        g["n"] = g["n"].astype("int64")
+        return g[["event_type", "v", "n"]]
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g):
+        import pandas as pd
+
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+
+        def qd(q_micro: int) -> int:
+            # ceil(q*N) - 1 in pure integers (q given in micro-units)
+            target = -(-q_micro * total // 1_000_000) - 1
+            return int(v[np.searchsorted(cum, target + 1)])
+
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "p25_micro": [qd(250_000)],
+             "p50_micro": [qd(500_000)],
+             "p90_micro": [qd(900_000)],
+             "n_events": [total]})
+
+    return hist.groupby("event_type").map_groups(
+        quantiles, batch_format="pandas"
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the repo's
     bucketed-combine idiom: user_id-hash buckets, then ONE vectorized
@@ -830,6 +880,7 @@ def queries() -> dict:
         "simhash_near_dups": q_simhash_near_dups,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
+        "value_quantiles": q_value_quantiles,
         "user_sessions": q_user_sessions,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -970,6 +1021,18 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                CAST(sum(v) AS BIGINT) AS sum_value_micro
         FROM x GROUP BY 1, 2
+    """,
+    "value_quantiles": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events)
+        SELECT event_type,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25_micro,
+               CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50_micro,
+               CAST(quantile_disc(v, 0.90) AS BIGINT) AS p90_micro,
+               count(*) AS n_events
+        FROM e GROUP BY event_type
     """,
     "user_sessions": """
         WITH x AS (

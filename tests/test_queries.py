@@ -23,6 +23,7 @@ SQL_QUERIES = [
     "ngram_top20",
     "events_hourly",
     "events_sliding",
+    "value_quantiles",
     "user_sessions",
     "pricing_summary",
     "top_customers",
