@@ -39,6 +39,9 @@ QUERY_NAMES = [
     "hash_sample",
     "per_lang_top5",
     "events_hourly",
+    "events_sliding",
+    "value_quantiles",
+    "corpus_curation",
     "user_sessions",
     "pricing_summary",
     "top_customers",
