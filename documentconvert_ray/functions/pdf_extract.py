@@ -499,11 +499,13 @@ def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict:
         tu = fd.get("ToUnicode")
         if isinstance(tu, _Ref):
             try:
-                out[name] = parse_tounicode(doc.get_stream(tu.num))
-                continue
+                cmap = parse_tounicode(doc.get_stream(tu.num))
+                if cmap:  # an empty/unrecognized CMap must not shadow
+                    out[name] = cmap  # the Identity-H fallback below
+                    continue
             except PdfError:
                 pass
-        if fd.get("Encoding") in ("Identity-H", "Identity-V"):
+        if doc.resolve(fd.get("Encoding")) in ("Identity-H", "Identity-V"):
             out[name] = IDENTITY_CMAP
     return out
 
@@ -563,7 +565,7 @@ class _ContentInterp:
             cm = self.cmap
             codes = ((s[i] << 8) | s[i + 1]
                      for i in range(0, len(s) - 1, 2))
-            if cm is IDENTITY_CMAP:
+            if not isinstance(cm, dict):  # IDENTITY_CMAP sentinel
                 # no ToUnicode: treat CIDs as Unicode code points
                 # (skip NUL and surrogates)
                 txt = "".join(

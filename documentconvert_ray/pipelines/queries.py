@@ -338,25 +338,19 @@ def q_corpus_curation(sf_dir: str):
     Stays columnar throughout: text is consumed by the first
     map_batches (md5 + token stats computed in one pass) and never
     shuffles; the dedup groupby moves only 32-byte keys + ints."""
-    from ..functions.textstats import stopword_count, token_count
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids, md5s, toks, stops = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            ids.append(doc_id)
-            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
-            toks.append(token_count(text))
-            stops.append(stopword_count(text))
+        # compose the shared stage kernels (single pass, text dropped):
+        # md5_batch supplies the dedup key, token_stats_batch the
+        # quality columns — same rows, same order
+        keyed = tx.md5_batch(batch)
+        ts = tx.token_stats_batch(batch)
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "text_md5": pa.array(md5s, pa.string()),
-             "n_tokens": pa.array(toks, pa.int64()),
-             "n_stop": pa.array(stops, pa.int64())})
+            {"doc_id": batch.column("doc_id"),
+             "text_md5": keyed.column("text_md5"),
+             "n_tokens": ts.column("n_tokens"),
+             "n_stop": ts.column("n_stop")})
 
     def quality(batch: pa.Table) -> pa.Table:
         nt = np.asarray(batch.column("n_tokens").to_pylist(), dtype=np.int64)
@@ -511,7 +505,8 @@ def q_events_sliding(sf_dir: str):
     def partials(df):
         import pandas as pd
 
-        epoch_us = df["ts"].astype("int64")
+        # pin the unit: pandas may hand us datetime64[us] or [ns]
+        epoch_us = df["ts"].astype("datetime64[us]").astype("int64")
         base = epoch_us // (HOP * 1_000_000)
         vm = _micro_int_col(df["value"])
         frames = []
