@@ -548,11 +548,11 @@ def q_value_quantiles(sf_dir: str):
         g["n"] = g["n"].astype("int64")
         return g[["event_type", "v", "n"]]
 
-    hist = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "v"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    # ONE shuffle: the per-batch partials go straight into the
+    # per-type reduce — the weighted cumsum handles duplicate values
+    # across batches, so a second (type, value) aggregate pass would
+    # only add an extra all-to-all (measured 19.6 s vs ~3 s at sf0.1)
+    hist = ds.map_batches(partial, batch_format="pandas")
 
     def quantiles(g):
         import pandas as pd
