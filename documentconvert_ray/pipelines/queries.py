@@ -533,12 +533,13 @@ def q_events_sliding(sf_dir: str):
 def q_value_quantiles(sf_dir: str):
     """Grouped EXACT order statistics (p25/p50/p90 of value per event
     type) — the histogram-combiner shape: per-batch partial counts per
-    (type, value_micro), groupby-sum over distinct values, then a tiny
-    per-type weighted-quantile reduce over the value histogram. Only
-    distinct (type, value) rows shuffle, never events; at extreme
-    value cardinality the histogram becomes fixed-precision bins or a
-    quantile sketch (same pipeline shape). Discrete quantile index =
-    ceil(q·N)−1, matching DuckDB's quantile_disc exactly."""
+    (type, value_micro) feed a per-type weighted-quantile reduce (the
+    cumsum handles duplicate values across batches, so no intermediate
+    aggregate pass is needed). Only batch-distinct (type, value) rows
+    shuffle, never events; for continuous values at extreme scale the
+    exact histogram becomes fixed-precision bins or a quantile sketch
+    (same pipeline shape) to bound per-group rows. Discrete quantile
+    index = ceil(q·N)−1, matching DuckDB's quantile_disc exactly."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(df):
