@@ -54,9 +54,21 @@ def _corpus_dir() -> str:
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    )
+    """Pruned parquet read with a METADATA-FREE schema: the sf tables
+    carry a b'pandas' schema blob whose dict payload makes pa.Schema
+    unhashable, which defeats Ray Data's block-schema dedup and spams
+    'Failed to hash the schemas' warnings in every shuffle (VERDICT
+    r2 #5). Passing the stripped schema fixes every query at the
+    source; one driver-side footer read, no extra stage."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    full = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([full.field(c).remove_metadata() for c in columns])
+    else:
+        schema = pa.schema([f.remove_metadata() for f in full])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------- helpers
@@ -269,13 +281,26 @@ def q_ngram_jaccard_dups(sf_dir: str):
     )
 
 
+# Above this corpus size the exact O(N²) broadcast sweep stops being a
+# sane registry entry (the broadcast matrix alone is N·d·8 bytes on
+# every node); the IVF-bucketed path takes over (VERDICT r2 #1).
+EXACT_SWEEP_MAX_VECS = 1_000_000
+
+
 def q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4): broadcast-matrix
     blocked exact sweep (stages/similarity.py CosinePairsPartial);
-    τ tuned to the synthetic tables (max pairwise cos ≈ 0.51)."""
+    τ tuned to the synthetic tables (max pairwise cos ≈ 0.51).
+
+    Size-gated: the exact sweep is the oracle baseline and only runs
+    when the corpus fits a sane broadcast (≤ EXACT_SWEEP_MAX_VECS);
+    past that the query routes to the IVF-bucketed scale path — same
+    output schema, approximate recall (documented in the IVF twin)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if ds.count() > EXACT_SWEEP_MAX_VECS:
+        return q_embedding_near_dups_ivf(sf_dir)
     path = os.path.join(sf_dir, "embeddings.parquet")
     cref = ray.put(sim.load_corpus_matrix(path))
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(
         sim.CosinePairsPartial(cref, 0.4),
         batch_format="pyarrow",
@@ -291,7 +316,7 @@ def q_hash_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def flt(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy()  # zero-copy int64
         keep = ((ids * 2654435761) % 4294967296) % 100 < 7
         return batch.filter(pa.array(keep))
 
@@ -353,8 +378,8 @@ def q_corpus_curation(sf_dir: str):
              "n_stop": ts.column("n_stop")})
 
     def quality(batch: pa.Table) -> pa.Table:
-        nt = np.asarray(batch.column("n_tokens").to_pylist(), dtype=np.int64)
-        ns = np.asarray(batch.column("n_stop").to_pylist(), dtype=np.int64)
+        nt = batch.column("n_tokens").to_numpy()
+        ns = batch.column("n_stop").to_numpy()
         return batch.filter(pa.array((nt >= 10) & (ns * 50 >= nt)))
 
     deduped = (
@@ -366,7 +391,7 @@ def q_corpus_curation(sf_dir: str):
     )
 
     def sample(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy()
         keep = ((ids * 2654435761) % 4294967296) % 100 < 50
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id").filter(pa.array(keep)),
@@ -405,25 +430,28 @@ def q_embedding_near_dups_ivf(sf_dir: str):
 def q_latest_orders(sf_dir: str):
     """Sort/limit (SURVEY.md §2.6 O1: ORDER BY ts DESC + LIMIT):
     100 most recent orders, deterministic (o_orderdate DESC,
-    o_orderkey ASC tie-break), price in integer cents."""
+    o_orderkey ASC tie-break), price in integer cents.
+
+    Partial top-k shape (VERDICT r2 #3): each batch keeps only its own
+    top-100, so the final sort orders ≤ 100·n_blocks rows instead of
+    an all-to-all over the whole orders table."""
     ds = _read(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    def to_cents(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"o_orderkey": b.column("o_orderkey"),
-             "o_custkey": b.column("o_custkey"),
-             "o_orderdate": b.column("o_orderdate"),
-             "neg_key": pa.array(
-                 [-x for x in b.column("o_orderkey").to_pylist()], pa.int64()),
-             "price_c": pa.array(
-                 _cents_col(b.column("o_totalprice").to_pylist()))}
+    def partial_top(df):
+        df = df.assign(
+            neg_key=-df["o_orderkey"].to_numpy(dtype=np.int64),
+            price_c=_cents_col(df["o_totalprice"]),
         )
+        df = df.sort_values(["o_orderdate", "neg_key"],
+                            ascending=False, kind="mergesort").head(100)
+        return df[["o_orderkey", "o_custkey", "o_orderdate",
+                   "neg_key", "price_c"]]
 
     out = (
-        ds.map_batches(to_cents, batch_format="pyarrow")
+        ds.map_batches(partial_top, batch_format="pandas")
         .sort(["o_orderdate", "neg_key"], descending=True)
         .limit(100)
     )
@@ -453,9 +481,9 @@ def q_quality_scores(sf_dir: str):
     stats = ds.map_batches(tx.token_stats_batch, batch_format="pyarrow")
 
     def flags(batch: pa.Table) -> pa.Table:
-        nt = np.asarray(batch.column("n_tokens").to_pylist(), dtype=np.int64)
-        np_ = np.asarray(batch.column("n_punct").to_pylist(), dtype=np.int64)
-        ns = np.asarray(batch.column("n_stop").to_pylist(), dtype=np.int64)
+        nt = batch.column("n_tokens").to_numpy()
+        np_ = batch.column("n_punct").to_numpy()  # noqa: F841
+        ns = batch.column("n_stop").to_numpy()
         # integer-ratio quality gate: ≥10 tokens and stopwords ≥2% of tokens
         good = (nt >= 10) & (ns * 50 >= nt)
         return batch.append_column("is_quality", pa.array(good, pa.bool_()))
@@ -591,7 +619,7 @@ def q_user_sessions(sf_dir: str):
     n_buckets = dd.derive_buckets(ds.count())
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        uid = np.asarray(batch.column("user_id").to_pylist(), dtype=np.int64)
+        uid = batch.column("user_id").to_numpy()
         return batch.append_column(
             "bucket", pa.array((uid % n_buckets).astype(np.int32))
         )
@@ -682,6 +710,9 @@ def q_top_customers(sf_dir: str):
         dict(zip(cust_df["c_custkey"].astype(int), cust_df["c_name"]))
     )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # size-derived combine granularity (VERDICT r2 #2: a fixed 32 made
+    # per-bucket rows grow with the customer count)
+    n_buckets = dd.derive_buckets(len(cust_df))
 
     def partial(df):
         df = df.copy()
@@ -690,7 +721,7 @@ def q_top_customers(sf_dir: str):
             revenue_c=("price_c", "sum"), n_orders=("price_c", "size")
         )
         g["n_orders"] = g["n_orders"].astype("int64")
-        g["bucket"] = (g["o_custkey"] % 32).astype("int32")
+        g["bucket"] = (g["o_custkey"] % n_buckets).astype("int32")
         return g[["bucket", "o_custkey", "revenue_c", "n_orders"]]
 
     def combine(g):

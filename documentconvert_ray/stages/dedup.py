@@ -346,16 +346,14 @@ def hamming_filter_pairs(batch: pa.Table, max_hamming: int,
              "doc_id_a": pa.array([], pa.int64()),
              "doc_id_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())})
-    sa = np.asarray(batch.column("sh_a").to_pylist(),
-                    dtype=np.int64).astype(np.uint64)
-    sb = np.asarray(batch.column("sh_b").to_pylist(),
-                    dtype=np.int64).astype(np.uint64)
+    sa = batch.column("sh_a").to_numpy().astype(np.uint64)  # zero-copy view
+    sb = batch.column("sh_b").to_numpy().astype(np.uint64)
     x = np.bitwise_xor(sa, sb)
     ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
         axis=1).astype(np.int64)
     keep = ham <= max_hamming
-    a = np.asarray(batch.column("doc_id_a").to_pylist(), dtype=np.int64)[keep]
-    b = np.asarray(batch.column("doc_id_b").to_pylist(), dtype=np.int64)[keep]
+    a = batch.column("doc_id_a").to_numpy()[keep]
+    b = batch.column("doc_id_b").to_numpy()[keep]
     return pa.Table.from_pydict(
         {"pair_bucket": pa.array(_pair_bucket_arr(a, b, n_pair_buckets)),
          "doc_id_a": pa.array(a),

@@ -92,7 +92,7 @@ class CosineTopKPartial:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat = self._queries()
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vids = batch.column("vec_id").to_numpy()  # zero-copy int64
         mat = normalize(_mat(batch.column("embedding")))
         sims = qmat @ mat.T  # (nq, nb)
         out_q, out_n, out_s = [], [], []
@@ -153,7 +153,7 @@ class CosinePairsPartial:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cids, cmat = self._corpus()
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vids = batch.column("vec_id").to_numpy()  # zero-copy int64
         m = normalize(_mat(batch.column("embedding")))
         sims = m @ cmat.T  # (nb, N)
         hit_r, hit_c = np.nonzero(sims >= self.tau)
@@ -187,7 +187,7 @@ def train_centroids(ds, n_centroids: int = 16, iters: int = 3) -> np.ndarray:
     folds the tiny partials. O(iters) passes, no shuffle."""
 
     def partial_min_k(batch: pa.Table) -> pa.Table:
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vids = batch.column("vec_id").to_numpy()
         keep = np.argsort(vids, kind="stable")[:n_centroids]
         return batch.take(pa.array(keep))
 
@@ -241,6 +241,12 @@ class IvfAssign:
         cents = resolve_broadcast(self._cref, key="ivf-cents")
         m = normalize(_mat(batch.column("embedding")))
         assign = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        # drop parquet-borne schema metadata (the b'pandas' blob):
+        # pa.Schema with a dict payload is unhashable, which defeats
+        # Ray Data's schema dedup and spams "Failed to hash the
+        # schemas" warnings when these blocks unify with
+        # metadata-free from_pydict outputs downstream (VERDICT r2 #5)
+        batch = batch.replace_schema_metadata(None)
         return batch.append_column("bucket", pa.array(assign, pa.int32()))
 
 
@@ -265,8 +271,8 @@ class IvfTopKPartial(CosineTopKPartial):
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat = self._queries()
         probes = self._probes()
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int32)
+        vids = batch.column("vec_id").to_numpy()  # zero-copy int64
+        buckets = batch.column("bucket").to_numpy()
         mat = normalize(_mat(batch.column("embedding")))
         sims = qmat @ mat.T
         out_q, out_n, out_s = [], [], []
@@ -303,7 +309,7 @@ class IvfMultiAssign:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cents = resolve_broadcast(self._cref, key="ivf-cents")
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vids = batch.column("vec_id").to_numpy()  # zero-copy int64
         m = normalize(_mat(batch.column("embedding")))
         sims = m @ cents.T  # (n, k)
         k = min(self.nprobe, sims.shape[1])
