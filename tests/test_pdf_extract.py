@@ -244,9 +244,19 @@ def test_corpus_flagship_oracle_equivalence():
             assert res.ok and res.error_kind == "", i
         elif dt == "pdf":
             res = extract_pdf(raw, DEFAULT_CONFIG)
-            exp_ok = raw.endswith(b"%%EOF\n")
+            has_eof = raw.endswith(b"%%EOF\n")
+            has_enc = b"/Encrypt" in raw
+            exp_ok = has_eof and not has_enc
             assert res.ok == exp_ok, (i, res.error_kind, res.error)
-            assert res.error_kind == ("" if exp_ok else "truncated_pdf"), i
+            exp_kind = ("truncated_pdf" if not has_eof
+                        else "encrypted_pdf" if has_enc else "")
+            assert res.error_kind == exp_kind, i
+            # the SQL oracle finds '/Encrypt' via a byte-aligned hex
+            # strpos; assert the hex search agrees with the byte scan
+            # (an even-position first hit would diverge)
+            hx = raw.hex().upper()
+            pos = hx.find("2F456E6372797074")
+            assert ((pos >= 0 and pos % 2 == 0) == has_enc), i
 
 
 def test_lzw_roundtrip_and_filter():
@@ -336,3 +346,57 @@ def test_cid_identity_h_without_tounicode_falls_back():
     out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     res = extract_pdf(bytes(out))
     assert res.ok and "hi" in res.text_md
+
+
+def test_png_predictor_roundtrip_and_extraction():
+    """All PNG predictors (10-15) + TIFF predictor 2 round-trip through
+    the corpus encoder → _apply_predictor, and a predictor-12 Flate
+    content stream extracts (VERDICT r2 #2)."""
+    import random
+
+    from documentconvert_ray.functions.pdf_extract import _apply_predictor
+    from documentconvert_ray.sources.corpus import (
+        _png_predict_encode,
+        _tiff_predict_encode,
+    )
+
+    rng = random.Random(11)
+    for n in (0, 1, 63, 64, 65, 1000, 4097):
+        data = bytes(rng.getrandbits(8) for _ in range(n))
+        for pred in (10, 11, 12, 13, 14, 15):
+            enc = _png_predict_encode(data, pred, 64)
+            parm = {"Predictor": pred, "Columns": 64}
+            assert _apply_predictor(enc, parm) == data, (n, pred)
+        enc = _tiff_predict_encode(data, 64)
+        parm = {"Predictor": 2, "Colors": 1,
+                "BitsPerComponent": 8, "Columns": 64}
+        assert _apply_predictor(enc, parm) == data, n
+
+    content = b"BT /F1 10 Tf 72 700 Td (predictor body text) Tj ET"
+    data = zlib.compress(_png_predict_encode(content, 12, 64))
+    pdf = build_pdf("")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12"
+        b" /Columns 64 >> >>\nstream\n" + data + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "predictor body text" in res.text_md
+
+
+def test_encrypted_pdf_classification():
+    """A /Encrypt-bearing trailer classifies as encrypted_pdf (never a
+    generic parse error), whether classic-trailer or xref-stream."""
+    pdf = build_pdf("BT /F1 10 Tf 72 700 Td (secret) Tj ET")
+    enc = pdf.replace(b"trailer\n<< /Root 1 0 R >>",
+                      b"9 0 obj\n<< /Filter /Standard /V 1 /R 2 >>\nendobj\n"
+                      b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>")
+    res = extract_pdf(enc)
+    assert not res.ok and res.error_kind == "encrypted_pdf"
+    # truncation wins over encryption (checked first, both deterministic)
+    cut = enc[: enc.rindex(b"%%EOF")]
+    res = extract_pdf(cut)
+    assert not res.ok and res.error_kind == "truncated_pdf"
+    # sanity: the plain doc still extracts
+    assert extract_pdf(pdf).ok

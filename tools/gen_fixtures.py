@@ -52,12 +52,10 @@ def main() -> None:
                 res = extract_pdf(payload, DEFAULT_CONFIG)
             elif dt == DOC_OFFICE:
                 if payload.startswith(b"\xd0\xcf\x11\xe0"):
-                    from documentconvert_ray.functions.html_extract import (
-                        ExtractResult,
+                    from documentconvert_ray.functions.doc_extract import (
+                        extract_ole2,
                     )
-                    res = ExtractResult(
-                        False, "", [], "office_unsupported",
-                        "legacy OLE2 office document: no converter available")
+                    res = extract_ole2(payload, DEFAULT_CONFIG)
                 else:
                     from documentconvert_ray.functions.office_extract import (
                         extract_docx,
