@@ -6,10 +6,11 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-Queries without an oracle entry are genuinely non-SQL-expressible
-(extraction DOM/layout heuristics, MinHash/SimHash banding, IVF ANN);
-those are covered by the pytest fixture-equality suite instead
-(tests/test_pipeline_e2e.py) and get the driver's rows-only check.
+The 4 queries without an oracle entry are genuinely
+non-SQL-expressible (SimHash banding over blake2b hashes, the two
+approximate IVF paths, rolling-hash fingerprints); those are covered
+by the pytest determinism/recall suites instead and get the driver's
+rows-only check.
 """
 
 from __future__ import annotations
