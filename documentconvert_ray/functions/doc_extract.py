@@ -47,9 +47,8 @@ class DocError(ValueError):
     pass
 
 
-def _pieces(word: bytes, table: bytes) -> list[tuple[int, bool]]:
-    """Piece table [(WordDocument offset, is_unicode)] with char counts
-    folded in: returns [(offset, n_chars, is_unicode), ...]."""
+def _pieces(word: bytes, table: bytes) -> list[tuple[int, int, bool]]:
+    """Piece table: [(WordDocument offset, n_chars, is_unicode), ...]."""
     if len(word) < 0x1AA:
         raise DocError("WordDocument stream too short for FIB")
     (fc_clx, lcb_clx) = struct.unpack_from("<II", word, 0x1A2)
@@ -100,17 +99,34 @@ def _doc_text(word: bytes, table: bytes) -> str:
     return "".join(chunks)
 
 
-_FIELD_RE = re.compile("\x13[^\x14\x15]*\x14?")  # instruction half
-_DROP_RE = re.compile("[\x00\x01\x02\x05\x08\x15\x0c]")
+# innermost complete field: \x13 instruction \x14 result \x15 → keep
+# the result; \x13 instruction \x15 (no separator) → drop whole field.
+# Applied to fixpoint so NESTED fields (TOC containing PAGE refs,
+# HYPERLINK inside REF — routine in real .doc files) reduce from the
+# inside out instead of leaking the outer instruction and raw \x14.
+_FIELD_FULL_RE = re.compile("\x13[^\x13\x14\x15]*\x14([^\x13\x14\x15]*)\x15")
+_FIELD_BARE_RE = re.compile("\x13[^\x13\x14\x15]*\x15")
+_DROP_RE = re.compile("[\x00\x01\x02\x05\x08\x13\x14\x15\x0c]")
+
+
+def _strip_fields(text: str) -> str:
+    while "\x13" in text:
+        new = _FIELD_FULL_RE.sub(r"\1", text)
+        new = _FIELD_BARE_RE.sub("", new)
+        if new == text:
+            break  # unterminated/garbled field: leftover marks drop below
+        text = new
+    return _DROP_RE.sub("", text)
 
 
 def _text_blocks(text: str) -> list[Block]:
-    """Character stream → paragraph / table blocks. 0x07 is the cell
-    AND row terminator (a row ends with two marks: cell + TTP); a
-    paragraph run containing cell marks renders as a markdown table
-    row group, others as plain paragraphs."""
-    text = _FIELD_RE.sub("", text)
-    text = _DROP_RE.sub("", text)
+    """Character stream → paragraph / table blocks. 0x07 terminates a
+    table cell; an EMPTY 0x07-run (the TTP mark real Word emits right
+    after the last cell's mark) terminates the row. Plain-char-stream
+    limitation: a genuinely empty non-first cell is indistinguishable
+    from a row mark without PAP fTtp flags, so it closes the row —
+    acceptable for plain-text fidelity (documented scope)."""
+    text = _strip_fields(text)
     text = text.replace("\x0b", "\r").replace("\xa0", " ")
 
     blocks: list[Block] = []
@@ -131,20 +147,24 @@ def _text_blocks(text: str) -> list[Block]:
             lines.append("| " + " | ".join(r) + " |")
         blocks.append(Block("table", "\n".join(lines)))
 
-    # rows are sequences of cell-mark-terminated runs; the final 0x07
-    # of a row doubles as the row (TTP) mark right after the last cell
     row: list[str] = []
     for para in text.split("\r"):
         if "\x07" in para:
             cells = para.split("\x07")
-            # trailing '' after the final mark is the row terminator
+            # every element but the last was 0x07-terminated: non-empty
+            # → a cell; empty with cells pending → the row (TTP) mark
             for c in cells[:-1]:
-                row.append(_WS_RE.sub(" ", c).strip())
+                c = _WS_RE.sub(" ", c).strip()
+                if c == "" and row:
+                    table_rows.append(row)
+                    row = []
+                else:
+                    row.append(c)
             tail = _WS_RE.sub(" ", cells[-1]).strip()
-            if tail == "" and row:
+            if row:
                 table_rows.append(row)
                 row = []
-            elif tail:
+            if tail:
                 flush_table()
                 blocks.append(Block("para", tail))
         else:
@@ -205,7 +225,9 @@ def _extract_doc(streams: dict) -> ExtractResult:
                              f"missing {tbl_name} stream")
     try:
         text = _doc_text(word, table)
-    except DocError as e:
+    except (DocError, struct.error) as e:
+        # struct.error = a Clx/PlcPcd header read ran off the end of a
+        # cut table stream — same taxonomy as any other truncation
         return ExtractResult(False, "", [], "office_truncated",
                              f"bad piece table: {e}"[:200])
     text_md, spans = render(_text_blocks(text))
@@ -259,7 +281,12 @@ _BIFF_LABELSST = 0x00FD
 _BIFF_LABEL = 0x0204
 _BIFF_NUMBER = 0x0203
 _BIFF_RK = 0x027E
-_BIFF_CONTINUE = 0x003C
+# BIFF8 sheet bounds (Excel 97: 256 cols × 65536 rows); cells beyond
+# them only occur in crafted/corrupt streams — dropping them bounds
+# the dense output grid (a 1 MB stream could otherwise demand 4e9
+# cells via col=65535 records)
+_XLS_MAX_COL = 255
+_XLS_MAX_CELLS = 1_000_000
 
 
 def _xlunicode(data: bytes, off: int) -> tuple[str, int]:
@@ -327,10 +354,14 @@ def _extract_xls(data: bytes) -> ExtractResult:
         elif rtype == _BIFF_RK and len(body) >= 10:
             (row, col, _ixfe, rk) = struct.unpack_from("<HHHI", body, 0)
             cells[(row, col)] = f"{_rk_value(rk):g}"
+    cells = {(r, c): v for (r, c), v in cells.items()
+             if c <= _XLS_MAX_COL}
     if not cells:
         return ExtractResult(True, "", [])
     rows = sorted({r for (r, _c) in cells})
     width = max(c for (_r, c) in cells) + 1
+    if len(rows) * width > _XLS_MAX_CELLS:
+        rows = rows[: _XLS_MAX_CELLS // max(1, width)]
     grid = [[cells.get((r, c), "").replace("|", "\\|")
              for c in range(width)] for r in rows]
     lines = ["| " + " | ".join(grid[0]) + " |",

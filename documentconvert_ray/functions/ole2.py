@@ -73,12 +73,21 @@ def cfb_streams(raw: bytes) -> dict[str, bytes]:
             raise CfbError(f"sector {i} beyond EOF")
         return raw[off:off + ssz]
 
-    # DIFAT: 109 header entries + chained DIFAT sectors
+    # DIFAT: 109 header entries + chained DIFAT sectors. The walk is
+    # bounded by the file's own sector count and a seen-set — a
+    # corrupt header can claim n_difat=2^32-1 or chain a sector to
+    # itself, and an unbounded loop would hang the extraction worker
+    # (row-level error capture can't catch a hang)
     difat = list(struct.unpack_from("<109I", raw, 76))
     s = difat_start
-    for _ in range(n_difat):
+    max_difat = min(n_difat, len(raw) // ssz + 1)
+    seen: set[int] = set()
+    for _ in range(max_difat):
         if s >= 0xFFFFFFFA:
             break
+        if s in seen:
+            raise CfbError(f"DIFAT cycle at sector {s}")
+        seen.add(s)
         blk = sector(s)
         vals = struct.unpack(f"<{ssz // 4}I", blk)
         difat.extend(vals[:-1])

@@ -296,7 +296,13 @@ def q_embedding_near_dups(sf_dir: str):
     Size-gated: the exact sweep is the oracle baseline and only runs
     when the corpus fits a sane broadcast (≤ EXACT_SWEEP_MAX_VECS);
     past that the query routes to the IVF-bucketed scale path — same
-    output schema, approximate recall (documented in the IVF twin)."""
+    output schema, approximate recall (documented in the IVF twin).
+    The registered exact-SQL oracle therefore holds on every corpus
+    the gate can actually run (the driver checks at sf scale, far
+    below the bound); beyond the bound the entry deliberately trades
+    oracle-exactness for not broadcasting an N·d matrix to every
+    node — callers needing guaranteed-exact pairs at that size should
+    invoke the sweep explicitly."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     if ds.count() > EXACT_SWEEP_MAX_VECS:
         return q_embedding_near_dups_ivf(sf_dir)
@@ -1136,9 +1142,15 @@ ORACLES: dict[str, str] = {
           FROM documents
         ),
         sh AS (
+          -- 1-2-token docs get one whole-text shingle, mirroring
+          -- textstats.shingles()'s short-doc branch exactly
           SELECT DISTINCT doc_id,
                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
           FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+          WHERE len(tk) >= 3
+          UNION
+          SELECT doc_id, array_to_string(tk, ' ') AS shingle
+          FROM toks WHERE len(tk) BETWEEN 1 AND 2
         ),
         sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         co AS (

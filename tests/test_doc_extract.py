@@ -159,3 +159,72 @@ def test_corpus_office_oracle_equivalence():
                 b"PK\x05\x06", max(0, len(raw) - 65557)) >= 0
             assert res.ok == eocd, (i, res.error_kind)
     assert n_ole2_ok >= 5 and n_ole2_err >= 2  # both classes exercised
+
+
+def test_real_word_ttp_row_shape_and_nested_fields():
+    """Code-review regressions: (a) the real-file table shape — cells
+    followed by an empty TTP mark in ONE \\r-run — must produce clean
+    rows in document order; (b) nested fields reduce inside-out with
+    no leaked control bytes."""
+    from documentconvert_ray.functions.doc_extract import (
+        _strip_fields,
+        _text_blocks,
+    )
+
+    blocks = _text_blocks("a\x07b\x07\x07c\x07d\x07\x07next\rmore\r")
+    kinds = [(b.kind, b.text) for b in blocks]
+    assert kinds[0][0] == "table"
+    assert "| a | b |" in kinds[0][1] and "| c | d |" in kinds[0][1]
+    assert kinds[1] == ("para", "next") and kinds[2] == ("para", "more")
+
+    assert _strip_fields("\x13TOC \x13PAGE\x14 1\x15\x14 result\x15") \
+        == " result"
+    assert _strip_fields("\x13REF x\x14kept\x15 tail") == "kept tail"
+    assert _strip_fields("\x13DATE\x15gone") == "gone"
+    out = _strip_fields("\x13broken unterminated")
+    assert "\x13" not in out and "\x14" not in out and "\x15" not in out
+
+
+def test_truncated_clx_classifies_office_truncated():
+    """A marker-bearing .doc whose table stream is cut mid-Pcdt must
+    classify office_truncated (not office_parse_error)."""
+    import struct as st
+
+    word = bytearray(1024)
+    st.pack_into("<H", word, 0, 0xA5EC)
+    st.pack_into("<II", word, 0x1A2, 0, 3)  # lcbClx=3: cut mid-header
+    raw = cfb_write([("WordDocument", bytes(word)),
+                     ("0Table", b"\x02\x00\x00")])
+    res = extract_ole2(raw)
+    assert not res.ok and res.error_kind == "office_truncated", \
+        (res.error_kind, res.error)
+
+
+def test_difat_cycle_and_xls_width_bounds():
+    """Crafted corruption must fail fast, not hang/OOM the worker."""
+    import struct as st
+    import time
+
+    from documentconvert_ray.functions.doc_extract import _extract_xls
+
+    # DIFAT sector chained to ITSELF with a huge claimed count: the
+    # walk must terminate fast (cycle guard + file-size bound), not
+    # spin for 4e9 iterations building a multi-GB list
+    payload, _ = make_doc_legacy(random.Random(4))
+    raw = bytearray(payload)
+    st.pack_into("<II", raw, 68, 0, 0xFFFFFFFF)  # difat_start=0, n_difat=max
+    st.pack_into("<I", raw, 512 + 512 - 4, 0)    # sector 0 chains to itself
+    t0 = time.monotonic()
+    res = extract_ole2(bytes(raw))
+    assert time.monotonic() - t0 < 5
+    assert not res.ok and res.error_kind == "office_truncated"
+
+    # one far-column cell per row must not allocate a dense mega-grid
+    recs = []
+    for row in range(2000):
+        recs.append(st.pack("<HH", 0x0203, 14)
+                    + st.pack("<HHH", row, 65535, 0) + st.pack("<d", 1.0))
+    t0 = time.monotonic()
+    res = _extract_xls(b"".join(recs))
+    assert time.monotonic() - t0 < 5
+    assert res.ok and res.text_md == ""  # all cells beyond BIFF8 bounds
