@@ -46,6 +46,8 @@ QUERY_NAMES = [
     "events_sliding",
     "value_quantiles",
     "corpus_curation",
+    "purchase_attribution",
+    "event_value_bands",
     "user_sessions",
     "pricing_summary",
     "top_customers",

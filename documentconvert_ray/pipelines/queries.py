@@ -616,6 +616,107 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+def q_purchase_attribution(sf_dir: str):
+    """AS-OF JOIN (custom operator — Ray Data has no native asof):
+    for each 'purchase' event, the same user's most recent 'view'
+    event at-or-before its timestamp (classic attribution). Shape is
+    the canonical distributed as-of join: project both roles map-side
+    from ONE pass over events, co-partition by user-id hash
+    (size-derived bucket count), then a per-bucket vectorized sorted
+    merge (pandas merge_asof). Only (event_id, ts, user_id, role)
+    rows ever shuffle. Deterministic tie-break at equal ts: max
+    view_id (views sorted (ts, id) ascending — merge_asof takes the
+    last match), mirrored by the oracle's ORDER BY ts DESC, id DESC."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "view"))
+        b = batch.filter(keep)
+        uid = b.column("user_id").to_numpy()
+        role = pc.equal(b.column("event_type"), "purchase")
+        return pa.Table.from_pydict(
+            {"bucket": pa.array((uid % n_buckets).astype(np.int32)),
+             "user_id": b.column("user_id"),
+             "ts": b.column("ts"),
+             "event_id": b.column("event_id"),
+             "is_purchase": role})
+
+    def asof_bucket(df):
+        import pandas as pd
+
+        p = df[df["is_purchase"]].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        v = df[~df["is_purchase"]].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        if not len(p) or not len(v):
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "view_id": pd.Series(dtype="int64")})
+        m = pd.merge_asof(
+            p[["ts", "user_id", "event_id"]],
+            v[["ts", "user_id", "event_id"]].rename(
+                columns={"event_id": "view_id"}),
+            on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True)
+        m = m.dropna(subset=["view_id"])
+        return pd.DataFrame(
+            {"purchase_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "view_id": m["view_id"].astype("int64")})
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
+# band table for the range join: (name, lo, hi) in integer micro-units
+# — half-open [lo, hi); tiny side, broadcast not shuffled
+VALUE_BANDS = [
+    ("p00_tiny", -(10 ** 15), 10_000_000),
+    ("p10_small", 10_000_000, 50_000_000),
+    ("p50_mid", 50_000_000, 200_000_000),
+    ("p80_large", 200_000_000, 500_000_000),
+    ("p95_huge", 500_000_000, 10 ** 15),
+]
+
+
+def q_event_value_bands(sf_dir: str):
+    """RANGE JOIN (custom operator): classify every event's value into
+    a band table on a half-open [lo, hi) interval condition, then roll
+    up per (event_type, band). The small side is a constant table —
+    the scale-correct shape is broadcast + per-batch np.searchsorted
+    (O(log B) per row, no shuffle), NOT an interval-condition shuffle
+    join; the only exchange is the tiny partial-rollup groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    edges = np.asarray([b[1] for b in VALUE_BANDS] + [VALUE_BANDS[-1][2]],
+                       dtype=np.int64)
+    names = np.asarray([b[0] for b in VALUE_BANDS])
+
+    def partial(df):
+        vm = _micro_int_col(df["value"])
+        idx = np.searchsorted(edges, vm, side="right") - 1
+        idx = np.clip(idx, 0, len(names) - 1)
+        out = df.assign(band=names[idx], v=vm)
+        g = (out.groupby(["event_type", "band"], as_index=False)
+             .agg(n_events=("v", "size"), sum_value_micro=("v", "sum")))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "band"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_micro", alias_name="sum_value_micro"))
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the repo's
     bucketed-combine idiom: user_id-hash buckets, then ONE vectorized
@@ -915,6 +1016,8 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "value_quantiles": q_value_quantiles,
+        "purchase_attribution": q_purchase_attribution,
+        "event_value_bands": q_event_value_bands,
         "user_sessions": q_user_sessions,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1068,6 +1171,36 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events
         FROM e GROUP BY event_type
     """,
+    "purchase_attribution": """
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT event_id AS view_id, user_id, ts
+          FROM events WHERE event_type = 'view'),
+        j AS (
+          SELECT p.purchase_id, p.user_id, v.view_id,
+                 row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY v.ts DESC, v.view_id DESC) AS rnk
+          FROM p JOIN v
+            ON v.user_id = p.user_id AND v.ts <= p.ts)
+        SELECT purchase_id, CAST(user_id AS BIGINT) AS user_id, view_id
+        FROM j WHERE rnk = 1
+    """,
+    "event_value_bands": """
+        WITH bands(band, lo, hi) AS (VALUES {bands}),
+        e AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events)
+        SELECT e.event_type, b.band,
+               count(*) AS n_events,
+               CAST(sum(e.v) AS BIGINT) AS sum_value_micro
+        FROM e JOIN bands b ON e.v >= b.lo AND e.v < b.hi
+        GROUP BY 1, 2
+    """.format(bands=", ".join(
+        f"('{n}', {lo}, {hi})" for (n, lo, hi) in VALUE_BANDS)),
     "user_sessions": """
         WITH x AS (
           SELECT user_id, ts,

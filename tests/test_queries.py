@@ -35,6 +35,9 @@ SQL_QUERIES = [
     "hash_sample",
     "per_lang_top5",
     "corpus_curation",
+    "minhash_dup_pairs",
+    "purchase_attribution",
+    "event_value_bands",
     "embeddings_by_label",
     "knn_cosine",
     "multimodal_decode",
