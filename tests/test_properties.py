@@ -81,3 +81,48 @@ def test_minhash_similarity_monotone_identity(a, b):
     sa, sb = shingles(a), shingles(b)
     if sa == sb:
         assert minhash_signature(sa) == minhash_signature(sb)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_ole2_extract_total(raw):
+    """extract_ole2 never raises — malformed compound files become
+    classified error results (M12 semantics)."""
+    from documentconvert_ray.functions.doc_extract import extract_ole2
+
+    res = extract_ole2(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + raw)
+    assert isinstance(res.text_md, str)
+    assert res.ok or res.error_kind
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 5000))
+def test_ole2_mutation_total_and_deterministic(seed, cut):
+    """A real generated .doc with a deterministic byte flip + cut must
+    still yield a row-level result, identically on repeat."""
+    import random
+
+    from documentconvert_ray.functions.doc_extract import extract_ole2
+    from documentconvert_ray.sources.corpus import make_doc_legacy
+
+    payload, _ = make_doc_legacy(random.Random(seed % 50))
+    pos = seed % max(1, len(payload))
+    mutated = bytearray(payload)
+    mutated[pos] ^= 0xFF
+    mutated = bytes(mutated[: max(8, len(mutated) - cut)])
+    r1 = extract_ole2(mutated)
+    r2 = extract_ole2(mutated)
+    assert (r1.ok, r1.error_kind, r1.text_md) == \
+        (r2.ok, r2.error_kind, r2.text_md)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=4096), st.integers(10, 15),
+       st.integers(1, 128))
+def test_png_predictor_roundtrip_property(data, pred, columns):
+    from documentconvert_ray.functions.pdf_extract import _apply_predictor
+    from documentconvert_ray.sources.corpus import _png_predict_encode
+
+    enc = _png_predict_encode(data, pred, columns)
+    out = _apply_predictor(enc, {"Predictor": pred, "Columns": columns})
+    assert out == data
