@@ -36,6 +36,7 @@ QUERY_NAMES = [
     "exact_dedup",
     "ngram_top20",
     "minhash_dup_pairs",
+    "near_dup_clusters",
     "simhash_near_dups",
     "ngram_jaccard_dups",
     "embedding_near_dups",

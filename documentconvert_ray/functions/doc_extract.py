@@ -217,6 +217,13 @@ def _extract_doc(streams: dict) -> ExtractResult:
         return ExtractResult(False, "", [], "office_truncated",
                              "WordDocument stream has no FIB magic")
     (flags,) = struct.unpack_from("<H", word, 0x0A)
+    if flags & 0x0100:  # fEncrypted: password-protected document
+        # reference M11's password branch (document_service.py:394-424)
+        # — deterministic kind, not a generic parse error. Not in the
+        # synthetic corpus (the FIB flag is invisible to the SQL
+        # oracle), so this is a real-world-input classification only.
+        return ExtractResult(False, "", [], "office_encrypted",
+                             "encrypted .doc (FIB fEncrypted set)")
     tbl_name = "1Table" if flags & 0x0200 else "0Table"
     table = streams.get(tbl_name, streams.get(
         "1Table" if tbl_name == "0Table" else "0Table"))

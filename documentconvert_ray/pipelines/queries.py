@@ -228,6 +228,44 @@ def q_minhash_dup_pairs(sf_dir: str):
     )
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: connected components over the verified
+    MinHash pair set, each doc labeled with its component's min doc_id
+    (the canonical representative a dedup keep-list keeps). Emits one
+    (doc_id, rep_doc_id) row per clustered doc, rep rows included.
+
+    Scale shape: the pair set is the output of the LSH+verify
+    pipeline — candidates ≪ corpus by construction (the same bounded
+    assumption as the url-dedup winner table, pipelines/extract.py),
+    so the union-find folds the SMALL pair list on the driver; the
+    corpus itself never materializes. If the duplication rate ever
+    broke the assumption, the fallback is iterative min-label
+    propagation (groupby-min over pair endpoints to fixpoint — same
+    outputs, O(diameter) shuffles)."""
+    pairs = q_minhash_dup_pairs(sf_dir)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["doc_id_a"], pdf["doc_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by min id → rep IS the component min
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    docs = sorted(set(map(int, pdf["doc_id_a"]))
+                  | set(map(int, pdf["doc_id_b"])))
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(docs, pa.int64()),
+         "rep_doc_id": pa.array([find(d) for d in docs], pa.int64())})
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash banding near-dup pairs (hamming ≤ 3) — non-SQL op.
     Verification is one vectorized map_batches over the carried
@@ -1004,6 +1042,7 @@ def queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
@@ -1032,6 +1071,44 @@ def queries() -> dict:
 
 
 _STOP_SQL = "('the','a','and','of','to')"
+
+# exact-Jaccard pair set (τ=0.7) over word-3-gram shingles — the
+# shared CTE body behind the minhash_dup_pairs and near_dup_clusters
+# oracles; tokenization/short-doc semantics mirror textstats.shingles()
+_MINHASH_PAIRS_CTE = """
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        sh AS (
+          -- 1-2-token docs get one whole-text shingle, mirroring
+          -- textstats.shingles()'s short-doc branch exactly
+          SELECT DISTINCT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+          WHERE len(tk) >= 3
+          UNION
+          SELECT doc_id, array_to_string(tk, ' ') AS shingle
+          FROM toks WHERE len(tk) BETWEEN 1 AND 2
+        ),
+        sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY ia, ib
+        ),
+        mpairs AS (
+          SELECT ia AS doc_id_a, ib AS doc_id_b,
+                 CAST((c * 1000000) // (sa.n + sb.n - c) AS BIGINT)
+                     AS jaccard_micro
+          FROM co
+          JOIN sized sa ON co.ia = sa.doc_id
+          JOIN sized sb ON co.ib = sb.doc_id
+          WHERE (c * 1000000) // (sa.n + sb.n - c) >= 700000
+        )"""
 
 
 def _lang_id_sql() -> str:
@@ -1268,38 +1345,25 @@ ORACLES: dict[str, str] = {
     # 64-bit shingle sets produce the same Jaccard as the string sets
     # (collision-free on this data by construction check).
     "minhash_dup_pairs": """
-        WITH toks AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x <> '') AS tk
-          FROM documents
-        ),
-        sh AS (
-          -- 1-2-token docs get one whole-text shingle, mirroring
-          -- textstats.shingles()'s short-doc branch exactly
-          SELECT DISTINCT doc_id,
-                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-          FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
-          WHERE len(tk) >= 3
+        WITH {cte}
+        SELECT doc_id_a, doc_id_b, jaccard_micro FROM mpairs
+    """.format(cte=_MINHASH_PAIRS_CTE),
+    # connected components over the same pair set: transitive closure
+    # by recursive CTE, rep = min reachable id — mirrors the query's
+    # union-by-min-id fold exactly
+    "near_dup_clusters": """
+        WITH RECURSIVE {cte},
+        edges AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM mpairs
+          UNION SELECT doc_id_b, doc_id_a FROM mpairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
           UNION
-          SELECT doc_id, array_to_string(tk, ' ') AS shingle
-          FROM toks WHERE len(tk) BETWEEN 1 AND 2
-        ),
-        sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        co AS (
-          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-          FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY ia, ib
-        )
-        SELECT ia AS doc_id_a, ib AS doc_id_b,
-               CAST((c * 1000000) // (sa.n + sb.n - c) AS BIGINT)
-                   AS jaccard_micro
-        FROM co
-        JOIN sized sa ON co.ia = sa.doc_id
-        JOIN sized sb ON co.ib = sb.doc_id
-        WHERE (c * 1000000) // (sa.n + sb.n - c) >= 700000
-    """,
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id,
+               CAST(least(a, min(b)) AS BIGINT) AS rep_doc_id
+        FROM reach GROUP BY a
+    """.format(cte=_MINHASH_PAIRS_CTE),
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,

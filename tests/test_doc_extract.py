@@ -228,3 +228,14 @@ def test_difat_cycle_and_xls_width_bounds():
     res = _extract_xls(b"".join(recs))
     assert time.monotonic() - t0 < 5
     assert res.ok and res.text_md == ""  # all cells beyond BIFF8 bounds
+
+
+def test_encrypted_doc_classifies():
+    import struct as st
+
+    word = bytearray(1024)
+    st.pack_into("<H", word, 0, 0xA5EC)
+    st.pack_into("<H", word, 0x0A, 0x0100)  # fEncrypted
+    raw = cfb_write([("WordDocument", bytes(word)), ("0Table", b"\0" * 8)])
+    res = extract_ole2(raw)
+    assert not res.ok and res.error_kind == "office_encrypted"

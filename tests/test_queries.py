@@ -36,6 +36,7 @@ SQL_QUERIES = [
     "per_lang_top5",
     "corpus_curation",
     "minhash_dup_pairs",
+    "near_dup_clusters",
     "purchase_attribution",
     "event_value_bands",
     "embeddings_by_label",
@@ -145,3 +146,36 @@ def test_minhash_pairs_deterministic(registry, ray_session):
     )
     # verified pairs must really exceed the jaccard threshold
     assert (a["jaccard_micro"] >= 700_000).all() if len(a) else True
+
+
+def test_simhash_pairs_sound(registry, ray_session):
+    """Soundness: every emitted simhash pair, independently recomputed
+    from the raw documents, really has hamming distance <= 3 AND
+    shares at least one 16-bit band (the candidate condition)."""
+    import pyarrow.parquet as pq
+
+    from documentconvert_ray.functions.textstats import simhash64
+
+    qs, _ = registry
+    pairs = qs["simhash_near_dups"](SF_DIR).to_pandas()
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    text_of = dict(zip(t.column("doc_id").to_pylist(),
+                       t.column("text").to_pylist()))
+    assert len(pairs) > 0
+    for a, b, ham in zip(pairs["doc_id_a"], pairs["doc_id_b"],
+                         pairs["hamming"]):
+        sa, sb = simhash64(text_of[int(a)]), simhash64(text_of[int(b)])
+        x = sa ^ sb
+        assert bin(x).count("1") == int(ham) <= 3, (a, b)
+        assert any(((x >> (16 * band)) & 0xFFFF) == 0 for band in range(4))
+
+
+def test_near_dup_clusters_reps_are_component_minima(registry, ray_session):
+    """Every rep is the min id of its cluster and every clustered doc
+    appears exactly once."""
+    qs, _ = registry
+    df = qs["near_dup_clusters"](SF_DIR).to_pandas()
+    assert df["doc_id"].is_unique
+    by_rep = df.groupby("rep_doc_id")["doc_id"].min()
+    assert (by_rep.index == by_rep.values).all()
