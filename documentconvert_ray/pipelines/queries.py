@@ -38,8 +38,11 @@ from ..stages.multimodal import (
 from .extract import build_extract_ds, expand_input_files
 
 # Synthetic web-corpus size used by the extraction queries at any sf
-# (deterministic; cached under /tmp keyed by engine+rows).
-CORPUS_ROWS = 300
+# (deterministic; cached under /tmp keyed by engine+rows). 1000 is the
+# smallest size at which EVERY classification class appears (incl.
+# encrypted_pdf and the legacy-OLE2 ok/unsupported split), so the
+# driver's flagship oracle actually exercises each CASE branch.
+CORPUS_ROWS = 1000
 
 
 def _corpus_dir() -> str:

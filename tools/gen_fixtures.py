@@ -33,7 +33,9 @@ from documentconvert_ray.sources.corpus import write_corpus
 from documentconvert_ray.stages.extract import SPAN_TYPE
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
-N_ROWS = 200
+# 1000 = smallest corpus in which every classification class appears
+# (encrypted_pdf, legacy-OLE2 ok + unsupported, OOXML, truncations)
+N_ROWS = 1000
 
 
 def main() -> None:
