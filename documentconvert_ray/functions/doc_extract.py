@@ -33,7 +33,7 @@ import struct
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from .html_extract import ExtractResult
-from .markdown import Block, render
+from .markdown import Block, render, render_table
 from .ole2 import CfbError, cfb_streams
 
 DOC_MARKER = "WordDocument".encode("utf-16-le")
@@ -134,18 +134,10 @@ def _text_blocks(text: str) -> list[Block]:
 
     def flush_table() -> None:
         nonlocal table_rows
-        rows = [r for r in table_rows if any(r)]
+        md = render_table(table_rows)
         table_rows = []
-        if not rows:
-            return
-        width = max(len(r) for r in rows)
-        norm = [[c.replace("|", "\\|") for c in r] + [""] * (width - len(r))
-                for r in rows]
-        lines = ["| " + " | ".join(norm[0]) + " |",
-                 "| " + " | ".join(["---"] * width) + " |"]
-        for r in norm[1:]:
-            lines.append("| " + " | ".join(r) + " |")
-        blocks.append(Block("table", "\n".join(lines)))
+        if md:
+            blocks.append(Block("table", md))
 
     row: list[str] = []
     for para in text.split("\r"):
@@ -369,13 +361,8 @@ def _extract_xls(data: bytes) -> ExtractResult:
     width = max(c for (_r, c) in cells) + 1
     if len(rows) * width > _XLS_MAX_CELLS:
         rows = rows[: _XLS_MAX_CELLS // max(1, width)]
-    grid = [[cells.get((r, c), "").replace("|", "\\|")
-             for c in range(width)] for r in rows]
-    lines = ["| " + " | ".join(grid[0]) + " |",
-             "| " + " | ".join(["---"] * width) + " |"]
-    for r in grid[1:]:
-        lines.append("| " + " | ".join(r) + " |")
-    text_md, spans = render([Block("table", "\n".join(lines))])
+    grid = [[cells.get((r, c), "") for c in range(width)] for r in rows]
+    text_md, spans = render([Block("table", render_table(grid))])
     return ExtractResult(True, text_md, spans)
 
 

@@ -33,6 +33,26 @@ class Block:
     page: int = 0
 
 
+def render_table(rows: list[list[str]]) -> str:
+    """Cell grid → markdown table text (first row is the header).
+
+    One formatter for every extraction leg (HTML/PDF tables, OOXML
+    docx/xlsx, legacy .doc/.xls): escapes ``|`` in cells, pads ragged
+    rows to the widest row, emits header + ``---`` separator + body.
+    Returns "" for an empty/all-empty grid."""
+    rows = [r for r in rows if any(r)]
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    norm = [[c.replace("|", "\\|") for c in r] + [""] * (width - len(r))
+            for r in rows]
+    lines = ["| " + " | ".join(norm[0]) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for r in norm[1:]:
+        lines.append("| " + " | ".join(r) + " |")
+    return "\n".join(lines)
+
+
 def render(blocks: list[Block]) -> tuple[str, list[dict]]:
     """Join blocks with a blank line; return (text_md, spans).
 

@@ -25,7 +25,7 @@ from html import unescape
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from .html_extract import ExtractResult
-from .markdown import Block, render
+from .markdown import Block, render, render_table
 
 _P_RE = re.compile(r"<w:p[ >].*?</w:p>|<w:p/>", re.S)
 _T_RE = re.compile(r"<w:t(?: [^>]*)?>(.*?)</w:t>", re.S)
@@ -132,20 +132,13 @@ def extract_docx(raw: bytes,
                 else:
                     blocks.append(Block("para", txt))
             if ti < len(tables):
-                rows = []
-                for tr in _TR_RE.findall(tables[ti]):
-                    cells = [_runs_text(tc).replace("|", "\\|")
-                             for tc in _TC_RE.findall(tr)]
-                    if any(cells):
-                        rows.append(cells)
-                if rows:
-                    width = max(len(r) for r in rows)
-                    norm = [r + [""] * (width - len(r)) for r in rows]
-                    lines = ["| " + " | ".join(norm[0]) + " |",
-                             "| " + " | ".join(["---"] * width) + " |"]
-                    for r in norm[1:]:
-                        lines.append("| " + " | ".join(r) + " |")
-                    blocks.append(Block("table", "\n".join(lines)))
+                rows = [
+                    [_runs_text(tc) for tc in _TC_RE.findall(tr)]
+                    for tr in _TR_RE.findall(tables[ti])
+                ]
+                md = render_table(rows)
+                if md:
+                    blocks.append(Block("table", md))
                 ti += 1
         text_md, spans = render(blocks)
         return ExtractResult(True, text_md, spans)
@@ -208,19 +201,10 @@ def _extract_xlsx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
                 by_col[col] = val
             if by_col:
                 width = max(by_col) + 1
-                cells = [by_col.get(j, "").replace("|", "\\|")
-                         for j in range(width)]
-                if any(cells):
-                    rows.append(cells)
-        if not rows:
-            continue
-        width = max(len(r) for r in rows)
-        norm = [r + [""] * (width - len(r)) for r in rows]
-        lines = ["| " + " | ".join(norm[0]) + " |",
-                 "| " + " | ".join(["---"] * width) + " |"]
-        for r in norm[1:]:
-            lines.append("| " + " | ".join(r) + " |")
-        blocks.append(Block("table", "\n".join(lines)))
+                rows.append([by_col.get(j, "") for j in range(width)])
+        md = render_table(rows)
+        if md:
+            blocks.append(Block("table", md))
     text_md, spans = render(blocks)
     return ExtractResult(True, text_md, spans)
 

@@ -184,9 +184,10 @@ def cfb_write(streams: list[tuple[str, bytes]]) -> bytes:
     minifat: list[int] = []
     for (n, d) in small:
         nsec = max(1, -(-len(d) // msz))
-        mini_start[n] = len(minifat)
-        minifat.extend(list(range(len(minifat) + 1, len(minifat) + nsec))
-                       + [_ENDCHAIN])
+        start = len(minifat)
+        mini_start[n] = start
+        minifat.extend(range(start + 1, start + nsec))
+        minifat.append(_ENDCHAIN)
         mini += d + b"\0" * (nsec * msz - len(d))
 
     def pad_sect(b: bytes, fill: bytes = b"\0") -> bytes:

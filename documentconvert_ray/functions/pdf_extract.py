@@ -39,7 +39,7 @@ import zlib
 from dataclasses import dataclass, field
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
-from .markdown import Block, render
+from .markdown import Block, render, render_table
 
 # ------------------------------------------------------------ object model
 
@@ -805,16 +805,8 @@ def _table_to_block(items: list[_TextItem], page: int,
                         grid[ri][ci].append(it.text)
                         break
                 break
-    rows = [[" ".join(c).strip().replace("|", "\\|") for c in r] for r in grid]
-    rows = [r for r in rows if any(r)]
-    if not rows:
-        return Block("table", "", page)
-    width = max(len(r) for r in rows)
-    lines = ["| " + " | ".join(rows[0] + [""] * (width - len(rows[0]))) + " |",
-             "| " + " | ".join(["---"] * width) + " |"]
-    for r in rows[1:]:
-        lines.append("| " + " | ".join(r + [""] * (width - len(r))) + " |")
-    return Block("table", "\n".join(lines), page)
+    rows = [[" ".join(c).strip() for c in r] for r in grid]
+    return Block("table", render_table(rows), page)
 
 
 def _split_column_items(items: list[_TextItem], gap_milli: int) -> list[list[_TextItem]]:

@@ -1032,7 +1032,7 @@ def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         # cut before the directory (written LAST by cfb_write): the
         # stream-name marker disappears with it, so extractor and SQL
         # oracle agree on office_unsupported
-        dir_len = 512  # 4 entries × 128 bytes → one sector
+        dir_len = ((1 + 2) * 128 + 511) // 512 * 512  # root + 2 streams
         payload = payload[: len(payload) - dir_len - 64]
         return payload, "", ""
     if roll < 0.32:
