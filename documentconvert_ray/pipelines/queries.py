@@ -231,6 +231,13 @@ def q_minhash_dup_pairs(sf_dir: str):
     )
 
 
+# Above this many verified pairs the driver union-find stops being
+# "small" (the bounded-duplication-rate assumption) and clustering
+# switches to distributed min-label propagation. Env-overridable so
+# tests can force the distributed path on tiny data.
+CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: connected components over the verified
     MinHash pair set, each doc labeled with its component's min doc_id
@@ -240,12 +247,19 @@ def q_near_dup_clusters(sf_dir: str):
     Scale shape: the pair set is the output of the LSH+verify
     pipeline — candidates ≪ corpus by construction (the same bounded
     assumption as the url-dedup winner table, pipelines/extract.py),
-    so the union-find folds the SMALL pair list on the driver; the
-    corpus itself never materializes. If the duplication rate ever
-    broke the assumption, the fallback is iterative min-label
-    propagation (groupby-min over pair endpoints to fixpoint — same
-    outputs, O(diameter) shuffles)."""
+    so up to CC_DRIVER_MAX_PAIRS the union-find folds the SMALL pair
+    list on the driver and the corpus itself never materializes.
+    Above the bound, _cc_distributed takes over: iterative min-label
+    propagation to fixpoint (stages/dedup.cc_*) — identical labels,
+    O(component diameter) bucketed shuffles, nothing on the driver
+    but a per-round convergence scalar."""
     pairs = q_minhash_dup_pairs(sf_dir)
+    if not isinstance(pairs, pa.Table):  # Dataset (non-empty corpus)
+        pairs = pairs.materialize()  # small; consumed twice below
+        limit = int(os.environ.get("CC_DRIVER_MAX_PAIRS",
+                                   CC_DRIVER_MAX_PAIRS))
+        if pairs.count() > limit:
+            return _cc_distributed(pairs)
     pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
     parent: dict[int, int] = {}
 
@@ -267,6 +281,43 @@ def q_near_dup_clusters(sf_dir: str):
     return pa.Table.from_pydict(
         {"doc_id": pa.array(docs, pa.int64()),
          "rep_doc_id": pa.array([find(d) for d in docs], pa.int64())})
+
+
+def _cc_distributed(pairs):
+    """Connected components over a (doc_id_a, doc_id_b) pair Dataset by
+    distributed min-label propagation (see stages/dedup.py for the
+    algorithm notes). Per round: bucketed label→edge join, groupby-min
+    over message targets, one scalar sum() as the convergence probe
+    (labels only ever decrease, so an unchanged sum IS the fixpoint).
+    Labels materialize each round — one int64 row per clustered doc —
+    to cut the recursive lineage; the edge set materializes once."""
+    n_pairs = pairs.count()
+    n_buckets = dd.derive_buckets(n_pairs, rows_per_doc=4, floor=8)
+    edges = pairs.map_batches(
+        lambda b: dd.cc_edge_rows(b, n_buckets), batch_format="pyarrow"
+    ).materialize()
+    # round 0 folded into init: label(v) = min(v, neighbors(v))
+    labels = edges.groupby("src").aggregate(
+        Min("dst", alias_name="lab")).materialize()
+    prev_sum = labels.sum("lab")
+    for _ in range(64):  # >= any real component diameter; converges
+        lab_rows = labels.map_batches(
+            lambda b: dd.cc_label_rows(b, n_buckets),
+            batch_format="pyarrow",
+        )
+        msgs = edges.union(lab_rows).groupby("eb").map_groups(
+            dd.cc_propagate, batch_format="pandas"
+        )
+        labels = msgs.groupby("node").aggregate(
+            Min("lab", alias_name="lab")).materialize()
+        s = labels.sum("lab")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "rep_doc_id"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_simhash_near_dups(sf_dir: str):

@@ -498,3 +498,80 @@ def pair_shingle_jaccard(group, threshold_micro: int):
         {"doc_id_a": pd.Series(out_a, dtype="int64"),
          "doc_id_b": pd.Series(out_b, dtype="int64"),
          "jaccard_micro": pd.Series(out_j, dtype="int64")})
+
+
+# --------------------------------------- distributed connected components
+#
+# near_dup_clusters' scale path: the driver union-find assumes the
+# verified pair list fits one process (the bounded-duplication-rate
+# assumption, pipelines/queries.q_near_dup_clusters). When the pair
+# count breaks that bound, iterative MIN-LABEL PROPAGATION computes the
+# same component labels with only Dataset shuffles — the classic
+# MapReduce connected-components shape (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14, simple-propagation
+# variant): label(v) ← min(label(v), min over neighbors label(u)),
+# repeated to fixpoint, O(component diameter) rounds. Near-dup
+# components are LSH band cliques glued at shared docs, so diameters
+# are tiny (2-3 rounds in practice).
+#
+# Per round: one bucketed groupby joins labels to outgoing edges (the
+# tagged-union idiom used by attach_shingles above) + one groupby-min
+# over message targets + one scalar sum() for the convergence probe.
+# Only int64 (node, label) rows shuffle; the edge set is materialized
+# once and reused every round.
+
+
+def cc_edge_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Verified pairs → directed edge rows (eb, kind=0, src, dst):
+    both directions plus a self loop per endpoint (the self loop is
+    what lets a node KEEP its current label when no neighbor improves
+    it). ``eb = hash(src) % n_buckets`` is the explicit partitioning
+    key — a node's outgoing edges meet its label row in one group."""
+    import numpy as np
+
+    a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+    src = np.concatenate([a, b, a, b])
+    dst = np.concatenate([b, a, a, b])
+    eb = ((src.astype(np.uint64) * np.uint64(2654435761))
+          % np.uint64(max(1, n_buckets))).astype(np.int32)
+    return pa.Table.from_pydict(
+        {"eb": pa.array(eb),
+         "kind": pa.array(np.zeros(len(src), dtype=np.int8)),
+         "src": pa.array(src, pa.int64()),
+         "dst": pa.array(dst, pa.int64())})
+
+
+def cc_label_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Current labels → (eb, kind=1, src=node, dst=label) rows bucketed
+    like the edges, so the union-groupby co-locates them."""
+    import numpy as np
+
+    node_col = "src" if "src" in batch.column_names else "node"
+    node = batch.column(node_col).to_numpy(zero_copy_only=False)
+    lab = batch.column("lab").to_numpy(zero_copy_only=False)
+    eb = ((node.astype(np.uint64) * np.uint64(2654435761))
+          % np.uint64(max(1, n_buckets))).astype(np.int32)
+    return pa.Table.from_pydict(
+        {"eb": pa.array(eb),
+         "kind": pa.array(np.ones(len(node), dtype=np.int8)),
+         "src": pa.array(node, pa.int64()),
+         "dst": pa.array(lab, pa.int64())})
+
+
+def cc_propagate(group):
+    """One src bucket (pandas) of edges (kind 0) + labels (kind 1) →
+    (node, lab) message rows: each edge forwards its source's current
+    label to its target. Vectorized via an index-aligned Series map;
+    every edge source has exactly one label row in the same bucket by
+    construction."""
+    import pandas as pd
+
+    kind = group["kind"].to_numpy()
+    lab = group[kind == 1]
+    edges = group[kind == 0]
+    m = pd.Series(lab["dst"].to_numpy(), index=lab["src"].to_numpy())
+    labs = m.reindex(edges["src"].to_numpy()).to_numpy()
+    return pd.DataFrame(
+        {"node": pd.Series(edges["dst"].to_numpy(), dtype="int64"),
+         "lab": pd.Series(labs, dtype="int64")})

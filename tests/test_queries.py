@@ -179,3 +179,36 @@ def test_near_dup_clusters_reps_are_component_minima(registry, ray_session):
     assert df["doc_id"].is_unique
     by_rep = df.groupby("rep_doc_id")["doc_id"].min()
     assert (by_rep.index == by_rep.values).all()
+
+def test_cc_distributed_chain_graph(ray_session):
+    """Min-label propagation on a path graph (diameter 8 — forces
+    multiple propagation rounds) plus a disjoint 2-clique: every node
+    labels with its component minimum."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentconvert_ray.pipelines.queries import _cc_distributed
+
+    chain = [(i, i + 1) for i in range(10, 18)]  # component min = 10
+    pairs = chain + [(100, 101)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"doc_id_a": pa.array([a for a, _ in pairs], pa.int64()),
+         "doc_id_b": pa.array([b for _, b in pairs], pa.int64()),
+         "jaccard_micro": pa.array([10 ** 6] * len(pairs), pa.int64())}))
+    df = _cc_distributed(ds).to_pandas().sort_values("doc_id")
+    got = dict(zip(df["doc_id"], df["rep_doc_id"]))
+    assert got == {**{i: 10 for i in range(10, 19)}, 100: 100, 101: 100}
+
+
+def test_cc_distributed_matches_driver_union_find(registry, ray_session,
+                                                  monkeypatch):
+    """Forcing the distributed path (CC_DRIVER_MAX_PAIRS=0) on the real
+    sf0.001 pair set yields exactly the driver union-find's labels."""
+    from check_oracles import canon, to_pandas
+
+    qs, _ = registry
+    driver = canon(to_pandas(qs["near_dup_clusters"](SF_DIR)))
+    monkeypatch.setenv("CC_DRIVER_MAX_PAIRS", "0")
+    dist = canon(to_pandas(qs["near_dup_clusters"](SF_DIR)))
+    assert len(driver) > 0
+    assert driver.equals(dist)
