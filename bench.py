@@ -43,6 +43,9 @@ QUERY_NAMES = [
     "embedding_near_dups_ivf",
     "hash_sample",
     "per_lang_top5",
+    "term_scrub",
+    "repetition_stats",
+    "benchmark_contamination",
     "events_hourly",
     "events_sliding",
     "value_quantiles",

@@ -590,6 +590,44 @@ def q_quality_scores(sf_dir: str):
     return stats.map_batches(flags, batch_format="pyarrow")
 
 
+def q_term_scrub(sf_dir: str):
+    """Blocklist redaction (PII-scrub shape): the term blocklist is
+    ray.put once and resolved per worker (broadcast small side), the
+    scrub itself is a shuffle-free map_batches. See
+    stages/text.TermScrubStage for the md5-of-normalized-text
+    contract the oracle mirrors."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    block_ref = ray.put(tx.SCRUB_TERMS)
+    return ds.map_batches(
+        tx.TermScrubStage(block_ref), batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (type-token ratio +
+    top-bigram mass) — map-side only, integer micro-units."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.repetition_stats_batch, batch_format="pyarrow")
+
+
+def q_benchmark_contamination(sf_dir: str):
+    """Benchmark decontamination: build the benchmark slice's distinct
+    8-gram set (small side — real eval suites ≪ corpus), broadcast it,
+    then one shuffle-free map_batches flags overlapping corpus docs.
+    The gram-set build is itself a Dataset pass (map-side distinct per
+    batch + driver union of the SMALL result)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gram_rows = ds.map_batches(tx.benchmark_gram_rows,
+                               batch_format="pyarrow")
+    grams = frozenset(gram_rows.unique("g"))
+    grams_ref = ray.put(grams)
+    return ds.map_batches(
+        tx.ContaminationStage(grams_ref), batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
 # ---------------------------------------------------------- events queries
 
 
@@ -1091,6 +1129,9 @@ def queries() -> dict:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "term_scrub": q_term_scrub,
+        "repetition_stats": q_repetition_stats,
+        "benchmark_contamination": q_benchmark_contamination,
         "exact_dedup": q_exact_dedup,
         "ngram_top20": q_ngram_top20,
         "lang_id": q_lang_id,
@@ -1253,6 +1294,82 @@ ORACLES: dict[str, str] = {
                (n_tokens >= 10 AND n_stop * 50 >= n_tokens) AS is_quality
         FROM t
     """.format(stop=_STOP_SQL),
+    # blocklist IN-list generated from the SAME frozenset the stage
+    # broadcasts (stages/text.SCRUB_TERMS) — one source of truth
+    "term_scrub": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(tk, x -> x IN {block}))
+                    AS BIGINT) AS n_redacted,
+               md5(array_to_string(
+                     list_transform(tk,
+                       x -> CASE WHEN x IN {block}
+                            THEN '[REDACTED]' ELSE x END),
+                     ' ')) AS redacted_md5
+        FROM toks
+    """.format(block="(" + ",".join(
+        f"'{w}'" for w in sorted(tx.SCRUB_TERMS)) + ")"),
+    "repetition_stats": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) = 0 THEN 0
+                      ELSE len(list_distinct(tk)) * 1000000 // len(tk)
+                 END AS distinct_frac_micro
+          FROM toks),
+        big AS (
+          SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+          FROM toks, unnest(range(1, len(tk))) AS t(i)
+          WHERE len(tk) >= 2),
+        topb AS (
+          SELECT doc_id, max(c) * 1000000 // sum(c)
+                     AS top_bigram_frac_micro
+          FROM (SELECT doc_id, g, count(*) AS c
+                FROM big GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(b.distinct_frac_micro AS BIGINT)
+                   AS distinct_frac_micro,
+               CAST(coalesce(t.top_bigram_frac_micro, 0) AS BIGINT)
+                   AS top_bigram_frac_micro,
+               (coalesce(t.top_bigram_frac_micro, 0) >= 100000
+                OR (b.n_tokens >= 10
+                    AND b.distinct_frac_micro <= 300000))
+                   AS is_repetitive
+        FROM base b LEFT JOIN topb t USING (doc_id)
+    """,
+    "benchmark_contamination": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)
+          WHERE doc_id % 100 = 0 AND len(tk) >= 8),
+        dg AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)
+          WHERE doc_id % 100 <> 0 AND len(tk) >= 8),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM dg JOIN bg USING (g) GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM toks t LEFT JOIN hits h USING (doc_id)
+        WHERE t.doc_id % 100 <> 0
+    """,
     "exact_dedup": """
         SELECT md5(text) AS text_md5,
                CAST(min(doc_id) AS BIGINT) AS rep_doc_id,

@@ -96,3 +96,149 @@ def ngram_partial_counts(batch: pa.Table) -> pa.Table:
         {"word": pa.array(list(words), pa.string()),
          "n": pa.array(list(ns), pa.int64())}
     )
+
+
+# ------------------------------------------------ curation-filter stages
+#
+# The three web-corpus hygiene operators a training-data pipeline runs
+# between extraction and dedup: blocklist redaction (the PII-scrub
+# shape), repetition quality signals (Gopher-style filters), and
+# benchmark decontamination (eval n-gram overlap). All map-side — no
+# shuffle; the only non-local piece is a broadcast small side.
+
+# Blocklist for the redaction op — the PII stand-in over this corpus's
+# vocabulary (the synthetic tables contain no emails/phones, so a term
+# blocklist exercises the same scrub machinery non-trivially). One
+# source of truth: the SQL oracle's IN-list is generated from this set.
+SCRUB_TERMS = frozenset({"hash", "spark", "vector"})
+
+# doc_id % BENCH_MOD == 0 → the "benchmark/eval" slice of the corpus
+# (the deterministic stand-in for a real eval suite's documents).
+BENCH_MOD = 100
+BENCH_NGRAM = 8
+
+
+class TermScrubStage:
+    """Blocklist redaction: every blocklisted whitespace token becomes
+    ``[REDACTED]``. The blocklist is the broadcast small side (ray.put
+    once, resolved+cached per worker) — the same shape a real PII scrub
+    (regex bank / denylist of secrets) runs at 100 TB.
+
+    Emits (doc_id, n_redacted, redacted_md5); redacted_md5 hashes the
+    whitespace-NORMALIZED redacted text (split + single-space join), the
+    exact SQL mirror ``md5(array_to_string(list_transform(toks, …), ' '))``.
+    """
+
+    def __init__(self, block_ref) -> None:
+        self._block_ref = block_ref  # resolved lazily in the worker
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import resolve_broadcast
+
+        block = resolve_broadcast(self._block_ref, key="scrub-terms")
+        n_out: list[int] = []
+        md5_out: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            n = 0
+            for i, w in enumerate(toks):
+                if w in block:
+                    toks[i] = "[REDACTED]"
+                    n += 1
+            n_out.append(n)
+            md5_out.append(
+                hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "n_redacted": pa.array(n_out, pa.int64()),
+             "redacted_md5": pa.array(md5_out, pa.string())})
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1
+    quality filters, the two that need no external model): type-token
+    ratio and top-bigram mass, in integer micro-units so the DuckDB
+    oracle is equality-exact.
+
+    (doc_id, n_tokens, distinct_frac_micro, top_bigram_frac_micro,
+    is_repetitive) where is_repetitive flags top-bigram mass ≥ 10% or
+    (≥10 tokens and distinct fraction ≤ 30%)."""
+    from collections import Counter
+
+    nt_out: list[int] = []
+    df_out: list[int] = []
+    tb_out: list[int] = []
+    rep_out: list[bool] = []
+    for t in batch.column("text").to_pylist():
+        toks = t.split()
+        n = len(toks)
+        distinct_frac = len(set(toks)) * 1_000_000 // n if n else 0
+        if n >= 2:
+            top = max(Counter(zip(toks, toks[1:])).values())
+            top_frac = top * 1_000_000 // (n - 1)
+        else:
+            top_frac = 0
+        nt_out.append(n)
+        df_out.append(distinct_frac)
+        tb_out.append(top_frac)
+        rep_out.append(top_frac >= 100_000
+                       or (n >= 10 and distinct_frac <= 300_000))
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "n_tokens": pa.array(nt_out, pa.int64()),
+         "distinct_frac_micro": pa.array(df_out, pa.int64()),
+         "top_bigram_frac_micro": pa.array(tb_out, pa.int64()),
+         "is_repetitive": pa.array(rep_out, pa.bool_())})
+
+
+def benchmark_gram_rows(batch: pa.Table) -> pa.Table:
+    """Benchmark-slice docs (doc_id % BENCH_MOD == 0) → one row per
+    distinct word-8-gram (column ``g``); all other docs emit nothing.
+    Feeds the driver-side small-set build in q_benchmark_contamination."""
+    out: set[str] = set()
+    for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+        if doc_id % BENCH_MOD != 0:
+            continue
+        toks = t.split()
+        k = BENCH_NGRAM
+        out.update(" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
+    return pa.Table.from_pydict({"g": pa.array(sorted(out), pa.string())})
+
+
+class ContaminationStage:
+    """Benchmark decontamination: flag corpus docs sharing any word-8-
+    gram with the benchmark slice (the TRAINING-side hygiene step that
+    keeps eval data out of the corpus; cf. GPT-3 appx C / PaLM §7-style
+    n-gram overlap). The benchmark gram set is the broadcast small side
+    — real eval suites are ~10⁵ examples, ≪ corpus, so a ray.put
+    frozenset is the right 100 TB shape (the mod-BENCH_MOD selector is
+    only the deterministic stand-in on the synthetic table).
+
+    Emits (doc_id, n_hits, contaminated) for NON-benchmark docs;
+    n_hits = |distinct doc 8-grams ∩ benchmark grams|."""
+
+    def __init__(self, grams_ref) -> None:
+        self._grams_ref = grams_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import resolve_broadcast
+
+        grams = resolve_broadcast(self._grams_ref, key="bench-grams")
+        ids_out: list[int] = []
+        hit_out: list[int] = []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            if doc_id % BENCH_MOD == 0:
+                continue
+            toks = t.split()
+            k = BENCH_NGRAM
+            dg = {" ".join(toks[i:i + k])
+                  for i in range(len(toks) - k + 1)}
+            ids_out.append(doc_id)
+            hit_out.append(len(dg & grams))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "n_hits": pa.array(hit_out, pa.int64()),
+             "contaminated": pa.array([h > 0 for h in hit_out],
+                                      pa.bool_())})

@@ -19,6 +19,9 @@ SQL_QUERIES = [
     "doc_stats_by_lang",
     "token_counts",
     "quality_scores",
+    "term_scrub",
+    "repetition_stats",
+    "benchmark_contamination",
     "exact_dedup",
     "ngram_top20",
     "events_hourly",
