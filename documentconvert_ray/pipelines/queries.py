@@ -299,23 +299,23 @@ def _cc_distributed(pairs):
     # round 0 folded into init: label(v) = min(v, neighbors(v))
     labels = edges.groupby("src").aggregate(
         Min("dst", alias_name="lab")).materialize()
-    prev_sum = labels.sum("lab")
     for _ in range(64):  # >= any real component diameter; converges
         lab_rows = labels.map_batches(
             lambda b: dd.cc_label_rows(b, n_buckets),
             batch_format="pyarrow",
         )
         msgs = edges.union(lab_rows).groupby("eb").map_groups(
-            dd.cc_propagate, batch_format="pandas"
+            lambda g: dd.cc_propagate(g, n_buckets), batch_format="pandas"
         )
-        labels = msgs.groupby("node").aggregate(
-            Min("lab", alias_name="lab")).materialize()
-        s = labels.sum("lab")
-        if s == prev_sum:
+        red = msgs.groupby("nb").map_groups(
+            dd.cc_reduce, batch_format="pandas"
+        ).materialize()
+        labels = red.drop_columns(["changed"])
+        if red.sum("changed") == 0:  # exact fixpoint probe
             break
-        prev_sum = s
     return labels.map_batches(
-        lambda b: b.rename_columns(["doc_id", "rep_doc_id"]),
+        lambda b: b.select(["node", "lab"]).rename_columns(
+            ["doc_id", "rep_doc_id"]),
         batch_format="pyarrow",
     )
 

@@ -559,19 +559,52 @@ def cc_label_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
          "dst": pa.array(lab, pa.int64())})
 
 
-def cc_propagate(group):
+_CC_NO_OLD = (1 << 62)  # sentinel: "this message is not a self-delivery"
+
+
+def cc_propagate(group, n_buckets: int):
     """One src bucket (pandas) of edges (kind 0) + labels (kind 1) →
-    (node, lab) message rows: each edge forwards its source's current
-    label to its target. Vectorized via an index-aligned Series map;
-    every edge source has exactly one label row in the same bucket by
+    (nb, node, lab, old) message rows: each edge forwards its source's
+    current label to its target, bucketed by target for the reduce.
+    Self-loop rows also carry the label in ``old`` (sentinel
+    elsewhere), so the reduce can detect convergence EXACTLY — a
+    sum-of-labels probe would be subject to int64 wraparound at
+    10^12-node scale, where one round's total label decrease can
+    exceed 2^64. Vectorized via an index-aligned Series map; every
+    edge source has exactly one label row in the same bucket by
     construction."""
+    import numpy as np
     import pandas as pd
 
     kind = group["kind"].to_numpy()
     lab = group[kind == 1]
     edges = group[kind == 0]
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
     m = pd.Series(lab["dst"].to_numpy(), index=lab["src"].to_numpy())
-    labs = m.reindex(edges["src"].to_numpy()).to_numpy()
+    labs = m.reindex(src).to_numpy().astype(np.int64, copy=False)
+    old = np.where(src == dst, labs, np.int64(_CC_NO_OLD))
+    nb = ((dst.astype(np.uint64) * np.uint64(2654435761))
+          % np.uint64(max(1, n_buckets))).astype(np.int32)
     return pd.DataFrame(
-        {"node": pd.Series(edges["dst"].to_numpy(), dtype="int64"),
-         "lab": pd.Series(labs, dtype="int64")})
+        {"nb": pd.Series(nb, dtype="int32"),
+         "node": pd.Series(dst, dtype="int64"),
+         "lab": pd.Series(labs, dtype="int64"),
+         "old": pd.Series(old, dtype="int64")})
+
+
+def cc_reduce(group):
+    """One target bucket of (node, lab, old) messages → per-node new
+    label (min over incoming) + changed flag (new < the node's
+    pre-round label, delivered by its self loops). C-speed pandas
+    groupby; every node gets ≥1 self-delivery because every pair
+    endpoint has a self loop."""
+    import pandas as pd
+
+    g = (group.groupby("node", sort=False)
+         .agg(lab=("lab", "min"), old=("old", "min"))
+         .reset_index())
+    return pd.DataFrame(
+        {"node": g["node"].astype("int64"),
+         "lab": g["lab"].astype("int64"),
+         "changed": (g["lab"] < g["old"]).astype("int64")})
