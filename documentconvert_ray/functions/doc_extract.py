@@ -336,7 +336,10 @@ def _extract_xls(data: bytes) -> ExtractResult:
                 pass  # SST continued into a Continue record: keep prefix
         elif rtype == _BIFF_LABELSST and len(body) >= 10:
             (row, col, _ixfe, isst) = struct.unpack_from("<HHHI", body, 0)
-            if 0 <= isst < len(sst):
+            # skip empty SST strings, like the inline-Label branch: an
+            # all-empty row must not survive to (and be dropped by)
+            # render_table while still widening the grid
+            if 0 <= isst < len(sst) and sst[isst]:
                 cells[(row, col)] = sst[isst]
         elif rtype == _BIFF_LABEL and len(body) >= 9:
             (row, col, _ixfe) = struct.unpack_from("<HHH", body, 0)

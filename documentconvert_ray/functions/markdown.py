@@ -36,10 +36,12 @@ class Block:
 def render_table(rows: list[list[str]]) -> str:
     """Cell grid → markdown table text (first row is the header).
 
-    One formatter for every extraction leg (HTML/PDF tables, OOXML
-    docx/xlsx, legacy .doc/.xls): escapes ``|`` in cells, pads ragged
-    rows to the widest row, emits header + ``---`` separator + body.
-    Returns "" for an empty/all-empty grid."""
+    One formatter for the PDF-table, OOXML docx/xlsx and legacy
+    .doc/.xls legs (the HTML leg keeps its own renderer — it must
+    SYNTHESIZE a blank header row for <th>-less tables, where this one
+    drops all-empty rows): escapes ``|`` in cells, pads ragged rows to
+    the widest row, emits header + ``---`` separator + body. Returns
+    "" for an empty/all-empty grid."""
     rows = [r for r in rows if any(r)]
     if not rows:
         return ""

@@ -286,9 +286,11 @@ def q_near_dup_clusters(sf_dir: str):
 def _cc_distributed(pairs):
     """Connected components over a (doc_id_a, doc_id_b) pair Dataset by
     distributed min-label propagation (see stages/dedup.py for the
-    algorithm notes). Per round: bucketed label→edge join, groupby-min
-    over message targets, one scalar sum() as the convergence probe
-    (labels only ever decrease, so an unchanged sum IS the fixpoint).
+    algorithm notes). Per round: bucketed label→edge join, then a
+    bucketed reduce that takes the per-node min AND counts exactly how
+    many labels changed (each node's pre-round label rides along on
+    its self-loop messages — see cc_propagate for why a sum-of-labels
+    probe is NOT sound at scale); changed == 0 is the fixpoint.
     Labels materialize each round — one int64 row per clustered doc —
     to cut the recursive lineage; the edge set materializes once."""
     n_pairs = pairs.count()
@@ -299,7 +301,14 @@ def _cc_distributed(pairs):
     # round 0 folded into init: label(v) = min(v, neighbors(v))
     labels = edges.groupby("src").aggregate(
         Min("dst", alias_name="lab")).materialize()
-    for _ in range(64):  # >= any real component diameter; converges
+    # propagation moves the component minimum one hop per round, so
+    # rounds needed == max component diameter. LSH components are
+    # band-clique unions (tiny diameters), but a drift CHAIN of
+    # near-dups can be long — so cap generously and REFUSE to return
+    # silently-unconverged labels if the cap ever hits.
+    max_rounds = 256
+    converged = False
+    for _ in range(max_rounds):
         lab_rows = labels.map_batches(
             lambda b: dd.cc_label_rows(b, n_buckets),
             batch_format="pyarrow",
@@ -312,7 +321,13 @@ def _cc_distributed(pairs):
         ).materialize()
         labels = red.drop_columns(["changed"])
         if red.sum("changed") == 0:  # exact fixpoint probe
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near-dup clustering did not converge in {max_rounds} "
+            "rounds (component diameter exceeds the cap); refusing to "
+            "return partial labels")
     return labels.map_batches(
         lambda b: b.select(["node", "lab"]).rename_columns(
             ["doc_id", "rep_doc_id"]),
@@ -1341,12 +1356,17 @@ ORACLES: dict[str, str] = {
                    AS distinct_frac_micro,
                CAST(coalesce(t.top_bigram_frac_micro, 0) AS BIGINT)
                    AS top_bigram_frac_micro,
-               (coalesce(t.top_bigram_frac_micro, 0) >= 100000
+               ((b.n_tokens >= 20
+                 AND coalesce(t.top_bigram_frac_micro, 0) >= 100000)
                 OR (b.n_tokens >= 10
                     AND b.distinct_frac_micro <= 300000))
                    AS is_repetitive
         FROM base b LEFT JOIN topb t USING (doc_id)
     """,
+    # mod / n-gram width generated from the stage's own constants
+    # (stages/text.BENCH_MOD / BENCH_NGRAM) — one source of truth, as
+    # for term_scrub above. DuckDB list slices are 1-based inclusive:
+    # tk[i:i+k-1] is k tokens.
     "benchmark_contamination": """
         WITH toks AS (
           SELECT doc_id,
@@ -1354,13 +1374,13 @@ ORACLES: dict[str, str] = {
                              x -> x <> '') AS tk
           FROM documents),
         bg AS (
-          SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
-          FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)
-          WHERE doc_id % 100 = 0 AND len(tk) >= 8),
+          SELECT DISTINCT array_to_string(tk[i:i+{km1}], ' ') AS g
+          FROM toks, unnest(range(1, len(tk) - {km2})) AS t(i)
+          WHERE doc_id % {mod} = 0 AND len(tk) >= {k}),
         dg AS (
-          SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
-          FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)
-          WHERE doc_id % 100 <> 0 AND len(tk) >= 8),
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+{km1}], ' ') AS g
+          FROM toks, unnest(range(1, len(tk) - {km2})) AS t(i)
+          WHERE doc_id % {mod} <> 0 AND len(tk) >= {k}),
         hits AS (
           SELECT doc_id, count(*) AS n_hits
           FROM dg JOIN bg USING (g) GROUP BY doc_id)
@@ -1368,8 +1388,9 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) > 0 AS contaminated
         FROM toks t LEFT JOIN hits h USING (doc_id)
-        WHERE t.doc_id % 100 <> 0
-    """,
+        WHERE t.doc_id % {mod} <> 0
+    """.format(mod=tx.BENCH_MOD, k=tx.BENCH_NGRAM,
+               km1=tx.BENCH_NGRAM - 1, km2=tx.BENCH_NGRAM - 2),
     "exact_dedup": """
         SELECT md5(text) AS text_md5,
                CAST(min(doc_id) AS BIGINT) AS rep_doc_id,

@@ -521,6 +521,18 @@ def pair_shingle_jaccard(group, threshold_micro: int):
 # once and reused every round.
 
 
+def _cc_bucket(ids, n_buckets: int):
+    """The one node→bucket hash every cc_* stage shares. Correctness
+    of the label→edge join depends on edges (by src), label rows (by
+    node) and messages (by target) all hashing IDENTICALLY — hence a
+    single helper, uint64 math so 10^12-scale ids cannot overflow."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(max(1, n_buckets))).astype(np.int32)
+
+
 def cc_edge_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Verified pairs → directed edge rows (eb, kind=0, src, dst):
     both directions plus a self loop per endpoint (the self loop is
@@ -533,8 +545,7 @@ def cc_edge_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
     b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
     src = np.concatenate([a, b, a, b])
     dst = np.concatenate([b, a, a, b])
-    eb = ((src.astype(np.uint64) * np.uint64(2654435761))
-          % np.uint64(max(1, n_buckets))).astype(np.int32)
+    eb = _cc_bucket(src, n_buckets)
     return pa.Table.from_pydict(
         {"eb": pa.array(eb),
          "kind": pa.array(np.zeros(len(src), dtype=np.int8)),
@@ -550,8 +561,7 @@ def cc_label_rows(batch: pa.Table, n_buckets: int) -> pa.Table:
     node_col = "src" if "src" in batch.column_names else "node"
     node = batch.column(node_col).to_numpy(zero_copy_only=False)
     lab = batch.column("lab").to_numpy(zero_copy_only=False)
-    eb = ((node.astype(np.uint64) * np.uint64(2654435761))
-          % np.uint64(max(1, n_buckets))).astype(np.int32)
+    eb = _cc_bucket(node, n_buckets)
     return pa.Table.from_pydict(
         {"eb": pa.array(eb),
          "kind": pa.array(np.ones(len(node), dtype=np.int8)),
@@ -584,8 +594,7 @@ def cc_propagate(group, n_buckets: int):
     m = pd.Series(lab["dst"].to_numpy(), index=lab["src"].to_numpy())
     labs = m.reindex(src).to_numpy().astype(np.int64, copy=False)
     old = np.where(src == dst, labs, np.int64(_CC_NO_OLD))
-    nb = ((dst.astype(np.uint64) * np.uint64(2654435761))
-          % np.uint64(max(1, n_buckets))).astype(np.int32)
+    nb = _cc_bucket(dst, n_buckets)
     return pd.DataFrame(
         {"nb": pd.Series(nb, dtype="int32"),
          "node": pd.Series(dst, dtype="int64"),

@@ -161,8 +161,11 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     oracle is equality-exact.
 
     (doc_id, n_tokens, distinct_frac_micro, top_bigram_frac_micro,
-    is_repetitive) where is_repetitive flags top-bigram mass ≥ 10% or
-    (≥10 tokens and distinct fraction ≤ 30%)."""
+    is_repetitive) where is_repetitive flags (≥20 tokens and
+    top-bigram mass ≥ 10%) or (≥10 tokens and distinct fraction
+    ≤ 30%). Both branches carry a minimum-length guard: below it the
+    ratios are dominated by 1/(n−1) quantization, not repetition (an
+    all-distinct 6-token doc already has top-bigram mass 20%)."""
     from collections import Counter
 
     nt_out: list[int] = []
@@ -181,7 +184,7 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         nt_out.append(n)
         df_out.append(distinct_frac)
         tb_out.append(top_frac)
-        rep_out.append(top_frac >= 100_000
+        rep_out.append((n >= 20 and top_frac >= 100_000)
                        or (n >= 10 and distinct_frac <= 300_000))
     return pa.Table.from_pydict(
         {"doc_id": batch.column("doc_id"),
