@@ -46,6 +46,7 @@ QUERY_NAMES = [
     "term_scrub",
     "repetition_stats",
     "benchmark_contamination",
+    "sequence_pack",
     "events_hourly",
     "events_sliding",
     "value_quantiles",

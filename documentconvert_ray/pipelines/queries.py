@@ -643,6 +643,58 @@ def q_benchmark_contamination(sf_dir: str):
     )
 
 
+def _footer_col_max(path: str, col: str):
+    """Column max from parquet row-group footer statistics — O(row
+    groups) driver-side metadata reads instead of a full column scan.
+    Returns None when any row group lacks stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    best = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        best = st.max if best is None else max(best, st.max)
+    return best
+
+
+def q_sequence_pack(sf_dir: str):
+    """GPT-style sequence packing: concatenate all docs' tokens in
+    doc_id order, cut into PACK_BLOCK-token training blocks (docs may
+    straddle a cut — standard pretraining layout). Emits each doc's
+    absolute start token + covered block span.
+
+    Distributed shape = two-phase prefix scan (stages/text.py notes):
+    per-doc counts with an ORDER-PRESERVING range key → per-range sums
+    (small groupby) → driver exclusive-prefix over one int per range
+    (broadcast back) → per-range local cumsum. The only driver-side
+    state is n_ranges integers; text never shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    max_id = _footer_col_max(
+        os.path.join(sf_dir, "documents.parquet"), "doc_id")
+    if max_id is None:
+        max_id = ds.max("doc_id")  # stats absent: one pruned scan
+    n_ranges = dd.derive_buckets(n_docs, rows_per_doc=1,
+                                 target=100_000, floor=16)
+    counts = ds.map_batches(
+        lambda b: tx.pack_count_rows(b, max_id, n_ranges),
+        batch_format="pyarrow",
+    ).materialize()  # 3 ints per doc; consumed twice (sums + scan)
+    sums = counts.groupby("rb").aggregate(
+        Sum("n_tokens", alias_name="tok")).take_all()
+    off: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["rb"]):
+        off[int(row["rb"])] = acc
+        acc += int(row["tok"])
+    scan = tx.PackScanStage(ray.put(off))
+    return counts.groupby("rb").map_groups(
+        lambda g: scan(g), batch_format="pandas")
+
+
 # ---------------------------------------------------------- events queries
 
 
@@ -1147,6 +1199,7 @@ def queries() -> dict:
         "term_scrub": q_term_scrub,
         "repetition_stats": q_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
+        "sequence_pack": q_sequence_pack,
         "exact_dedup": q_exact_dedup,
         "ngram_top20": q_ngram_top20,
         "lang_id": q_lang_id,
@@ -1391,6 +1444,31 @@ ORACLES: dict[str, str] = {
         WHERE t.doc_id % {mod} <> 0
     """.format(mod=tx.BENCH_MOD, k=tx.BENCH_NGRAM,
                km1=tx.BENCH_NGRAM - 1, km2=tx.BENCH_NGRAM - 2),
+    # block width generated from the stage constant (stages/text
+    # .PACK_BLOCK); the window cumsum is the sequential spec of the
+    # distributed two-phase scan
+    "sequence_pack": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT)
+                     AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+          FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_tok,
+               CAST((cum - n_tokens) // {blk} AS BIGINT) AS block_start,
+               CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // {blk}
+                         ELSE (cum - 1) // {blk} END AS BIGINT)
+                   AS block_end
+        FROM c
+    """.format(blk=tx.PACK_BLOCK),
     "exact_dedup": """
         SELECT md5(text) AS text_md5,
                CAST(min(doc_id) AS BIGINT) AS rep_doc_id,

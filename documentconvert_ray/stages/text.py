@@ -245,3 +245,71 @@ class ContaminationStage:
              "n_hits": pa.array(hit_out, pa.int64()),
              "contaminated": pa.array([h > 0 for h in hit_out],
                                       pa.bool_())})
+
+
+# ------------------------------------------------- sequence packing
+#
+# GPT-style training-data packing: concatenate every document's tokens
+# in doc_id order and cut the stream into fixed PACK_BLOCK-token
+# blocks (documents may straddle a cut — the standard pretraining
+# layout). The distributed shape is a TWO-PHASE PREFIX SCAN:
+#   1. map: per-doc token counts, tagged with an ORDER-PRESERVING
+#      range key rb (doc_id-range partition, not a hash);
+#   2. groupby(rb) → per-range token sums (small);
+#   3. driver: exclusive prefix over the per-range sums (one int per
+#      range — the only driver-side state, broadcast back);
+#   4. groupby(rb) map_groups: sort by doc_id, local cumsum + the
+#      range's global offset → every doc's absolute start token.
+# Nothing but (int, int, int) rows ever shuffles; the text column is
+# dropped at phase 1.
+
+PACK_BLOCK = 1024  # tokens per training block
+
+
+def pack_count_rows(batch: pa.Table, max_id: int, n_ranges: int) -> pa.Table:
+    """(doc_id, text) → (rb, doc_id, n_tokens); rb = doc_id's
+    position-scaled range index (order-preserving, unlike the hash
+    buckets used for the dedup shuffles — the scan needs contiguous
+    doc_id ranges)."""
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = [len(t.split()) for t in batch.column("text").to_pylist()]
+    rb = (ids.astype(np.uint64) * np.uint64(n_ranges)
+          // np.uint64(max_id + 1)).astype(np.int32)
+    return pa.Table.from_pydict(
+        {"rb": pa.array(rb),
+         "doc_id": pa.array(ids, pa.int64()),
+         "n_tokens": pa.array(toks, pa.int64())})
+
+
+class PackScanStage:
+    """Phase-4 local scan: one doc_id range (pandas group) → absolute
+    token offsets + block spans. The broadcast small side is the
+    rb → exclusive-prefix-offset dict from phase 3."""
+
+    def __init__(self, offsets_ref, block: int = PACK_BLOCK) -> None:
+        self._offsets_ref = offsets_ref
+        self.block = block
+
+    def __call__(self, group):
+        import numpy as np
+
+        from .similarity import resolve_broadcast
+
+        offsets = resolve_broadcast(self._offsets_ref, key="pack-offsets")
+        g = group.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        cum = np.cumsum(n)
+        start = cum - n + offsets[int(g["rb"].iloc[0])]
+        end_tok = start + n  # exclusive
+        b = self.block
+        block_start = start // b
+        # empty docs sit AT their start offset; non-empty end at their
+        # last token's block
+        block_end = np.where(n == 0, block_start, (end_tok - 1) // b)
+        out = g[["doc_id", "n_tokens"]].copy()
+        out["start_tok"] = start.astype("int64")
+        out["block_start"] = block_start.astype("int64")
+        out["block_end"] = block_end.astype("int64")
+        return out.reset_index(drop=True)

@@ -22,6 +22,7 @@ SQL_QUERIES = [
     "term_scrub",
     "repetition_stats",
     "benchmark_contamination",
+    "sequence_pack",
     "exact_dedup",
     "ngram_top20",
     "events_hourly",
