@@ -216,3 +216,47 @@ def test_cc_distributed_matches_driver_union_find(registry, ray_session,
     dist = canon(to_pandas(qs["near_dup_clusters"](SF_DIR)))
     assert len(driver) > 0
     assert driver.equals(dist)
+
+
+def test_cc_distributed_random_graph(ray_session):
+    """Distributed propagation equals a reference union-find on a
+    deterministic pseudo-random graph (2,000 edges over 1,500 nodes —
+    many components of varied size/shape, multiple merge rounds)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentconvert_ray.pipelines.queries import _cc_distributed
+
+    x = 12345
+    edges = []
+    for _ in range(2000):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 16) % 1500
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 16) % 1500
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+
+    parent: dict = {}
+
+    def find(v):
+        r = v
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(v, v) != v:
+            parent[v], v = r, parent[v]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for e in edges for n in e})
+    expected = {n: find(n) for n in nodes}
+
+    ds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"doc_id_a": pa.array([a for a, _ in edges], pa.int64()),
+         "doc_id_b": pa.array([b for _, b in edges], pa.int64())}))
+    df = _cc_distributed(ds).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["rep_doc_id"].astype(int)))
+    assert got == expected
