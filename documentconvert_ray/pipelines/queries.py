@@ -6,11 +6,12 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 4 queries without an oracle entry are genuinely
+The 5 queries without an oracle entry are genuinely
 non-SQL-expressible (SimHash banding over blake2b hashes, the two
-approximate IVF paths, rolling-hash fingerprints); those are covered
-by the pytest determinism/recall suites instead and get the driver's
-rows-only check.
+approximate IVF paths, rolling-hash fingerprints, the mergeable
+quantile sketch whose result is partitioning-dependent); those are
+covered by the pytest determinism/recall/rank-bound suites instead
+and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -768,10 +769,10 @@ def q_value_quantiles(sf_dir: str):
     (type, value_micro) feed a per-type weighted-quantile reduce (the
     cumsum handles duplicate values across batches, so no intermediate
     aggregate pass is needed). Only batch-distinct (type, value) rows
-    shuffle, never events; for continuous values at extreme scale the
-    exact histogram becomes fixed-precision bins or a quantile sketch
-    (same pipeline shape) to bound per-group rows. Discrete quantile
-    index = ceil(q·N)−1, matching DuckDB's quantile_disc exactly."""
+    shuffle, never events; for continuous values at extreme scale use
+    q_value_quantiles_sketch (stages/sketch.py) — same answer shape,
+    O(batches·S) exchange. Discrete quantile index = ceil(q·N)−1,
+    matching DuckDB's quantile_disc exactly."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(df):
@@ -810,6 +811,43 @@ def q_value_quantiles(sf_dir: str):
 
     return hist.groupby("event_type").map_groups(
         quantiles, batch_format="pandas"
+    )
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """Grouped APPROXIMATE quantiles via a mergeable sketch
+    (stages/sketch.py) — the continuous-value twin of
+    q_value_quantiles. Where the exact op shuffles distinct
+    (key, value) histogram rows (degenerating to O(rows) when every
+    value is unique), this shuffles one ≤SKETCH_SIZE summary row per
+    (batch, key): exchange is O(batches · S), independent of row
+    count. Two compression levels (per-batch, per-intermediate-bucket)
+    bound rank error at ≈ 2/S = ±0.4%; the pytest gate asserts the
+    returned values sit within ±2% rank of the request. n_buckets is
+    size-derived but CAPPED at 4096 so the final per-key merge holds
+    ≤ 4096·S pairs (~32 MB) on any worker; past ~1e6 blocks a third
+    merge level (one more jb-groupby of the same compress step)
+    extends the hierarchy — same module, documented, not needed below
+    that. Rows-only entry: the result is partitioning-dependent by
+    construction, so there is no SQL oracle; n_events IS exact
+    (weights are preserved exactly) and is asserted in pytest."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    n_buckets = min(4096, dd.derive_buckets(ds.count()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _micro_int_col(batch.column("value").to_numpy())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "v": pa.array(v, pa.int64())})
+        return sk.sketch_partial(t, n_buckets)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(sk.sketch_merge, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(sk.sketch_final, batch_format="pandas")
     )
 
 
@@ -1218,6 +1256,7 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "value_quantiles": q_value_quantiles,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
         "purchase_attribution": q_purchase_attribution,
         "event_value_bands": q_event_value_bands,
         "user_sessions": q_user_sessions,

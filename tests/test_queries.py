@@ -127,6 +127,75 @@ def test_embedding_near_dups_ivf_recall(registry, ray_session):
     assert len(e & a) / len(e) >= 0.9
 
 
+def test_value_quantiles_sketch_rank_bound(registry, ray_session, duck):
+    """The sketch op must agree with ground truth to within ±2% RANK
+    per quantile (theory bound ≈ ±0.4% at S=512), with exact n_events
+    and the same key set / schema as the exact operator."""
+    import numpy as np
+
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    sk = to_pandas(qs["value_quantiles_sketch"](SF_DIR)).set_index("event_type")
+    exact = to_pandas(qs["value_quantiles"](SF_DIR)).set_index("event_type")
+    assert list(sk.columns) == list(exact.columns)
+    assert sorted(sk.index) == sorted(exact.index)
+    truth = duck.execute(
+        "SELECT event_type, CAST(floor(value*1000000 + 0.5) AS BIGINT) v"
+        " FROM events").fetchdf()
+    for et, g in truth.groupby("event_type"):
+        v = np.sort(g["v"].to_numpy(dtype=np.int64))
+        n = len(v)
+        assert int(sk.loc[et, "n_events"]) == n
+        for q, col in ((0.25, "p25_micro"), (0.50, "p50_micro"),
+                       (0.90, "p90_micro")):
+            got = int(sk.loc[et, col])
+            # rank of the returned value in the true sorted multiset
+            lo = np.searchsorted(v, got, side="left") / n
+            hi = np.searchsorted(v, got, side="right") / n
+            assert lo - 0.02 <= q <= hi + 0.02, (et, col, q, lo, hi)
+
+
+def test_sketch_hierarchy_rank_error_bound():
+    """Pure-kernel gate (no Ray): 200k values through the real
+    partial→merge→final hierarchy with compression ACTUALLY firing at
+    every level (batches of 5k ≫ S per key would not compress at
+    sf0.001, which is why the e2e test alone is not enough). Asserts
+    the theory bound: rank error ≤ 2/S per quantile, exact counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from documentconvert_ray.stages.sketch import (
+        SKETCH_SIZE, sketch_final, sketch_merge, sketch_partial)
+
+    n, n_batches, n_buckets = 200_000, 40, 8
+    # deterministic skewed data: squared uniform ints
+    v = (np.arange(n, dtype=np.int64) * 48271 % 65537) ** 2
+    parts = []
+    for i in range(n_batches):
+        chunk = v[i * (n // n_batches):(i + 1) * (n // n_batches)]
+        t = pa.table({"event_type": pa.array(["k"] * len(chunk)),
+                      "v": pa.array(chunk, pa.int64())})
+        p = sketch_partial(t, n_buckets)
+        assert max(len(x) for x in p["vals"].to_pylist()) <= SKETCH_SIZE
+        parts.append(p.to_pandas())
+    merged = pd.concat(
+        [sketch_merge(g) for _, g in
+         pd.concat(parts, ignore_index=True).groupby("jb")],
+        ignore_index=True)
+    out = sketch_final(merged)
+    assert int(out["n_events"].iloc[0]) == n
+    sv = np.sort(v)
+    for q, col in ((0.25, "p25_micro"), (0.50, "p50_micro"),
+                   (0.90, "p90_micro")):
+        got = int(out[col].iloc[0])
+        lo = np.searchsorted(sv, got, side="left") / n
+        hi = np.searchsorted(sv, got, side="right") / n
+        tol = 2.0 / SKETCH_SIZE
+        assert lo - tol <= q <= hi + tol, (col, q, lo, hi)
+
+
 def test_simhash_pairs_deterministic(registry, ray_session):
     from check_oracles import to_pandas
 
