@@ -56,6 +56,7 @@ QUERY_NAMES = [
     "user_sessions",
     "pricing_summary",
     "top_customers",
+    "order_revenue_join",
     "latest_orders",
     "filter_regex",
     "knn_cosine",

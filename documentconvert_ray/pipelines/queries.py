@@ -1095,6 +1095,120 @@ def q_top_customers(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+ORDER_JOIN_CUTOFF = "1996-06-30"
+
+
+def _join_remote_args(num_partitions: int) -> dict:
+    """Aggregator ray_remote_args for a native hash join. Ray's
+    default reserves up to 50% of cluster CPUs PER JoinOperator's
+    aggregator pool; a pipeline with two chained joins then reserves
+    ~100% and the upstream map tasks starve — a measured DEADLOCK at
+    num_partitions=32 on an 8-CPU node. Cap each pool at 25% of
+    cluster CPUs instead (two concurrent joins reserve ≤ half, the
+    feed stages keep the rest); SPREAD mirrors Ray's default
+    anti-thundering-herd placement on multi-node clusters."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_aggregators = min(num_partitions, 64)  # Ray's own aggregator cap
+    return {
+        "num_cpus": min(1.0, cpus / (4 * n_aggregators)),
+        "scheduling_strategy": "SPREAD",
+    }
+
+
+def q_order_revenue_join(sf_dir: str):
+    """TPC-H-Q3-shaped BIG-BIG JOIN — the co-partitioned hash-join
+    shape the rest of §2.4 lacks (top_customers broadcasts its small
+    side; here BOTH sides shuffle). customer⋉orders is a left_semi
+    hash join (only orders rows survive, so no customer payload
+    travels past it); the surviving orders inner-join lineitem on the
+    order key. Both use Ray Data's native hash JoinOperator with
+    SIZE-DERIVED partition counts taken from parquet metadata row
+    counts (``_read(...).count()`` on a fresh read is footer-only —
+    deriving them executes nothing). Filters and column pruning run
+    map-side BEFORE the shuffles: only (l_orderkey, price, discount)
+    resp. (o_orderkey, o_custkey, date, priority) rows enter an
+    exchange. Revenue is per-row integer micro-units before summing
+    (order-independent); final top-10 tie-break (revenue DESC, date
+    ASC, orderkey ASC) mirrors the oracle's ORDER BY."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(pd.Timestamp(ORDER_JOIN_CUTOFF), pa.timestamp("us"))
+
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
+        batch_format="pyarrow",
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), cut)).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # Partition count: size-derived (≈200k rows each) but clamped to
+    # half the cluster CPUs — Ray's hash join spins min(partitions,
+    # 64) aggregator ACTORS per join, and the fresh-actor ramp has a
+    # measured CLIFF: at 32 CPUs / sf0.1 the two-join pipeline runs
+    # 12.4 s (np=8), 16.7 s (np=16), 109 s (np=32); 8 CPUs deadlock
+    # outright at np=32 under Ray's default 50%-of-CPUs aggregator
+    # reservation (see _join_remote_args). On a real cluster raise
+    # DataContext.max_hash_shuffle_aggregators toward the node count
+    # so per-aggregator accumulation stays node-sized; the CPU clamp
+    # then admits the size-derived count unchanged.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    np_orders = max(8, min(dd.derive_buckets(n_orders), cpus // 2))
+    np_li = max(8, min(dd.derive_buckets(n_li), cpus // 2))
+    o_semi = orders.join(
+        cust, "left_semi", np_orders,
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(np_orders),
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = lineitem.join(
+        o_semi, "inner", np_li,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(np_li),
+    )
+
+    def partial(df):
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        g = df.assign(rev=rev).rename(
+            columns={"l_orderkey": "o_orderkey"}
+        ).groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue_micro=("rev", "sum"))
+        return g
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+        .sort(["revenue_micro", "o_orderdate", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(10)
+    )
+
+
 # ------------------------------------------------------ embeddings queries
 
 
@@ -1262,6 +1376,7 @@ def queries() -> dict:
         "user_sessions": q_user_sessions,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "order_revenue_join": q_order_revenue_join,
         "embeddings_by_label": q_embeddings_by_label,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1600,6 +1715,21 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events
         FROM x GROUP BY user_id
     """,
+    "order_revenue_join": """
+        SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_micro
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{cut} 00:00:00'
+          AND l_shipdate  > TIMESTAMP '{cut} 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_micro DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 10
+    """.format(cut=ORDER_JOIN_CUTOFF),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))

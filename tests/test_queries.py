@@ -31,6 +31,7 @@ SQL_QUERIES = [
     "user_sessions",
     "pricing_summary",
     "top_customers",
+    "order_revenue_join",
     "ngram_jaccard_dups",
     "embedding_near_dups",
     "latest_orders",
