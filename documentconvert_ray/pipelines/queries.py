@@ -1095,6 +1095,66 @@ def q_top_customers(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+def q_distinct_users(sf_dir: str):
+    """Grouped EXACT count-distinct (users per event type) — the
+    bucketed-distinct shape: per-batch drop_duplicates means only
+    batch-distinct (type, user) pairs ever shuffle; the bucket key is
+    user-id hash so one (type, user) never splits across groups and
+    per-group nunique counts sum exactly; a tiny per-type reduce
+    finishes. Exchange is O(distinct pairs) — when even that is too
+    much, q_distinct_users_hll is the O(batches · 4 KiB) sketch twin."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        g = df.drop_duplicates(["event_type", "user_id"]).copy()
+        g["bucket"] = (g["user_id"] % n_buckets).astype("int32")
+        return g[["bucket", "event_type", "user_id"]]
+
+    def count_bucket(g):
+        out = (g.drop_duplicates(["event_type", "user_id"])
+               .groupby("event_type", as_index=False)
+               .agg(n_users=("user_id", "size")))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """Grouped APPROXIMATE count-distinct via HyperLogLog
+    (stages/cardinality.py) — the sketch twin of q_distinct_users.
+    One 4 KiB register row per (batch, key) shuffles instead of the
+    distinct pairs: exchange is O(batches · 2^P) bytes, independent
+    of cardinality. Elementwise-max merging is associative and the
+    hash fixed, so the estimate is partitioning-INdependent; still
+    approximate (stderr ≈ 1.6% at P=12), hence rows-only — the
+    pytest gate asserts ≤5% error vs the exact twin per key."""
+    from ..stages import cardinality as cd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_buckets = min(4096, dd.derive_buckets(ds.count()))
+
+    return (
+        ds.map_batches(
+            lambda b: cd.hll_partial(b, "event_type", "user_id", n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("jb")
+        .map_groups(lambda g: cd.hll_merge(g, "event_type"),
+                    batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(lambda g: cd.hll_final(g, "event_type", "n_users_est"),
+                    batch_format="pandas")
+    )
+
+
 ORDER_JOIN_CUTOFF = "1996-06-30"
 
 
@@ -1377,6 +1437,8 @@ def queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_revenue_join": q_order_revenue_join,
+        "distinct_users": q_distinct_users,
+        "distinct_users_hll": q_distinct_users_hll,
         "embeddings_by_label": q_embeddings_by_label,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1714,6 +1776,11 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM x GROUP BY user_id
+    """,
+    "distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
     """,
     "order_revenue_join": """
         SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,

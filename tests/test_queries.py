@@ -32,6 +32,7 @@ SQL_QUERIES = [
     "pricing_summary",
     "top_customers",
     "order_revenue_join",
+    "distinct_users",
     "ngram_jaccard_dups",
     "embedding_near_dups",
     "latest_orders",
@@ -155,6 +156,43 @@ def test_value_quantiles_sketch_rank_bound(registry, ray_session, duck):
             lo = np.searchsorted(v, got, side="left") / n
             hi = np.searchsorted(v, got, side="right") / n
             assert lo - 0.02 <= q <= hi + 0.02, (et, col, q, lo, hi)
+
+
+def test_distinct_users_hll_error_bound(registry, ray_session):
+    """HLL estimate within ±5% of the exact twin per key (theory
+    stderr ≈ 1.6% at P=12), same key set."""
+    from check_oracles import to_pandas
+
+    qs, _ = registry
+    hll = to_pandas(qs["distinct_users_hll"](SF_DIR)).set_index("event_type")
+    exact = to_pandas(qs["distinct_users"](SF_DIR)).set_index("event_type")
+    assert sorted(hll.index) == sorted(exact.index)
+    for et in exact.index:
+        n, est = int(exact.loc[et, "n_users"]), int(hll.loc[et, "n_users_est"])
+        assert abs(est - n) <= max(2, 0.05 * n), (et, n, est)
+
+
+def test_hll_kernel_merge_associative_and_accurate():
+    """Pure-kernel gate (no Ray): 1M distinct ids at 3% tolerance,
+    AND split-merge equals whole-corpus registers exactly (elementwise
+    max associativity is what makes the distributed op partitioning-
+    independent)."""
+    import numpy as np
+
+    from documentconvert_ray.stages.cardinality import (
+        hll_estimate, hll_registers)
+
+    ids = np.arange(1_000_000, dtype=np.int64) * 2_654_435_761 + 17
+    whole = hll_registers(ids)
+    merged = np.zeros_like(whole)
+    for i in range(0, len(ids), 37_123):
+        np.maximum(merged, hll_registers(ids[i:i + 37_123]), out=merged)
+    assert np.array_equal(whole, merged)
+    est = hll_estimate(whole)
+    assert abs(est - 1_000_000) <= 30_000, est
+    # small-range (linear counting) branch
+    small = hll_registers(ids[:500])
+    assert abs(hll_estimate(small) - 500) <= 25
 
 
 def test_sketch_hierarchy_rank_error_bound():
