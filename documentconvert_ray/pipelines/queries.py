@@ -161,6 +161,42 @@ def q_ngram_top20(sf_dir: str):
     return totals.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def q_ngram_top20_mg(sf_dir: str):
+    """Top-20 unigrams via MISRA-GRIES heavy hitters — the web-scale
+    twin of ngram_top20. The exact op's shuffle carries every distinct
+    word per batch (vocabulary-sized at web scale); here each batch
+    emits a ≤ MG_SIZE summary (stages/text.py mg_partial_counts), so
+    the exchange is O(batches · MG_SIZE) regardless of vocabulary.
+    Summed summaries give per-word LOWER bounds undercounting truth by
+    ≤ N/(MG_SIZE+1); the top MG_CANDIDATES by lower bound (a few
+    hundred strings — driver take + ray.put broadcast is the right
+    size) are then rescored EXACTLY in a second pass, so the final
+    top-20 equals the exact operator's whenever the 20th word's true
+    count clears the MG error bound — on natural-language frequencies
+    (Zipf) that holds by orders of magnitude, and the shared DuckDB
+    oracle enforces exact equality every run."""
+    ds = _read(sf_dir, "documents", ["text"])
+    cand = (
+        ds.map_batches(tx.mg_partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(tx.MG_CANDIDATES)
+    )
+    words = frozenset(r["word"] for r in cand.take(tx.MG_CANDIDATES))
+    words_ref = ray.put(words)
+    rescored = ds.map_batches(
+        tx.CandidateCountStage(words_ref), batch_format="pyarrow",
+        batch_size=256,
+    )
+    return (
+        rescored.groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (CJK ratio + marker-word voting); the
     DuckDB oracle is generated from the same marker tables."""
@@ -1414,6 +1450,7 @@ def queries() -> dict:
         "sequence_pack": q_sequence_pack,
         "exact_dedup": q_exact_dedup,
         "ngram_top20": q_ngram_top20,
+        "ngram_top20_mg": q_ngram_top20_mg,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_dup_pairs": q_minhash_dup_pairs,
@@ -1991,6 +2028,10 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+# The MG heavy-hitters twin must EQUAL the exact top-20 (sketch-prune +
+# exact rescore), so it shares the oracle verbatim.
+ORACLES["ngram_top20_mg"] = ORACLES["ngram_top20"]
 
 
 def _extract_oracle_cte() -> str:

@@ -98,6 +98,62 @@ def ngram_partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+MG_SIZE = 4096  # Misra-Gries counters per batch summary
+MG_CANDIDATES = 256  # lower-bound top-k kept for the exact rescore pass
+
+
+def mg_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch MISRA-GRIES unigram summary — the heavy-hitters
+    scale twin of ngram_partial_counts. Exact per-batch counts are
+    compressed to ≤ MG_SIZE (word, n) rows by subtracting the
+    (MG_SIZE+1)-th largest count and dropping non-positives: each kept
+    n underestimates truth by ≤ N_batch/(MG_SIZE+1), and summing
+    summaries keeps the total undercount ≤ N/(MG_SIZE+1). The shuffle
+    after this stage carries ≤ MG_SIZE rows PER BATCH instead of the
+    batch's full vocabulary — the web-scale n-gram trade."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        c.update(tok for tok in t.split() if tok)
+    if not c:
+        return pa.Table.from_pydict(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    if len(items) > MG_SIZE:
+        thresh = items[MG_SIZE][1]
+        items = [(w, n - thresh) for w, n in items[:MG_SIZE] if n > thresh]
+    words, ns = zip(*sorted(items))
+    return pa.Table.from_pydict(
+        {"word": pa.array(list(words), pa.string()),
+         "n": pa.array(list(ns), pa.int64())}
+    )
+
+
+class CandidateCountStage:
+    """Exact rescore pass: count ONLY the broadcast candidate words
+    (≤ a few hundred strings via ray.put, fetched once per actor)."""
+
+    def __init__(self, words_ref) -> None:
+        self._words_ref = words_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from .similarity import resolve_broadcast
+
+        wset = resolve_broadcast(self._words_ref, key="mg-candidates")
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.split() if tok in wset)
+        words = sorted(c)
+        return pa.Table.from_pydict(
+            {"word": pa.array(words, pa.string()),
+             "n": pa.array([c[w] for w in words], pa.int64())}
+        )
+
+
 # ------------------------------------------------ curation-filter stages
 #
 # The three web-corpus hygiene operators a training-data pipeline runs

@@ -25,6 +25,7 @@ SQL_QUERIES = [
     "sequence_pack",
     "exact_dedup",
     "ngram_top20",
+    "ngram_top20_mg",
     "events_hourly",
     "events_sliding",
     "value_quantiles",
@@ -193,6 +194,31 @@ def test_hll_kernel_merge_associative_and_accurate():
     # small-range (linear counting) branch
     small = hll_registers(ids[:500])
     assert abs(hll_estimate(small) - 500) <= 25
+
+
+def test_mg_partial_compression_lower_bounds():
+    """Kernel gate: with > MG_SIZE distinct words the summary really
+    compresses (≤ MG_SIZE rows), every kept count is a LOWER bound
+    within N_batch/(MG_SIZE+1) of truth, and a genuinely heavy word
+    survives with most of its mass (the e2e oracle test can't show
+    this at sf0.001 where batch vocabularies are under MG_SIZE)."""
+    import pyarrow as pa
+
+    from documentconvert_ray.stages.text import MG_SIZE, mg_partial_counts
+
+    words = [f"w{i:05d}" for i in range(MG_SIZE + 2000)]
+    text = " ".join(words) + " heavy" * 0 + (" heavy" * 500)
+    batch = pa.table({"text": pa.array([text])})
+    out = mg_partial_counts(batch)
+    assert out.num_rows <= MG_SIZE
+    got = dict(zip(out.column("word").to_pylist(),
+                   out.column("n").to_pylist()))
+    n_batch = MG_SIZE + 2000 + 500
+    err = n_batch // (MG_SIZE + 1) + 1
+    assert "heavy" in got and 500 - err <= got["heavy"] <= 500
+    for w, n in got.items():
+        true = 500 if w == "heavy" else 1
+        assert 0 < n <= true
 
 
 def test_sketch_hierarchy_rank_error_bound():
