@@ -474,6 +474,36 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+# Per-language keep percentages for the stratified sample (corpus
+# rebalancing: downweight the dominant language, keep more of the
+# tail). The SQL oracle's CASE table is generated from this dict —
+# one source of truth.
+STRATA_PCT = {"en": 10, "zh": 25, "de": 50, "es": 50, "fr": 50}
+STRATA_DEFAULT_PCT = 75
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (per-group rates — the corpus
+    rebalancing shape): each language stratum keeps a different
+    fraction, decided by the same multiplicative doc_id hash as
+    q_hash_sample. Pure map-side filter — the rate table is a tiny
+    per-task constant, no RNG, no shuffle; the kept set is identical
+    under any partitioning. SQL oracle inlines the identical CASE
+    table and hash formula."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def flt(df):
+        rates = (
+            df["lang"].map(STRATA_PCT).fillna(STRATA_DEFAULT_PCT)
+            .to_numpy(np.int64)
+        )
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ((ids * 2654435761) % 4294967296) % 100 < rates
+        return df[keep]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
 def q_per_lang_top5(sf_dir: str):
     """Per-group top-k (quota sampling shape): the 5 largest docs per
     lang, deterministic tie-break (n_chars desc, doc_id asc). Per-batch
@@ -1305,6 +1335,56 @@ def q_order_revenue_join(sf_dir: str):
     )
 
 
+INACTIVE_CUTOFF = "2000-01-01"
+
+
+def q_inactive_customers(sf_dir: str):
+    """Distributed ANTI-JOIN (NOT EXISTS — the §2.4 join family member
+    the other queries lack): customers with no order on/after the
+    cutoff. The probe side shrinks BEFORE any exchange: orders is
+    pruned to (o_custkey, o_orderdate) at the read, date-filtered
+    map-side, and each batch emits only its DISTINCT surviving keys
+    (combiner), so the shuffle carries at most one int64 per (batch,
+    active customer). The build side ships only (custkey, name,
+    acctbal). Native hash left_anti join, size-derived partition count
+    with the measured CPU clamp (see q_order_revenue_join)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(pd.Timestamp(INACTIVE_CUTOFF), pa.timestamp("us"))
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def active_keys(b: pa.Table) -> pa.Table:
+        keys = (
+            b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
+            .column("o_custkey").to_numpy()
+        )
+        return pa.Table.from_pydict(
+            {"o_custkey": pa.array(np.unique(keys), pa.int64())})
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        active_keys, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_cust), cpus // 2))
+    anti = cust.join(
+        okeys, "left_anti", n_part,
+        on=("c_custkey",), right_on=("o_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def project(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64),
+             "c_name": df["c_name"],
+             "acctbal_c": _cents_col(df["c_acctbal"])})
+
+    return anti.map_batches(project, batch_format="pandas")
+
+
 # ------------------------------------------------------ embeddings queries
 
 
@@ -1459,6 +1539,7 @@ def queries() -> dict:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "per_lang_top5": q_per_lang_top5,
         "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
@@ -1474,6 +1555,7 @@ def queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_revenue_join": q_order_revenue_join,
+        "inactive_customers": q_inactive_customers,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
         "embeddings_by_label": q_embeddings_by_label,
@@ -1943,6 +2025,25 @@ ORACLES: dict[str, str] = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
+    # CASE table generated from STRATA_PCT — one source of truth
+    "stratified_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+              CASE lang {cases} ELSE {dflt} END
+    """.format(
+        cases=" ".join(f"WHEN '{k}' THEN {v}"
+                       for k, v in sorted(STRATA_PCT.items())),
+        dflt=STRATA_DEFAULT_PCT,
+    ),
+    "inactive_customers": """
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '{cut}')
+    """.format(cut=INACTIVE_CUTOFF),
     "hash_sample": """
         SELECT doc_id, lang, n_chars
         FROM documents

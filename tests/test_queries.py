@@ -40,6 +40,8 @@ SQL_QUERIES = [
     "filter_regex",
     "lang_id",
     "hash_sample",
+    "stratified_sample",
+    "inactive_customers",
     "per_lang_top5",
     "corpus_curation",
     "minhash_dup_pairs",
