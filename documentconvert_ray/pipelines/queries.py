@@ -504,6 +504,115 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(flt, batch_format="pandas")
 
 
+TFIDF_TOPK = 3
+# a term present in > 9/10 of all docs is "hot": excluded from scoring
+# (near-zero idf) and from the exchange (hot-key skew removal)
+TFIDF_HOT_NUM, TFIDF_HOT_DEN = 9, 10
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF-style term scoring — the per-document top-3
+    most characteristic terms. The idf weight is an exact rational,
+    ``rarity = (N · 10^6) // df``, instead of ln(N/df): monotone in the
+    same direction, but bit-deterministic in both numpy and SQL (no
+    libm ulp hazard in the oracle compare).
+
+    Shape (two passes over text + one term-key exchange):
+      1. df combiner: per-batch distinct-term doc counts → vocabulary
+         groupby (shuffles ≤ one row per (batch, term)). The aggregate
+         is materialized ONCE — it is vocabulary-sized, orders of
+         magnitude under the corpus — and feeds both branches below
+         without recomputing the text pass.
+      2. Hot-term split: terms in > 9/10 of the docs get near-zero
+         idf and are EXCLUDED by definition (mirrored in the oracle's
+         HAVING). By Zipf that set is a handful of stopwords → it is
+         the broadcast small side, and filtering the probe rows
+         map-side against it removes the join's hot-key skew: no
+         partition ever receives a stopword's token rows.
+      3. (doc_id, term, tf) rows join the (term, rarity) build side on
+         a native hash join; per-doc top-3 runs as a per-batch partial
+         top-k combiner before the final per-doc reduce."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    df_tbl = (
+        docs.map_batches(tx.df_partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("nd", alias_name="df"))
+        .materialize()
+    )
+
+    def build_side(b: pa.Table) -> pa.Table:
+        dfv = b.column("df").to_numpy()
+        keep = dfv * TFIDF_HOT_DEN <= TFIDF_HOT_NUM * n_docs
+        t = b.filter(pa.array(keep))
+        rarity = (n_docs * 1_000_000) // t.column("df").to_numpy()
+        return pa.Table.from_pydict(
+            {"term_r": t.column("term"),
+             "rarity": pa.array(rarity, pa.int64())})
+
+    def hot_terms(b: pa.Table) -> pa.Table:
+        hot = b.column("df").to_numpy() * TFIDF_HOT_DEN > TFIDF_HOT_NUM * n_docs
+        return b.filter(pa.array(hot)).select(["term"])
+
+    # repartition to guaranteed-NONEMPTY blocks: Ray's hash-shuffle
+    # join emits no shard for an empty input block, so a join
+    # partition whose build rows all hashed elsewhere would otherwise
+    # arrive schema-less and crash pyarrow's join ("No match for key
+    # field term_r"). Block count is size-derived from the vocabulary
+    # (kept terms ≫ block count by the Zipf hot-set bound).
+    n_vocab = df_tbl.count()
+    build = df_tbl.map_batches(build_side, batch_format="pyarrow").repartition(
+        max(1, min(64, -(-n_vocab // 50_000))))
+    hot = frozenset(
+        r["term"]
+        for r in df_tbl.map_batches(hot_terms,
+                                    batch_format="pyarrow").take_all()
+    )
+    hot_ref = ray.put(hot)
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        hs = sim.resolve_broadcast(hot_ref, key="tfidf-hot")
+        t = tx.tf_rows_batch(b)
+        if hs:
+            mask = [w not in hs for w in t.column("term").to_pylist()]
+            t = t.filter(pa.array(mask))
+        return t
+
+    probe = docs.map_batches(probe_rows, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
+                        cpus // 2))
+    joined = probe.join(
+        build, "inner", n_part, on=("term",), right_on=("term_r",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def partial_top(df):
+        score = df["tf"].to_numpy(np.int64) * df["rarity"].to_numpy(np.int64)
+        df = df.assign(score_micro=score)
+        return (
+            df.sort_values(["doc_id", "score_micro", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("doc_id", sort=False).head(TFIDF_TOPK)
+        )[["doc_id", "term", "tf", "score_micro"]]
+
+    def final_top(g):
+        g = g.sort_values(["score_micro", "term"],
+                          ascending=[False, True], kind="mergesort"
+                          ).head(TFIDF_TOPK).reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "rnk", "term", "tf", "score_micro"]]
+
+    return (
+        joined.map_batches(partial_top, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
 def q_per_lang_top5(sf_dir: str):
     """Per-group top-k (quota sampling shape): the 5 largest docs per
     lang, deterministic tie-break (n_chars desc, doc_id asc). Per-batch
@@ -1109,6 +1218,210 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_user_first_last(sf_dir: str):
+    """Per-user FIRST and LAST event (argmin/argmax by (ts, event_id))
+    plus totals — the mergeable-partial-state shape: each batch
+    reduces to ONE row per user it saw (first/last candidates +
+    count/sum), and partials merge associatively in the per-user
+    reduce, so the exchange carries O(users · batches) summary rows
+    while the event payload never shuffles."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(df):
+        df = df.assign(v_micro=_micro_int_col(df["value"]))
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        out = pd.DataFrame({
+            "first_ts": g["ts"].first(),
+            "first_event_id": g["event_id"].first(),
+            "first_type": g["event_type"].first(),
+            "last_ts": g["ts"].last(),
+            "last_event_id": g["event_id"].last(),
+            "last_type": g["event_type"].last(),
+            "n_events": g.size().astype("int64"),
+            "sum_value_micro": g["v_micro"].sum(),
+        }).reset_index()
+        return out
+
+    def merge(g):
+        f = g.sort_values(["first_ts", "first_event_id"],
+                          kind="mergesort").iloc[0]
+        l = g.sort_values(["last_ts", "last_event_id"],
+                          ascending=False, kind="mergesort").iloc[0]
+        return pd.DataFrame({
+            "user_id": [np.int64(f["user_id"])],
+            "n_events": [np.int64(g["n_events"].sum())],
+            "sum_value_micro": [np.int64(g["sum_value_micro"].sum())],
+            "first_ts": [f["first_ts"]],
+            "first_event_id": [np.int64(f["first_event_id"])],
+            "first_type": [f["first_type"]],
+            "last_ts": [l["last_ts"]],
+            "last_event_id": [np.int64(l["last_event_id"])],
+            "last_type": [l["last_type"]],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION counts (the lag-window shape:
+    consecutive-event pairs ordered by (ts, event_id) within each
+    user) → global (prev_type, next_type) matrix. Events co-partition
+    by user-id hash (size-derived buckets; a user's timeline never
+    splits), each bucket sorts once and counts its adjacent pairs
+    vectorized, and only the tiny per-bucket (prev, next, n) partials
+    reach the final groupby."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def bucketize(df):
+        df = df.copy()
+        df["bucket"] = (df["user_id"] % n_buckets).astype("int32")
+        return df
+
+    def count_transitions(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same_user]
+        nxt = g["event_type"].to_numpy()[1:][same_user]
+        out = (
+            pd.DataFrame({"prev_type": prev, "next_type": nxt})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .agg(n=("prev_type", "size"))
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_transitions, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+BIG_ORDER_QTY_MICRO = 300_000_000  # HAVING sum(l_quantity) >= 300
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H-Q18 shape (HAVING on a big rollup, then join back):
+    per-batch partial quantity sums (combiner) → small groupby →
+    HAVING filter leaves a tiny survivor set BY CONSTRUCTION → two
+    native hash joins re-attach the order row and the customer name.
+    The joins' build sides are the survivor sets, so no exchange ever
+    carries a non-surviving row past its filter; final deterministic
+    (qty DESC, orderkey ASC) top-100."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    def partial(df):
+        df = df.assign(q_micro=_micro_int_col(df["l_quantity"]))
+        return df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty_micro=("q_micro", "sum"))
+
+    def having(b: pa.Table) -> pa.Table:
+        keep = b.column("sum_qty_micro").to_numpy() >= BIG_ORDER_QTY_MICRO
+        return b.filter(pa.array(keep))
+
+    survivors = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty_micro", alias_name="sum_qty_micro"))
+        .map_batches(having, batch_format="pyarrow")
+        .repartition(1)  # tiny by the HAVING bound; nonempty blocks
+    )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_orders), cpus // 2))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    with_orders = orders.join(
+        survivors, "inner", n_part,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust.join(
+        with_orders.repartition(1), "inner", n_part,
+        on=("c_custkey",), right_on=("o_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def project(df):
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_name": df["c_name"],
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": df["o_orderdate"],
+            "price_c": _cents_col(df["o_totalprice"]),
+            "sum_qty_micro": df["sum_qty_micro"].to_numpy(np.int64),
+        })
+
+    return (
+        joined.map_batches(project, batch_format="pandas")
+        .sort(["sum_qty_micro", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_length_outliers(sf_dir: str):
+    """Two-phase percentile gate (trim docs above the exact global
+    p99 of n_chars): phase 1 builds a value HISTOGRAM via a per-batch
+    combiner — only distinct (value, count) rows shuffle, bounded by
+    the value domain, never the corpus — and the tiny histogram
+    reduces to one threshold on the driver (quantile_disc semantics:
+    index ceil(0.99·N)−1, as q_value_quantiles). The threshold is a
+    plain int broadcast into phase 2's map-side keep/drop counter."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist(df):
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # value-domain-sized: tiny
+        .sort_values("v")
+    )
+    n_total = int(h["c"].sum())
+    idx = -(-99 * n_total // 100) - 1  # ceil(0.99·N)−1
+    thr = int(h["v"].to_numpy()[np.searchsorted(
+        h["c"].cumsum().to_numpy(), idx + 1)])
+
+    def counts(df):
+        kept = df["n_chars"].to_numpy(np.int64) <= thr
+        out = pd.DataFrame({"lang": df["lang"], "kept": kept})
+        g = out.groupby("lang", as_index=False).agg(
+            n_kept=("kept", "sum"), n_docs=("kept", "size"))
+        g["n_kept"] = g["n_kept"].astype("int64")
+        g["n_dropped"] = (g["n_docs"] - g["n_kept"]).astype("int64")
+        return g[["lang", "n_kept", "n_dropped"]]
+
+    return (
+        ds.map_batches(counts, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("n_dropped", alias_name="n_dropped"))
+    )
+
+
 def q_top_customers(sf_dir: str):
     """Broadcast join (small dim side via ray.put) + grouped rollup +
     deterministic top-k."""
@@ -1540,6 +1853,7 @@ def queries() -> dict:
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "per_lang_top5": q_per_lang_top5,
         "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
@@ -1552,9 +1866,13 @@ def queries() -> dict:
         "purchase_attribution": q_purchase_attribution,
         "event_value_bands": q_event_value_bands,
         "user_sessions": q_user_sessions,
+        "user_first_last": q_user_first_last,
+        "event_transitions": q_event_transitions,
+        "length_outliers": q_length_outliers,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_revenue_join": q_order_revenue_join,
+        "big_orders": q_big_orders,
         "inactive_customers": q_inactive_customers,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
@@ -2035,6 +2353,104 @@ ORACLES: dict[str, str] = {
                        for k, v in sorted(STRATA_PCT.items())),
         dflt=STRATA_DEFAULT_PCT,
     ),
+    # rarity = (N·10^6) // df — the exact-rational idf stand-in; the
+    # df*2<=N HAVING mirrors the stage's hot-term exclusion; top-k from
+    # TFIDF_TOPK (one source of truth)
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+          GROUP BY doc_id, term),
+        n AS (SELECT count(*) AS n FROM documents),
+        r AS (
+          SELECT term, (n.n * 1000000) // count(*) AS rarity
+          FROM tf, n GROUP BY term, n.n
+          HAVING count(*) * {hden} <= {hnum} * n.n),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * r.rarity AS score_micro,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * r.rarity DESC, tf.term ASC) AS rnk
+          FROM tf JOIN r USING (term))
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(score_micro AS BIGINT) AS score_micro
+        FROM sc WHERE rnk <= {k}
+    """.format(k=TFIDF_TOPK, hnum=TFIDF_HOT_NUM, hden=TFIDF_HOT_DEN),
+    "user_first_last": """
+        WITH e AS (
+          SELECT event_id, ts, user_id, event_type,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events),
+        f AS (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS rn
+          FROM e),
+        l AS (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e),
+        a AS (
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(v) AS BIGINT) AS sum_value_micro
+          FROM e GROUP BY user_id)
+        SELECT a.user_id, a.n_events, a.sum_value_micro,
+               f.ts AS first_ts, f.event_id AS first_event_id,
+               f.event_type AS first_type,
+               l.ts AS last_ts, l.event_id AS last_event_id,
+               l.event_type AS last_type
+        FROM a
+        JOIN f ON f.user_id = a.user_id AND f.rn = 1
+        JOIN l ON l.user_id = a.user_id AND l.rn = 1
+    """,
+    "event_transitions": """
+        WITH x AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM x WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    "length_outliers": """
+        WITH t AS (
+          SELECT CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS thr
+          FROM documents)
+        SELECT lang,
+               CAST(count(*) FILTER (WHERE n_chars <= t.thr) AS BIGINT)
+                   AS n_kept,
+               CAST(count(*) FILTER (WHERE n_chars > t.thr) AS BIGINT)
+                   AS n_dropped
+        FROM documents, t GROUP BY lang
+    """,
+    # threshold from BIG_ORDER_QTY_MICRO (one source of truth)
+    "big_orders": """
+        WITH q AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sum_qty_micro
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
+                 >= {thr})
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_c,
+               q.sum_qty_micro
+        FROM q
+        JOIN orders o ON o.o_orderkey = q.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY q.sum_qty_micro DESC, o.o_orderkey ASC
+        LIMIT 100
+    """.format(thr=BIG_ORDER_QTY_MICRO),
     "inactive_customers": """
         SELECT c_custkey, c_name,
                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c

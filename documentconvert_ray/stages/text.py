@@ -131,6 +131,46 @@ def mg_partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def tf_rows_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) per distinct (document, term) — the exploded
+    term-frequency relation behind TF-IDF scoring. Token-level row
+    volume is inherent to the operator; everything downstream shrinks
+    it (hot-term filter, join, per-doc top-k combiner)."""
+    from collections import Counter
+
+    ids: list[int] = []
+    terms: list[str] = []
+    tfs: list[int] = []
+    for i, t in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist()):
+        for w, n in sorted(Counter(tok for tok in t.split() if tok).items()):
+            ids.append(i)
+            terms.append(w)
+            tfs.append(n)
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "term": pa.array(terms, pa.string()),
+         "tf": pa.array(tfs, pa.int64())}
+    )
+
+
+def df_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch partial DOCUMENT-frequency counts (term → number of
+    batch docs containing it) — the combiner before the tiny
+    vocabulary groupby; the shuffle carries ≤ one row per (batch,
+    distinct term), never a row per occurrence."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        c.update({tok for tok in t.split() if tok})
+    words = sorted(c)
+    return pa.Table.from_pydict(
+        {"term": pa.array(words, pa.string()),
+         "nd": pa.array([c[w] for w in words], pa.int64())}
+    )
+
+
 class CandidateCountStage:
     """Exact rescore pass: count ONLY the broadcast candidate words
     (≤ a few hundred strings via ray.put, fetched once per actor)."""

@@ -41,6 +41,11 @@ SQL_QUERIES = [
     "lang_id",
     "hash_sample",
     "stratified_sample",
+    "tfidf_top_terms",
+    "user_first_last",
+    "event_transitions",
+    "length_outliers",
+    "big_orders",
     "inactive_customers",
     "per_lang_top5",
     "corpus_curation",
