@@ -40,6 +40,23 @@ _AP_RE = re.compile(r"<a:p(?: [^>]*)?>.*?</a:p>", re.S)
 _AT_RE = re.compile(r"<a:t>(.*?)</a:t>", re.S)
 _SLIDE_NUM_RE = re.compile(r"slide(\d+)\.xml$")
 
+# OpenDocument (ODF) parts — content.xml of .odt/.ods/.odp. ODF text
+# lives directly in elements (no run wrappers), so paragraph text is
+# "strip inner tags, unescape"; <text:s/> and <text:tab/> are explicit
+# whitespace elements that must become spaces BEFORE tag stripping.
+_ODF_P_RE = re.compile(
+    r"<text:h(?: [^>]*)?>.*?</text:h>|<text:p(?: [^>]*)?>.*?</text:p>"
+    r"|<text:p(?: [^>]*)?/>", re.S)
+_ODF_OUTLINE_RE = re.compile(r'text:outline-level="(\d)"')
+_ODF_ROW_RE = re.compile(
+    r"<table:table-row(?: [^>]*)?>.*?</table:table-row>", re.S)
+_ODF_CELL_RE = re.compile(
+    r"<table:table-cell(?: ([^>/]*))?(?:/>|>(.*?)</table:table-cell>)", re.S)
+_ODF_REPEAT_RE = re.compile(r'table:number-columns-repeated="(\d+)"')
+_ODF_PAGE_RE = re.compile(r"<draw:page(?: [^>]*)?>.*?</draw:page>", re.S)
+_ODF_WS_EL_RE = re.compile(r"<text:(?:s|tab|line-break)\s*/>")
+_TAG_RE = re.compile(r"<[^>]+>")
+
 # spreadsheet (xlsx) parts
 _ROW_RE = re.compile(r"<row[ >].*?</row>", re.S)
 _CELL_RE = re.compile(r"<c(?: ([^>/]*))?(?:/>|>(.*?)</c>)", re.S)
@@ -89,6 +106,14 @@ def extract_docx(raw: bytes,
                 return _extract_xlsx(zf, names)
             elif any(n.startswith("ppt/slides/slide") for n in names):
                 return _extract_pptx(zf, names)
+            elif "content.xml" in names:
+                # OpenDocument (.odt/.ods/.odp): the reference's
+                # LibreOffice leg lists these in office_formats
+                # (services/document_service.py:49-56); parsed
+                # directly from content.xml
+                with zf.open("content.xml") as f:
+                    return _extract_odf(
+                        f.read().decode("utf-8", "replace"))
             else:
                 return ExtractResult(
                     False, "", [], "office_unsupported",
@@ -233,6 +258,86 @@ def _extract_pptx(zf: "zipfile.ZipFile", names: set) -> ExtractResult:
                 blocks.append(Block("para", txt))
     text_md, spans = render(blocks)
     return ExtractResult(True, text_md, spans)
+
+
+def _odf_text(xml: str) -> str:
+    """Inner text of an ODF element: whitespace elements → spaces,
+    remaining child tags (text:span etc.) stripped, entities
+    unescaped, whitespace normalized."""
+    return _WS_RE.sub(
+        " ", unescape(_TAG_RE.sub("", _ODF_WS_EL_RE.sub(" ", xml)))).strip()
+
+
+def _odf_table_block(table_xml: str, blocks: list) -> None:
+    """One <table:table> → a markdown table block (cells honour
+    table:number-columns-repeated; covered/empty cells render '')."""
+    rows: list[list[str]] = []
+    for rxml in _ODF_ROW_RE.findall(table_xml):
+        cells: list[str] = []
+        for cm in _ODF_CELL_RE.finditer(rxml):
+            attrs = cm.group(1) or ""
+            body = cm.group(2) or ""
+            val = _odf_text(body)
+            rm = _ODF_REPEAT_RE.search(attrs)
+            cells.extend([val] * (int(rm.group(1)) if rm else 1))
+        if cells:
+            rows.append(cells)
+    md = render_table(rows)
+    if md:
+        blocks.append(Block("table", md))
+
+
+def _extract_odf(xml: str) -> ExtractResult:
+    """content.xml → blocks, by document family:
+
+    - ``<office:text>`` (.odt): headings (text:h + outline-level),
+      paragraphs (text:p, incl. list items), tables;
+    - ``<office:spreadsheet>`` (.ods): one markdown table per
+      table:table, in document order;
+    - ``<office:presentation>`` (.odp): per-slide heading + one para
+      per text:p, pages in document order (mirrors the pptx leg).
+    """
+    blocks: list[Block] = []
+    if "<office:presentation" in xml:
+        for num, page in enumerate(_ODF_PAGE_RE.findall(xml), start=1):
+            paras = [t for t in
+                     (_odf_text(p) for p in _ODF_P_RE.findall(page)) if t]
+            if paras:
+                blocks.append(Block("heading", f"## Slide {num}"))
+                blocks.extend(Block("para", t) for t in paras)
+    elif "<office:spreadsheet" in xml:
+        for span in _balanced_spans(xml, "<table:table ", "</table:table>"):
+            _odf_table_block(xml[span[0]:span[1]], blocks)
+    elif "<office:text" in xml:
+        spans = _balanced_spans(xml, "<table:table ", "</table:table>")
+        segs: list[str] = []
+        prev = 0
+        for a, b in spans:
+            segs.append(xml[prev:a])
+            prev = b
+        segs.append(xml[prev:])
+        ti = 0
+        for seg in segs:
+            for pm in _ODF_P_RE.finditer(seg):
+                p = pm.group(0)
+                txt = _odf_text(p)
+                if not txt:
+                    continue
+                om = _ODF_OUTLINE_RE.search(p)
+                if p.startswith("<text:h"):
+                    lvl = min(6, int(om.group(1))) if om else 1
+                    blocks.append(Block("heading", "#" * lvl + " " + txt))
+                else:
+                    blocks.append(Block("para", txt))
+            if ti < len(spans):
+                _odf_table_block(xml[spans[ti][0]:spans[ti][1]], blocks)
+                ti += 1
+    else:
+        return ExtractResult(
+            False, "", [], "office_unsupported",
+            "ODF content.xml without a known document family")
+    text_md, out_spans = render(blocks)
+    return ExtractResult(True, text_md, out_spans)
 
 
 def _balanced_spans(xml: str, open_tok: str, close_tok: str) -> list:

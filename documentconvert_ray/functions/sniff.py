@@ -22,9 +22,15 @@ DOC_OTHER = "other"
 
 # OLE2 compound-file magic (legacy .doc/.xls/.ppt)
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-# OOXML = a zip whose head names an office part
+# OOXML = a zip whose head names an office part; ODF = a zip whose
+# FIRST member is the stored (uncompressed) `mimetype` entry, so the
+# opendocument mime string sits in the first ~100 bytes by spec
 _ZIP_MAGIC = b"PK\x03\x04"
-_OOXML_HINTS = (b"[Content_Types].xml", b"word/", b"xl/", b"ppt/")
+_OOXML_HINTS = (b"[Content_Types].xml", b"word/", b"xl/", b"ppt/",
+                b"mimetypeapplication/vnd.oasis.opendocument",
+                b"content.xml")
+# RTF is a text format opened by its version group
+_RTF_MAGIC = b"{\\rtf"
 
 
 def sniff_doc_type(raw: bytes) -> str:
@@ -32,11 +38,10 @@ def sniff_doc_type(raw: bytes) -> str:
 
     1. ``%PDF-`` magic within the first 1024 bytes (real-world PDFs may
        carry a preamble) → pdf;
-    2. OLE2 compound-file magic at offset 0, or a zip whose first 4 KiB
-       names an OOXML part → office (classified so the error row says
-       "office_unsupported" instead of generic "unsupported" — the
-       reference's office leg, services/document_service.py:128-185,
-       needs LibreOffice which this environment lacks);
+    2. OLE2 compound-file magic at offset 0, a zip whose first 4 KiB
+       names an OOXML/ODF part, or the ``{\\rtf`` group → office (the
+       reference's office leg, services/document_service.py:49-56,
+       128-185: .doc/.docx/.xls/.xlsx/.ppt/.pptx/.odt/.ods/.odp/.rtf);
     3. an HTML tag hint within the first 4096 bytes (case-insensitive,
        after optional BOM/whitespace) → html;
     4. otherwise → other.
@@ -51,6 +56,8 @@ def sniff_doc_type(raw: bytes) -> str:
     if raw.startswith(_ZIP_MAGIC) and any(
         h in raw[:4096] for h in _OOXML_HINTS
     ):
+        return DOC_OFFICE
+    if raw.startswith(_RTF_MAGIC):
         return DOC_OFFICE
     if _HTML_HINT_RE.search(raw[:4096]):
         return DOC_HTML

@@ -39,11 +39,12 @@ from ..stages.multimodal import (
 from .extract import build_extract_ds, expand_input_files
 
 # Synthetic web-corpus size used by the extraction queries at any sf
-# (deterministic; cached under /tmp keyed by engine+rows). 1000 is the
-# smallest size at which EVERY classification class appears (incl.
-# encrypted_pdf and the legacy-OLE2 ok/unsupported split), so the
-# driver's flagship oracle actually exercises each CASE branch.
-CORPUS_ROWS = 1000
+# (deterministic; cached under /tmp keyed by engine+rows). 1500 is the
+# smallest size at which EVERY classification class AND office family
+# appears (incl. encrypted_pdf, the legacy-OLE2 ok/unsupported split,
+# ODF odt/ods/odp — ods first at doc 1383 — and RTF), so the driver's
+# flagship oracle actually exercises each CASE branch.
+CORPUS_ROWS = 1500
 
 
 def _corpus_dir() -> str:
@@ -2579,6 +2580,9 @@ def _extract_oracle_cte() -> str:
                  -- mirrors the extractor's whole-payload scan exactly
                  (strpos(hex(html), '2F456E6372797074') % 2) = 1 AS has_enc,
                  substr(hex(html), 1, 8) = 'D0CF11E0' AS is_ole2,
+                 -- '{{\\rtf' magic; the RTF scanner is total, so the
+                 -- magic alone decides ok (truncation-tolerant)
+                 substr(hex(html), 1, 10) = '7B5C727466' AS is_rtf,
                  ((strpos(hex(html), '{doc_hex}') % 2) = 1 OR
                   (strpos(hex(html), '{xls_hex}') % 2) = 1 OR
                   (strpos(hex(html), '{ppt_hex}') % 2) = 1)
@@ -2596,6 +2600,7 @@ def _extract_oracle_cte() -> str:
                       WHEN kind = 'pdf' THEN has_eof AND NOT has_enc
                       WHEN kind = 'office' AND is_ole2
                           THEN has_ole2_stream
+                      WHEN kind = 'office' AND is_rtf THEN TRUE
                       WHEN kind = 'office' THEN has_eocd
                       ELSE FALSE END AS ok,
                  CASE WHEN kind = 'html' THEN ''
@@ -2607,6 +2612,7 @@ def _extract_oracle_cte() -> str:
                            AND has_ole2_stream THEN ''
                       WHEN kind = 'office' AND is_ole2
                           THEN 'office_unsupported'
+                      WHEN kind = 'office' AND is_rtf THEN ''
                       WHEN kind = 'office' AND has_eocd THEN ''
                       WHEN kind = 'office' THEN 'office_truncated'
                       ELSE 'unsupported' END AS error_kind,

@@ -1009,10 +1009,210 @@ def make_ppt_legacy(r: random.Random) -> tuple[bytes, str]:
     return payload, naive
 
 
+_ODF_MIMES = {
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+}
+
+
+def _odf_zip(family: str, body_xml: str) -> bytes:
+    """Wrap a content.xml body in an ODF package: the `mimetype`
+    member FIRST and STORED (uncompressed, per spec — that is what
+    puts the mime string in the head bytes the sniffer keys on), then
+    content.xml deflated. Fixed timestamps → deterministic bytes."""
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">'
+        f"<office:body>{body_xml}</office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype", date_time=(2024, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        z.writestr(zi, _ODF_MIMES[family])
+        zi = zipfile.ZipInfo("content.xml", date_time=(2024, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        z.writestr(zi, content)
+    return buf.getvalue()
+
+
+def make_odt(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .odt: headings (text:h + outline-level),
+    paragraphs with inline text:span / text:s whitespace elements,
+    list items, and a table."""
+    shown: list[str] = []
+    parts: list[str] = []
+
+    title = " ".join(r.choice(_WORDS) for _ in range(4)).title()
+    shown.append(title)
+    parts.append(f'<text:h text:outline-level="1">{_xml_escape(title)}'
+                 "</text:h>")
+    for _ in range(r.randint(2, 7)):
+        roll = r.random()
+        if roll < 0.15:
+            h = " ".join(r.choice(_WORDS) for _ in range(3)).title()
+            shown.append(h)
+            parts.append(
+                f'<text:h text:outline-level="{r.choice((2, 3))}">'
+                f"{_xml_escape(h)}</text:h>")
+        elif roll < 0.3:
+            items = [_sentence(r, "en", r.randint(2, 6))
+                     for _ in range(r.randint(2, 4))]
+            shown.extend(items)
+            parts.append("<text:list>" + "".join(
+                f"<text:list-item><text:p>{_xml_escape(it)}</text:p>"
+                "</text:list-item>" for it in items) + "</text:list>")
+        else:
+            p = _paragraph(r, "en")
+            shown.append(p)
+            if r.random() < 0.3:
+                # inline span + explicit space element
+                cut = len(p) // 2
+                parts.append(
+                    f"<text:p>{_xml_escape(p[:cut])}<text:span>"
+                    f"{_xml_escape(p[cut:])}</text:span>"
+                    "<text:s/></text:p>")
+            else:
+                parts.append(f"<text:p>{_xml_escape(p)}</text:p>")
+    if r.random() < 0.3:
+        rows = []
+        for _ri in range(r.randint(2, 4)):
+            cells = [f"{r.choice(_WORDS)} {r.randint(0, 99)}"
+                     for _ in range(3)]
+            shown.extend(cells)
+            rows.append("<table:table-row>" + "".join(
+                f"<table:table-cell><text:p>{_xml_escape(c)}</text:p>"
+                "</table:table-cell>" for c in cells) + "</table:table-row>")
+        parts.append('<table:table table:name="T1">' + "".join(rows)
+                     + "</table:table>")
+
+    body = "<office:text>" + "".join(parts) + "</office:text>"
+    payload = _odf_zip("odt", body)
+    return payload, _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
+def make_ods(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .ods: 1-2 sheets, header + data rows; one cell
+    per row may use table:number-columns-repeated."""
+    shown: list[str] = []
+    sheets: list[str] = []
+    for si in range(r.randint(1, 2)):
+        n_cols = r.randint(2, 4)
+        rows_xml: list[str] = []
+        headers = [r.choice(_WORDS) for _ in range(n_cols)]
+        shown.extend(headers)
+        rows_xml.append("<table:table-row>" + "".join(
+            f"<table:table-cell><text:p>{_xml_escape(h)}</text:p>"
+            "</table:table-cell>" for h in headers) + "</table:table-row>")
+        for _i in range(r.randint(2, 6)):
+            cells: list[str] = []
+            j = 0
+            while j < n_cols:
+                if r.random() < 0.15 and j + 2 <= n_cols:
+                    w = r.choice(_WORDS)
+                    shown.extend([w, w])
+                    cells.append(
+                        '<table:table-cell table:number-columns-repeated='
+                        f'"2"><text:p>{_xml_escape(w)}</text:p>'
+                        "</table:table-cell>")
+                    j += 2
+                else:
+                    v = (r.choice(_WORDS) if r.random() < 0.6
+                         else str(r.randint(0, 9999)))
+                    shown.append(v)
+                    cells.append(
+                        f"<table:table-cell><text:p>{_xml_escape(v)}"
+                        "</text:p></table:table-cell>")
+                    j += 1
+            rows_xml.append("<table:table-row>" + "".join(cells)
+                            + "</table:table-row>")
+        sheets.append(f'<table:table table:name="Sheet{si + 1}">'
+                      + "".join(rows_xml) + "</table:table>")
+    body = "<office:spreadsheet>" + "".join(sheets) + "</office:spreadsheet>"
+    payload = _odf_zip("ods", body)
+    return payload, _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
+def make_odp(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .odp: 1-4 draw:page slides, text:p paragraphs
+    inside frames."""
+    shown: list[str] = []
+    pages: list[str] = []
+    for _s in range(r.randint(1, 4)):
+        paras = [" ".join(r.choice(_WORDS) for _ in range(3)).title()]
+        for _ in range(r.randint(1, 4)):
+            paras.append(_sentence(r, "en", r.randint(4, 10)))
+        shown.extend(paras)
+        frame = "".join(f"<text:p>{_xml_escape(p)}</text:p>" for p in paras)
+        pages.append(
+            '<draw:page draw:name="page">'
+            f"<draw:frame><draw:text-box>{frame}</draw:text-box>"
+            "</draw:frame></draw:page>")
+    body = ("<office:presentation>" + "".join(pages)
+            + "</office:presentation>")
+    payload = _odf_zip("odp", body)
+    return payload, _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
+def make_rtf(r: random.Random) -> tuple[bytes, str]:
+    """A real minimal .rtf: header with font/color tables and a
+    skippable ``{\\*\\generator}`` destination (all must be dropped),
+    paragraphs with formatting groups, cp1252 hex escapes, unicode
+    escapes with ``\\uc1`` fallback chars, and special-char words."""
+    shown: list[str] = []
+    body: list[str] = []
+    for _ in range(r.randint(2, 8)):
+        p = _paragraph(r, "en")
+        roll = r.random()
+        if roll < 0.2:
+            # bold/italic groups flatten to plain text
+            cut = len(p) // 2
+            enc = (p[:cut] + "{\\b " + p[cut:cut + 10] + "}"
+                   + p[cut + 10:])
+            shown.append(p)
+        elif roll < 0.4:
+            # accented text via cp1252 hex escapes
+            word = r.choice(("caf\\'e9", "na\\'efve", "\\'fcber"))
+            dec = word.replace("\\'e9", "é").replace("\\'ef", "ï") \
+                      .replace("\\'fc", "ü")
+            enc = p + " " + word
+            shown.append(p + " " + dec)
+        elif roll < 0.55:
+            # unicode escapes with a '?' fallback that must be skipped
+            enc = p + " \\u8212? \\u24179?\\u25910?"
+            shown.append(p + " — 平收")
+        elif roll < 0.65:
+            enc = p + " one\\~two\\emdash three"
+            shown.append(p + " one two—three")
+        else:
+            enc = p
+            shown.append(p)
+        body.append(enc + "\\par")
+    doc = (
+        "{\\rtf1\\ansi\\ansicpg1252\\deff0"
+        "{\\fonttbl{\\f0\\froman Times New Roman;}}"
+        "{\\colortbl;\\red0\\green0\\blue0;}"
+        "{\\*\\generator synth corpus 1.0;}"
+        "\\viewkind4\\uc1\\pard\\f0\\fs24 "
+        + "\n".join(body) + "}"
+    )
+    return doc.encode("cp1252", "replace"), \
+        _WS_RE.sub(" ", " ".join(shown)).strip()
+
+
 def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     """Office payloads.
 
-    Legacy OLE2 slice (~42%): real minimal .doc / .xls / .ppt compound
+    Legacy OLE2 slice (~34%): real minimal .doc / .xls / .ppt compound
     files extracted DIRECTLY (functions/doc_extract.py — round 3; the
     reference needed LibreOffice for these, and 3 of its 7 test files
     are .doc), a truncated-.doc variant (directory cut away → the
@@ -1020,14 +1220,21 @@ def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     key on is gone → deterministic office_unsupported), and garbage
     OLE2 containers (office_unsupported).
 
-    OOXML slice (~58%): .docx / .xlsx / .pptx as in round 2; ~15%
-    truncated (EOCD cut → deterministic office_truncated)."""
+    Zip slice (~46%): OOXML .docx / .xlsx / .pptx (round 2) and ODF
+    .odt / .ods / .odp (round 3 — the reference's office_formats list,
+    services/document_service.py:49-56); ~15% truncated (EOCD cut →
+    deterministic office_truncated).
+
+    RTF slice (~20%): real .rtf text markup (also in the reference's
+    office_formats); ~15% truncated — the RTF scanner is total, so
+    truncated payloads still extract their prefix (ok=True, naive
+    text intentionally blank)."""
     r = _rng(doc_id, seed + 21)
     roll = r.random()
-    if roll < 0.22:
+    if roll < 0.18:
         payload, naive = make_doc_legacy(r)
         return payload, naive, "en"
-    if roll < 0.27:
+    if roll < 0.22:
         payload, _naive = make_doc_legacy(r)
         # cut before the directory (written LAST by cfb_write): the
         # stream-name marker disappears with it, so extractor and SQL
@@ -1035,26 +1242,40 @@ def make_office(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         dir_len = ((1 + 2) * 128 + 511) // 512 * 512  # root + 2 streams
         payload = payload[: len(payload) - dir_len - 64]
         return payload, "", ""
-    if roll < 0.32:
+    if roll < 0.26:
         payload, naive = make_xls_legacy(r)
         return payload, naive, "en"
-    if roll < 0.37:
+    if roll < 0.30:
         payload, naive = make_ppt_legacy(r)
         return payload, naive, "en"
-    if roll < 0.42:
+    if roll < 0.34:
         payload = (
             b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 magic, junk body
             + bytes(r.getrandbits(8) for _ in range(504))
         )
         return payload, "", ""
-    if roll < 0.7:
-        payload, naive = make_docx(r)
-    elif roll < 0.85:
-        payload, naive = make_xlsx(r)
-    else:
-        payload, naive = make_pptx(r)
+    if roll < 0.80:
+        if roll < 0.46:
+            payload, naive = make_docx(r)
+        elif roll < 0.54:
+            payload, naive = make_xlsx(r)
+        elif roll < 0.60:
+            payload, naive = make_pptx(r)
+        elif roll < 0.68:
+            payload, naive = make_odt(r)
+        elif roll < 0.74:
+            payload, naive = make_ods(r)
+        else:
+            payload, naive = make_odp(r)
+        if r.random() < 0.15:
+            payload = payload[: int(len(payload) * 0.7)]  # truncated zip
+            return payload, "", "en"
+        return payload, naive, "en"
+    payload, naive = make_rtf(r)
     if r.random() < 0.15:
-        payload = payload[: int(len(payload) * 0.7)]  # truncated zip
+        # the scanner is tolerant: a cut payload still yields its
+        # readable prefix, so ok stays True (naive text not asserted)
+        payload = payload[: int(len(payload) * 0.6)]
         return payload, "", "en"
     return payload, naive, "en"
 

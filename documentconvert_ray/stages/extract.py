@@ -36,6 +36,7 @@ from ..functions.doc_extract import extract_ole2
 from ..functions.html_extract import extract_html
 from ..functions.office_extract import extract_docx
 from ..functions.pdf_extract import extract_pdf
+from ..functions.rtf_extract import extract_rtf
 from ..functions.sniff import DOC_HTML, DOC_OFFICE, DOC_PDF, sniff_doc_type
 
 SPAN_TYPE = pa.list_(
@@ -135,22 +136,20 @@ class SniffAndExtractHtml:
                     # / PowerPoint text atoms — functions/doc_extract);
                     # the reference needed LibreOffice here
                     res = extract_ole2(raw, cfg)
-                    cols["ok"][i] = res.ok
-                    cols["error_kind"][i] = res.error_kind
-                    cols["error"][i] = res.error
-                    cols["text_md"][i] = res.text_md
-                    cols["spans"][i] = res.spans
-                    cols["text_sha256"][i] = _sha256(res.text_md)
+                elif raw.startswith(b"{\\rtf"):
+                    # RTF: linear markup scan (functions/rtf_extract)
+                    res = extract_rtf(raw, cfg)
                 else:
-                    # OOXML (.docx): extracted directly (stdlib zip +
-                    # XML — functions/office_extract.py), no LibreOffice
+                    # OOXML (.docx/.xlsx/.pptx) and ODF (.odt/.ods/
+                    # .odp): extracted directly (stdlib zip + XML —
+                    # functions/office_extract.py), no LibreOffice
                     res = extract_docx(raw, cfg)
-                    cols["ok"][i] = res.ok
-                    cols["error_kind"][i] = res.error_kind
-                    cols["error"][i] = res.error
-                    cols["text_md"][i] = res.text_md
-                    cols["spans"][i] = res.spans
-                    cols["text_sha256"][i] = _sha256(res.text_md)
+                cols["ok"][i] = res.ok
+                cols["error_kind"][i] = res.error_kind
+                cols["error"][i] = res.error
+                cols["text_md"][i] = res.text_md
+                cols["spans"][i] = res.spans
+                cols["text_sha256"][i] = _sha256(res.text_md)
             else:
                 cols["ok"][i] = False
                 cols["error_kind"][i] = "unsupported"

@@ -33,9 +33,10 @@ from documentconvert_ray.sources.corpus import write_corpus
 from documentconvert_ray.stages.extract import SPAN_TYPE
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
-# 1000 = smallest corpus in which every classification class appears
-# (encrypted_pdf, legacy-OLE2 ok + unsupported, OOXML, truncations)
-N_ROWS = 1000
+# 1500 = smallest corpus in which every classification class AND every
+# office family appears (encrypted_pdf, legacy-OLE2 ok + unsupported,
+# OOXML, ODF odt/ods/odp — ods first at doc 1383 — RTF, truncations)
+N_ROWS = 1500
 
 
 def main() -> None:
@@ -58,6 +59,11 @@ def main() -> None:
                         extract_ole2,
                     )
                     res = extract_ole2(payload, DEFAULT_CONFIG)
+                elif payload.startswith(b"{\\rtf"):
+                    from documentconvert_ray.functions.rtf_extract import (
+                        extract_rtf,
+                    )
+                    res = extract_rtf(payload, DEFAULT_CONFIG)
                 else:
                     from documentconvert_ray.functions.office_extract import (
                         extract_docx,
