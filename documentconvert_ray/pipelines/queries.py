@@ -1423,6 +1423,194 @@ def q_length_outliers(sf_dir: str):
     )
 
 
+def q_dup_gram_mass(sf_dir: str):
+    """Cross-document duplicated-substring mass (word-5-gram windows)
+    — the substring-level dedup signal of Lee et al. 2022
+    (arXiv:2107.06499): per doc, the fraction of 5-gram positions
+    whose gram also appears in ≥ 1 OTHER document.
+
+    Shape (one gram-key exchange, no broadcast of the dup set):
+      1. gram-df combiner (≤ one row per (batch, distinct gram)) →
+         gram groupby → df ≥ 2 keeps the duplicated grams. At web
+         scale this relation is far too large to broadcast — it stays
+         distributed and becomes the hash-join build side.
+      2. probe rows: per (doc, distinct gram) occurrence counts, plus
+         ONE sentinel row per doc (g='', n_occ = total positions) so
+         a single text pass emits both numerator candidates and the
+         denominator.
+      3. left-outer native hash join marks duplicated grams; a
+         per-batch combiner collapses to one (doc, n_pos, n_dup)
+         partial per partition before the per-doc sum.
+    Partitioning note: per-gram probe fan-in is bounded by the doc
+    count (distinct (doc,gram) rows); a corpus-wide boilerplate gram
+    is the residual hot key — the df table itself stays balanced."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    df_tbl = (
+        docs.map_batches(tx.dupgram_partial_df, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("nd", alias_name="df"))
+    )
+
+    def build_side(b: pa.Table) -> pa.Table:
+        keep = b.column("df").to_numpy() >= 2
+        t = b.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"g_r": t.column("g"),
+             "dup": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    build = df_tbl.map_batches(build_side, batch_format="pyarrow") \
+        .repartition(max(1, min(32, -(-n_docs // 25_000))))
+    probe = docs.map_batches(tx.dupgram_doc_rows, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
+                        cpus // 2))
+    joined = probe.join(
+        build, "left_outer", n_part, on=("g",), right_on=("g_r",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def partial(df):
+        occ = df["n_occ"].to_numpy(np.int64)
+        is_tot = (df["g"] == "").to_numpy()
+        is_dup = df["dup"].fillna(0).to_numpy(np.int64) == 1
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_pos": np.where(is_tot, occ, 0),
+            "n_dup": np.where(is_dup & ~is_tot, occ, 0),
+        })
+        return out.groupby("doc_id", as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_dup=("n_dup", "sum"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_pos = b.column("n_pos").to_numpy()
+        keep = n_pos > 0
+        t = b.filter(pa.array(keep))
+        n_pos = t.column("n_pos").to_numpy()
+        n_dup = t.column("n_dup").to_numpy()
+        return t.append_column(
+            "dup_frac_micro",
+            pa.array(n_dup * 1_000_000 // n_pos, pa.int64()))
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("n_dup", alias_name="n_dup"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SAMPLE_K = 200
+
+
+def q_sample_exact_k(sf_dir: str):
+    """Exact-size-k uniform sample (reservoir semantics, made
+    deterministic): the k docs with the smallest Knuth-hash values —
+    a fixed-size sample whose membership is independent of row order
+    and partitioning, unlike rate-based q_hash_sample. Per-batch
+    partial top-k keeps ≤ k rows per block; the final sort orders
+    ≤ k·n_blocks rows, never the corpus."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(df):
+        ids = df["doc_id"].to_numpy(np.int64)
+        df = df.assign(h=(ids * 2654435761) % 4294967296)
+        return df.sort_values(["h", "doc_id"],
+                              kind="mergesort").head(SAMPLE_K)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .sort(["h", "doc_id"])
+        .limit(SAMPLE_K)
+        .select_columns(["doc_id", "lang", "n_chars"])
+    )
+
+
+def q_user_running_total(sf_dir: str):
+    """Per-user RUNNING cumulative value (the window prefix-sum
+    shape: SUM OVER PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING) — per-event output. Events co-partition by user-id
+    hash (a user's timeline never splits), each bucket sorts once and
+    cumsums vectorized; no global sort, no driver state."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def bucketize(df):
+        df = df.assign(v_micro=_micro_int_col(df["value"]),
+                       bucket=(df["user_id"] % n_buckets).astype("int32"))
+        return df[["bucket", "event_id", "ts", "user_id", "v_micro"]]
+
+    def scan(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "ts": g["ts"],
+            "cum_value_micro": g.groupby("user_id", sort=False)["v_micro"]
+                                .cumsum().to_numpy(np.int64),
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def q_retained_users(sf_dir: str):
+    """Two-period retention INTERSECT: users active in BOTH halves of
+    the observed time range. Pass 1 is a tiny per-batch (min, max)
+    timestamp combiner (one row per block → driver midpoint, integer
+    microseconds so the Ray and SQL halves split identically); pass 2
+    flags each event's period map-side and reduces per user to two
+    counts — the exchange carries one summary row per (batch, user).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def minmax(df):
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"lo": [int(us.min())], "hi": [int(us.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = (lo + hi) // 2
+
+    def partial(df):
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        first = us <= mid
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_first": first.astype(np.int64),
+            "n_second": (~first).astype(np.int64),
+        })
+        return out.groupby("user_id", as_index=False).agg(
+            n_first=("n_first", "sum"), n_second=("n_second", "sum"))
+
+    def keep_both(b: pa.Table) -> pa.Table:
+        keep = (b.column("n_first").to_numpy() > 0) \
+            & (b.column("n_second").to_numpy() > 0)
+        return b.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_first", alias_name="n_first"),
+                   Sum("n_second", alias_name="n_second"))
+        .map_batches(keep_both, batch_format="pyarrow")
+    )
+
+
 def q_top_customers(sf_dir: str):
     """Broadcast join (small dim side via ray.put) + grouped rollup +
     deterministic top-k."""
@@ -1854,7 +2042,9 @@ def queries() -> dict:
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "sample_exact_k": q_sample_exact_k,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dup_gram_mass": q_dup_gram_mass,
         "per_lang_top5": q_per_lang_top5,
         "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
@@ -1869,6 +2059,8 @@ def queries() -> dict:
         "user_sessions": q_user_sessions,
         "user_first_last": q_user_first_last,
         "event_transitions": q_event_transitions,
+        "user_running_total": q_user_running_total,
+        "retained_users": q_retained_users,
         "length_outliers": q_length_outliers,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2354,6 +2546,61 @@ ORACLES: dict[str, str] = {
                        for k, v in sorted(STRATA_PCT.items())),
         dflt=STRATA_DEFAULT_PCT,
     ),
+    "sample_exact_k": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        LIMIT {k}
+    """.format(k=SAMPLE_K),
+    # gram width constants from stages/text.DUPG_N (one source of
+    # truth): slice end = i + N - 1 (DuckDB list slices are 1-based
+    # inclusive), range end = len - (N - 2)
+    "dup_gram_mass": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, array_to_string(tk[i:i+{nm1}], ' ') AS g
+          FROM toks, unnest(range(1, len(tk) - {nm2})) AS t(i)
+          WHERE len(tk) >= {n}),
+        dg AS (SELECT doc_id, g, count(*) AS n_occ
+               FROM pos GROUP BY doc_id, g),
+        dup AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+        tot AS (SELECT doc_id, count(*) AS n_pos
+                FROM pos GROUP BY doc_id),
+        hits AS (SELECT doc_id, sum(n_occ) AS n_dup
+                 FROM dg JOIN dup USING (g) GROUP BY doc_id)
+        SELECT t.doc_id, CAST(t.n_pos AS BIGINT) AS n_pos,
+               CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup,
+               CAST(coalesce(h.n_dup, 0) * 1000000 // t.n_pos
+                    AS BIGINT) AS dup_frac_micro
+        FROM tot t LEFT JOIN hits h USING (doc_id)
+    """.format(n=tx.DUPG_N, nm1=tx.DUPG_N - 1, nm2=tx.DUPG_N - 2),
+    "user_running_total": """
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_value_micro
+        FROM events
+    """,
+    "retained_users": """
+        WITH b AS (
+          SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+          FROM events),
+        f AS (
+          SELECT user_id,
+                 CAST(count(*) FILTER (WHERE epoch_us(ts) <= b.mid)
+                      AS BIGINT) AS n_first,
+                 CAST(count(*) FILTER (WHERE epoch_us(ts) > b.mid)
+                      AS BIGINT) AS n_second
+          FROM events, b GROUP BY user_id)
+        SELECT user_id, n_first, n_second
+        FROM f WHERE n_first > 0 AND n_second > 0
+    """,
     # rarity = (N·10^6) // df — the exact-rational idf stand-in; the
     # df*2<=N HAVING mirrors the stage's hot-term exclusion; top-k from
     # TFIDF_TOPK (one source of truth)

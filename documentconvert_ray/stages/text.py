@@ -171,6 +171,65 @@ def df_partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+# cross-document duplicated-substring signal (word-5-gram windows;
+# cf. the substring-dedup finding that verbatim cross-doc spans
+# degrade LM training — "Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2022, arXiv:2107.06499)
+DUPG_N = 5
+
+
+def _doc_grams(text: str):
+    toks = text.split()
+    k = DUPG_N
+    n_pos = max(0, len(toks) - k + 1)
+    c: dict = {}
+    for i in range(n_pos):
+        g = " ".join(toks[i:i + k])
+        c[g] = c.get(g, 0) + 1
+    return c, n_pos
+
+
+def dupgram_partial_df(batch: pa.Table) -> pa.Table:
+    """Per-batch partial gram DOCUMENT counts (gram → number of batch
+    docs containing it) — the combiner before the gram-df groupby;
+    ≤ one row per (batch, distinct gram) shuffles."""
+    c: dict = {}
+    for t in batch.column("text").to_pylist():
+        for g in _doc_grams(t)[0]:
+            c[g] = c.get(g, 0) + 1
+    grams = sorted(c)
+    return pa.Table.from_pydict(
+        {"g": pa.array(grams, pa.string()),
+         "nd": pa.array([c[g] for g in grams], pa.int64())}
+    )
+
+
+def dupgram_doc_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, g, n_occ) per distinct (doc, gram) + the doc totals
+    carried as sentinel rows (g='' with n_occ = total positions), so
+    ONE pass emits both the join probe and the denominator — the
+    union-free way to keep the exchange at 1 + distinct-gram rows per
+    doc."""
+    ids: list[int] = []
+    gs: list[str] = []
+    occ: list[int] = []
+    for i, t in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist()):
+        c, n_pos = _doc_grams(t)
+        ids.append(i)
+        gs.append("")  # sentinel: per-doc total positions
+        occ.append(n_pos)
+        for g in sorted(c):
+            ids.append(i)
+            gs.append(g)
+            occ.append(c[g])
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "g": pa.array(gs, pa.string()),
+         "n_occ": pa.array(occ, pa.int64())}
+    )
+
+
 class CandidateCountStage:
     """Exact rescore pass: count ONLY the broadcast candidate words
     (≤ a few hundred strings via ray.put, fetched once per actor)."""

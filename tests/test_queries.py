@@ -42,6 +42,10 @@ SQL_QUERIES = [
     "hash_sample",
     "stratified_sample",
     "tfidf_top_terms",
+    "dup_gram_mass",
+    "sample_exact_k",
+    "user_running_total",
+    "retained_users",
     "user_first_last",
     "event_transitions",
     "length_outliers",
