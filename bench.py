@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "embedding_near_dups",
     "embedding_near_dups_ivf",
     "hash_sample",
+    "dup_gram_mass",
+    "tfidf_top_terms",
     "per_lang_top5",
     "term_scrub",
     "repetition_stats",
@@ -54,6 +56,8 @@ QUERY_NAMES = [
     "purchase_attribution",
     "event_value_bands",
     "user_sessions",
+    "user_running_total",
+    "big_orders",
     "pricing_summary",
     "top_customers",
     "order_revenue_join",

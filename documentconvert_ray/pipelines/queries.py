@@ -17,6 +17,7 @@ and get the driver's rows-only check.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -538,10 +539,24 @@ def q_tfidf_top_terms(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
 
+    # BUCKETED vocabulary reduce (term-hash buckets + one vectorized
+    # pandas sum per bucket) — a native per-term aggregate pays
+    # per-distinct-key overhead (measured 30× on 100k+ keys)
+    n_vb = dd.derive_buckets(n_docs, rows_per_doc=8)
+
+    def vocab_reduce(g):
+        return g.groupby("term", as_index=False).agg(df=("nd", "sum"))
+
+    def df_bucketize(b: pa.Table) -> pa.Table:
+        t = tx.df_partial_counts(b)
+        bk = [zlib.crc32(w.encode()) % n_vb
+              for w in t.column("term").to_pylist()]
+        return t.append_column("bucket", pa.array(bk, pa.int32()))
+
     df_tbl = (
-        docs.map_batches(tx.df_partial_counts, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("nd", alias_name="df"))
+        docs.map_batches(df_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(vocab_reduce, batch_format="pandas")
         .materialize()
     )
 
@@ -591,25 +606,32 @@ def q_tfidf_top_terms(sf_dir: str):
         aggregator_ray_remote_args=_join_remote_args(n_part),
     )
 
+    n_db = dd.derive_buckets(n_docs)
+
     def partial_top(df):
         score = df["tf"].to_numpy(np.int64) * df["rarity"].to_numpy(np.int64)
         df = df.assign(score_micro=score)
-        return (
+        out = (
             df.sort_values(["doc_id", "score_micro", "term"],
                            ascending=[True, False, True], kind="mergesort")
             .groupby("doc_id", sort=False).head(TFIDF_TOPK)
         )[["doc_id", "term", "tf", "score_micro"]]
+        return out.assign(bucket=(out["doc_id"].to_numpy(np.int64)
+                                  % n_db).astype("int32"))
 
     def final_top(g):
-        g = g.sort_values(["score_micro", "term"],
-                          ascending=[False, True], kind="mergesort"
-                          ).head(TFIDF_TOPK).reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # one vectorized sort + cumcount per doc-hash BUCKET (per-doc
+        # map_groups would pay a python call per document)
+        g = g.sort_values(["doc_id", "score_micro", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        gb = g.groupby("doc_id", sort=False)
+        g = g.assign(rnk=gb.cumcount().to_numpy(np.int64) + 1)
+        g = g[g["rnk"] <= TFIDF_TOPK]
         return g[["doc_id", "rnk", "term", "tf", "score_micro"]]
 
     return (
         joined.map_batches(partial_top, batch_format="pandas")
-        .groupby("doc_id")
+        .groupby("bucket")
         .map_groups(final_top, batch_format="pandas")
     )
 
@@ -1225,11 +1247,14 @@ def q_user_first_last(sf_dir: str):
     reduces to ONE row per user it saw (first/last candidates +
     count/sum), and partials merge associatively in the per-user
     reduce, so the exchange carries O(users · batches) summary rows
-    while the event payload never shuffles."""
+    while the event payload never shuffles. The reduce runs per
+    user-hash BUCKET with vectorized sort + drop_duplicates — a
+    per-user map_groups would pay a python call per user."""
     import pandas as pd
 
     ds = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "event_type", "value"])
+    n_buckets = dd.derive_buckets(ds.count())
 
     def partial(df):
         df = df.assign(v_micro=_micro_int_col(df["value"]))
@@ -1245,28 +1270,35 @@ def q_user_first_last(sf_dir: str):
             "n_events": g.size().astype("int64"),
             "sum_value_micro": g["v_micro"].sum(),
         }).reset_index()
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
         return out
 
     def merge(g):
-        f = g.sort_values(["first_ts", "first_event_id"],
-                          kind="mergesort").iloc[0]
-        l = g.sort_values(["last_ts", "last_event_id"],
-                          ascending=False, kind="mergesort").iloc[0]
-        return pd.DataFrame({
-            "user_id": [np.int64(f["user_id"])],
-            "n_events": [np.int64(g["n_events"].sum())],
-            "sum_value_micro": [np.int64(g["sum_value_micro"].sum())],
-            "first_ts": [f["first_ts"]],
-            "first_event_id": [np.int64(f["first_event_id"])],
-            "first_type": [f["first_type"]],
-            "last_ts": [l["last_ts"]],
-            "last_event_id": [np.int64(l["last_event_id"])],
-            "last_type": [l["last_type"]],
-        })
+        f = g.sort_values(["user_id", "first_ts", "first_event_id"],
+                          kind="mergesort").drop_duplicates(
+            "user_id", keep="first")
+        l = g.sort_values(["user_id", "last_ts", "last_event_id"],
+                          ascending=[True, False, False],
+                          kind="mergesort").drop_duplicates(
+            "user_id", keep="first")
+        tot = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micro=("sum_value_micro", "sum"))
+        out = tot.merge(
+            f[["user_id", "first_ts", "first_event_id", "first_type"]],
+            on="user_id").merge(
+            l[["user_id", "last_ts", "last_event_id", "last_type"]],
+            on="user_id")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value_micro"] = out["sum_value_micro"].astype("int64")
+        out["first_event_id"] = out["first_event_id"].astype("int64")
+        out["last_event_id"] = out["last_event_id"].astype("int64")
+        return out
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
+        .groupby("bucket")
         .map_groups(merge, batch_format="pandas")
     )
 
@@ -1316,65 +1348,142 @@ BIG_ORDER_QTY_MICRO = 300_000_000  # HAVING sum(l_quantity) >= 300
 
 def q_big_orders(sf_dir: str):
     """TPC-H-Q18 shape (HAVING on a big rollup, then join back):
-    per-batch partial quantity sums (combiner) → small groupby →
-    HAVING filter leaves a tiny survivor set BY CONSTRUCTION → two
-    native hash joins re-attach the order row and the customer name.
-    The joins' build sides are the survivor sets, so no exchange ever
-    carries a non-surviving row past its filter; final deterministic
-    (qty DESC, orderkey ASC) top-100."""
+    per-batch partial quantity sums (combiner) → BUCKETED per-key
+    reduce (key-hash buckets + one vectorized pandas sum per bucket —
+    NOT a native per-key aggregate: Ray's sort-based aggregate pays
+    per-distinct-key overhead, measured 76 s vs 2.6 s on the 147k
+    orderkeys of sf0.1) → HAVING filter leaves a tiny survivor set BY
+    CONSTRUCTION → the survivors BROADCAST (the textbook Q18 plan;
+    measured 29 s → 9 s vs chaining two native hash joins at sf0.1)
+    and both join legs run map-side over orders then customer; final
+    deterministic (qty DESC, orderkey ASC) top-100 on the ≤bounded
+    driver set. A native hash-join fallback guards the data-dependent
+    rarity assumption above 100k survivors."""
     import pandas as pd
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    nb = dd.derive_buckets(n_orders)
 
     def partial(df):
         df = df.assign(q_micro=_micro_int_col(df["l_quantity"]))
-        return df.groupby("l_orderkey", as_index=False).agg(
+        out = df.groupby("l_orderkey", as_index=False).agg(
             sum_qty_micro=("q_micro", "sum"))
+        out["bucket"] = (out["l_orderkey"] % nb).astype("int32")
+        return out
 
-    def having(b: pa.Table) -> pa.Table:
-        keep = b.column("sum_qty_micro").to_numpy() >= BIG_ORDER_QTY_MICRO
-        return b.filter(pa.array(keep))
+    def reduce_having(g):
+        s = g.groupby("l_orderkey", as_index=False).agg(
+            sum_qty_micro=("sum_qty_micro", "sum"))
+        return s[s["sum_qty_micro"] >= BIG_ORDER_QTY_MICRO]
 
     survivors = (
         li.map_batches(partial, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty_micro", alias_name="sum_qty_micro"))
-        .map_batches(having, batch_format="pyarrow")
-        .repartition(1)  # tiny by the HAVING bound; nonempty blocks
+        .groupby("bucket")
+        .map_groups(reduce_having, batch_format="pandas")
     )
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_part = max(8, min(dd.derive_buckets(n_orders), cpus // 2))
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    with_orders = orders.join(
-        survivors, "inner", n_part,
-        on=("o_orderkey",), right_on=("l_orderkey",),
-        aggregator_ray_remote_args=_join_remote_args(n_part),
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = cust.join(
-        with_orders.repartition(1), "inner", n_part,
-        on=("c_custkey",), right_on=("o_custkey",),
-        aggregator_ray_remote_args=_join_remote_args(n_part),
-    )
+    # Q18's HAVING makes survivors RARE by construction (sum qty ≥ 300
+    # ≈ top fraction of a percent of orders), so the textbook plan is
+    # to broadcast them and keep both "joins" map-side; the native
+    # hash-join fallback guards the data-dependent assumption.
+    surv = survivors.to_pandas()
+    if len(surv) > 100_000:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_part = max(8, min(dd.derive_buckets(n_orders), cpus // 2))
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        with_orders = orders.join(
+            survivors.repartition(max(1, len(surv) // 100_000)),
+            "inner", n_part,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+            aggregator_ray_remote_args=_join_remote_args(n_part),
+        )
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        joined = cust.join(
+            with_orders.repartition(1), "inner", n_part,
+            on=("c_custkey",), right_on=("o_custkey",),
+            aggregator_ray_remote_args=_join_remote_args(n_part),
+        )
 
-    def project(df):
+        def project(df):
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "c_name": df["c_name"],
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": df["o_orderdate"],
+                "price_c": _cents_col(df["o_totalprice"]),
+                "sum_qty_micro": df["sum_qty_micro"].to_numpy(np.int64),
+            })
+
+        return (
+            joined.map_batches(project, batch_format="pandas")
+            .sort(["sum_qty_micro", "o_orderkey"], descending=[True, False])
+            .limit(100)
+        )
+
+    qty_by_okey = dict(zip(surv["l_orderkey"].to_numpy(np.int64),
+                           surv["sum_qty_micro"].to_numpy(np.int64)))
+    qty_ref = ray.put(qty_by_okey)
+
+    def attach_orders(df):
+        m = sim.resolve_broadcast(qty_ref, key="bigorders-qty")
+        okeys = df["o_orderkey"].to_numpy(np.int64)
+        mask = np.fromiter((k in m for k in okeys), bool, len(okeys))
+        df = df[mask]
+        okeys = okeys[mask]
         return pd.DataFrame({
-            "c_custkey": df["c_custkey"].to_numpy(np.int64),
-            "c_name": df["c_name"],
-            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": okeys,
             "o_orderdate": df["o_orderdate"],
             "price_c": _cents_col(df["o_totalprice"]),
-            "sum_qty_micro": df["sum_qty_micro"].to_numpy(np.int64),
+            "sum_qty_micro": np.fromiter(
+                (m[k] for k in okeys), np.int64, len(okeys)),
         })
 
-    return (
-        joined.map_batches(project, batch_format="pandas")
-        .sort(["sum_qty_micro", "o_orderkey"], descending=[True, False])
-        .limit(100)
-    )
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    wo = orders.map_batches(attach_orders, batch_format="pandas").to_pandas()
+    by_cust: dict = {}
+    for row in wo.itertuples(index=False):
+        by_cust.setdefault(int(row.o_custkey), []).append(row)
+    cust_ref = ray.put(by_cust)
+
+    def attach_cust(df):
+        m = sim.resolve_broadcast(cust_ref, key="bigorders-cust")
+        cks: list[int] = []
+        cns: list[str] = []
+        oks: list[int] = []
+        ods: list = []
+        pcs: list[int] = []
+        qts: list[int] = []
+        keys = df["c_custkey"].to_numpy(np.int64)
+        hit = np.fromiter((int(k) in m for k in keys), bool, len(keys))
+        for ck, cn in zip(keys[hit], df["c_name"].to_numpy()[hit]):
+            for o in m[int(ck)]:
+                cks.append(int(ck))
+                cns.append(cn)
+                oks.append(int(o.o_orderkey))
+                ods.append(o.o_orderdate)
+                pcs.append(int(o.price_c))
+                qts.append(int(o.sum_qty_micro))
+        return pd.DataFrame({
+            "c_custkey": np.array(cks, np.int64),
+            "c_name": np.array(cns, dtype=object),
+            "o_orderkey": np.array(oks, np.int64),
+            "o_orderdate": pd.to_datetime(pd.Series(ods)),
+            "price_c": np.array(pcs, np.int64),
+            "sum_qty_micro": np.array(qts, np.int64),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = cust.map_batches(attach_cust, batch_format="pandas").to_pandas()
+    out = out.sort_values(["sum_qty_micro", "o_orderkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(100).reset_index(drop=True)
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"])
+    return out
 
 
 def q_length_outliers(sf_dir: str):
@@ -1449,21 +1558,30 @@ def q_dup_gram_mass(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
 
-    df_tbl = (
-        docs.map_batches(tx.dupgram_partial_df, batch_format="pyarrow")
-        .groupby("g")
-        .aggregate(Sum("nd", alias_name="df"))
-    )
+    # BUCKETED gram-df reduce (gram-hash buckets + one vectorized sum
+    # per bucket; a native per-gram aggregate pays per-distinct-key
+    # overhead — measured 30× on 100k+ keys) with the df≥2 filter
+    # INSIDE the bucket reduce, so only duplicated grams leave it
+    n_gb = dd.derive_buckets(n_docs, rows_per_doc=32)
 
-    def build_side(b: pa.Table) -> pa.Table:
-        keep = b.column("df").to_numpy() >= 2
-        t = b.filter(pa.array(keep))
-        return pa.Table.from_pydict(
-            {"g_r": t.column("g"),
-             "dup": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+    def gram_bucketize(b: pa.Table) -> pa.Table:
+        t = tx.dupgram_partial_df(b)
+        bk = [zlib.crc32(g.encode()) % n_gb
+              for g in t.column("g").to_pylist()]
+        return t.append_column("bucket", pa.array(bk, pa.int32()))
 
-    build = df_tbl.map_batches(build_side, batch_format="pyarrow") \
+    def dup_reduce(g):
+        s = g.groupby("g", as_index=False).agg(df=("nd", "sum"))
+        s = s[s["df"] >= 2]
+        return pd.DataFrame({"g_r": s["g"],
+                             "dup": np.ones(len(s), dtype=np.int64)})
+
+    build = (
+        docs.map_batches(gram_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_reduce, batch_format="pandas")
         .repartition(max(1, min(32, -(-n_docs // 25_000))))
+    )
     probe = docs.map_batches(tx.dupgram_doc_rows, batch_format="pyarrow")
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -1474,6 +1592,8 @@ def q_dup_gram_mass(sf_dir: str):
         aggregator_ray_remote_args=_join_remote_args(n_part),
     )
 
+    n_db = dd.derive_buckets(n_docs)
+
     def partial(df):
         occ = df["n_occ"].to_numpy(np.int64)
         is_tot = (df["g"] == "").to_numpy()
@@ -1483,25 +1603,23 @@ def q_dup_gram_mass(sf_dir: str):
             "n_pos": np.where(is_tot, occ, 0),
             "n_dup": np.where(is_dup & ~is_tot, occ, 0),
         })
-        return out.groupby("doc_id", as_index=False).agg(
+        out = out.groupby("doc_id", as_index=False).agg(
             n_pos=("n_pos", "sum"), n_dup=("n_dup", "sum"))
+        return out.assign(bucket=(out["doc_id"].to_numpy(np.int64)
+                                  % n_db).astype("int32"))
 
-    def finish(b: pa.Table) -> pa.Table:
-        n_pos = b.column("n_pos").to_numpy()
-        keep = n_pos > 0
-        t = b.filter(pa.array(keep))
-        n_pos = t.column("n_pos").to_numpy()
-        n_dup = t.column("n_dup").to_numpy()
-        return t.append_column(
-            "dup_frac_micro",
-            pa.array(n_dup * 1_000_000 // n_pos, pa.int64()))
+    def doc_reduce(g):
+        s = g.groupby("doc_id", as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_dup=("n_dup", "sum"))
+        s = s[s["n_pos"] > 0]
+        n_pos = s["n_pos"].to_numpy(np.int64)
+        n_dup = s["n_dup"].to_numpy(np.int64)
+        return s.assign(dup_frac_micro=n_dup * 1_000_000 // n_pos)
 
     return (
         joined.map_batches(partial, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n_pos", alias_name="n_pos"),
-                   Sum("n_dup", alias_name="n_dup"))
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pandas")
     )
 
 
@@ -1586,6 +1704,8 @@ def q_retained_users(sf_dir: str):
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
     mid = (lo + hi) // 2
 
+    n_buckets = dd.derive_buckets(ds.count())
+
     def partial(df):
         us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         first = us <= mid
@@ -1594,20 +1714,22 @@ def q_retained_users(sf_dir: str):
             "n_first": first.astype(np.int64),
             "n_second": (~first).astype(np.int64),
         })
-        return out.groupby("user_id", as_index=False).agg(
+        out = out.groupby("user_id", as_index=False).agg(
             n_first=("n_first", "sum"), n_second=("n_second", "sum"))
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
 
-    def keep_both(b: pa.Table) -> pa.Table:
-        keep = (b.column("n_first").to_numpy() > 0) \
-            & (b.column("n_second").to_numpy() > 0)
-        return b.filter(pa.array(keep))
+    def reduce_both(g):
+        s = g.groupby("user_id", as_index=False).agg(
+            n_first=("n_first", "sum"), n_second=("n_second", "sum"))
+        s = s[(s["n_first"] > 0) & (s["n_second"] > 0)]
+        return s.astype({"user_id": "int64", "n_first": "int64",
+                         "n_second": "int64"})
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n_first", alias_name="n_first"),
-                   Sum("n_second", alias_name="n_second"))
-        .map_batches(keep_both, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_both, batch_format="pandas")
     )
 
 
