@@ -93,6 +93,15 @@ def _cents_col(series) -> "np.ndarray":
     return np.floor(np.asarray(series, dtype=np.float64) * 100 + 0.5).astype(np.int64)
 
 
+def _crc_bucket_col(tbl: pa.Table, col: str, nb: int) -> pa.Table:
+    """Append ``bucket = crc32(str_col) % nb`` — the string-key leg of
+    the repo's bucketed-reduce idiom (a native per-key aggregate pays
+    per-distinct-key overhead: measured 30× at ≥100k keys, see
+    BASELINE.md)."""
+    bk = [zlib.crc32(s.encode()) % nb for s in tbl.column(col).to_pylist()]
+    return tbl.append_column("bucket", pa.array(bk, pa.int32()))
+
+
 # ------------------------------------------------------- extraction queries
 
 
@@ -143,24 +152,55 @@ def q_token_counts(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup: content-hash groupby keeping min doc_id (the
-    hash-partition + per-group-first pattern; only hashes shuffle)."""
+    """Exact dedup: content-hash keyed, hash-BUCKETED per-key reduce
+    keeping min doc_id (the hash-partition + per-group-first pattern;
+    only hashes shuffle, and the reduce is one vectorized pandas
+    groupby per bucket — a native per-key aggregate pays
+    per-distinct-key overhead, key count = corpus size here)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(tx.md5_batch, batch_format="pyarrow")
-    ds = ds.select_columns(["doc_id", "text_md5"])
-    return ds.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"),
-        Count(alias_name="n_copies"),
+    nb = dd.derive_buckets(ds.count())
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = tx.md5_batch(b).select(["doc_id", "text_md5"])
+        return _crc_bucket_col(t, "text_md5", nb)
+
+    def reduce_bucket(g):
+        s = g.groupby("text_md5", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return s.astype({"rep_doc_id": "int64", "n_copies": "int64"})
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
 
 
 def q_ngram_top20(sf_dir: str):
-    """Top-20 unigrams: per-batch partial counts (combiner), tiny
-    groupby over partials, deterministic (n desc, word asc) top-k."""
+    """Top-20 unigrams: per-batch partial counts (combiner) →
+    word-hash-BUCKETED vectorized sum with a per-bucket partial
+    top-20 (each word lives in exactly one bucket, so the global
+    top-20 is a subset of the per-bucket top-20s) → final sort over
+    ≤ 20·buckets rows, deterministic (n desc, word asc)."""
     ds = _read(sf_dir, "documents", ["text"])
-    partials = ds.map_batches(tx.ngram_partial_counts, batch_format="pyarrow")
-    totals = partials.groupby("word").aggregate(Sum("n", alias_name="n"))
-    return totals.sort(["n", "word"], descending=[True, False]).limit(20)
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        return _crc_bucket_col(tx.ngram_partial_counts(b), "word", nb)
+
+    def reduce_top(g):
+        s = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(20)
+        return s.astype({"n": "int64"})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_top, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(20)
+    )
 
 
 def q_ngram_top20_mg(sf_dir: str):
@@ -178,10 +218,21 @@ def q_ngram_top20_mg(sf_dir: str):
     (Zipf) that holds by orders of magnitude, and the shared DuckDB
     oracle enforces exact equality every run."""
     ds = _read(sf_dir, "documents", ["text"])
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=8)
+
+    def mg_part(b: pa.Table) -> pa.Table:
+        return _crc_bucket_col(tx.mg_partial_counts(b), "word", nb)
+
+    def mg_reduce(g):
+        s = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(tx.MG_CANDIDATES)
+        return s.astype({"n": "int64"})
+
     cand = (
-        ds.map_batches(tx.mg_partial_counts, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+        ds.map_batches(mg_part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mg_reduce, batch_format="pandas")
         .sort(["n", "word"], descending=[True, False])
         .limit(tx.MG_CANDIDATES)
     )
@@ -548,10 +599,7 @@ def q_tfidf_top_terms(sf_dir: str):
         return g.groupby("term", as_index=False).agg(df=("nd", "sum"))
 
     def df_bucketize(b: pa.Table) -> pa.Table:
-        t = tx.df_partial_counts(b)
-        bk = [zlib.crc32(w.encode()) % n_vb
-              for w in t.column("term").to_pylist()]
-        return t.append_column("bucket", pa.array(bk, pa.int32()))
+        return _crc_bucket_col(tx.df_partial_counts(b), "term", n_vb)
 
     df_tbl = (
         docs.map_batches(df_bucketize, batch_format="pyarrow")
@@ -695,12 +743,20 @@ def q_corpus_curation(sf_dir: str):
         ns = batch.column("n_stop").to_numpy()
         return batch.filter(pa.array((nt >= 10) & (ns * 50 >= nt)))
 
+    nb = dd.derive_buckets(ds.count())
+
+    def dedup_reduce(g):
+        s = g.groupby("text_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_tokens=("n_tokens", "min"))
+        return s.astype({"doc_id": "int64", "n_tokens": "int64"})
+
     deduped = (
         ds.map_batches(stats, batch_format="pyarrow")
         .map_batches(quality, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"),
-                   Min("n_tokens", alias_name="n_tokens"))
+        .map_batches(lambda b: _crc_bucket_col(b, "text_md5", nb),
+                     batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_reduce, batch_format="pandas")
     )
 
     def sample(batch: pa.Table) -> pa.Table:
@@ -1565,10 +1621,7 @@ def q_dup_gram_mass(sf_dir: str):
     n_gb = dd.derive_buckets(n_docs, rows_per_doc=32)
 
     def gram_bucketize(b: pa.Table) -> pa.Table:
-        t = tx.dupgram_partial_df(b)
-        bk = [zlib.crc32(g.encode()) % n_gb
-              for g in t.column("g").to_pylist()]
-        return t.append_column("bucket", pa.array(bk, pa.int32()))
+        return _crc_bucket_col(tx.dupgram_partial_df(b), "g", n_gb)
 
     def dup_reduce(g):
         s = g.groupby("g", as_index=False).agg(df=("nd", "sum"))
