@@ -1786,6 +1786,137 @@ def q_retained_users(sf_dir: str):
     )
 
 
+def q_percentile_rank(sf_dir: str):
+    """Per-doc PERCENTILE-RANK normalization of n_chars — the
+    score-calibration shape (map a raw signal to its corpus
+    percentile before thresholding). Integer-exact min-rank
+    semantics: pct = (rank-1)·10^6 // (N-1), rank = #values < v + 1 —
+    no doubles anywhere, so the SQL window twin matches bit-for-bit.
+
+    Two phases: a value-HISTOGRAM combiner (distinct (v, count) rows
+    shuffle — bounded by the value DOMAIN, never the corpus, as
+    q_value_quantiles) reduces to a cumulative-below table on the
+    driver; the tiny table broadcasts and phase 2 is a map-side
+    searchsorted lookup."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist(df):
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # value-domain-sized: tiny
+        .sort_values("v")
+    )
+    vals = h["v"].to_numpy(np.int64)
+    counts = h["c"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    cum_below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ref = ray.put((vals, cum_below, n_total))
+
+    def rank_map(df):
+        v_arr, cb, n = sim.resolve_broadcast(ref, key="pct-rank-hist")
+        x = df["n_chars"].to_numpy(np.int64)
+        idx = np.searchsorted(v_arr, x)
+        pct = cb[idx] * 1_000_000 // max(1, n - 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": x,
+            "pct_micro": pct.astype(np.int64),
+        })
+
+    return ds.map_batches(rank_map, batch_format="pandas")
+
+
+def q_user_customer_outer(sf_dir: str):
+    """FULL OUTER enrichment join against a PARTIAL dimension table
+    (the real-world case of a reference table missing keys): per-user
+    event rollup ⟗ customer accounts restricted to even custkeys (the
+    deterministic stand-in for an incomplete dimension). Left side is
+    pre-aggregated to one row per user BEFORE the join (the exchange
+    carries rollups, not events); the native full_outer hash join
+    keeps unmatched rows from both sides; nulls are resolved to typed
+    sentinels map-side (COALESCE mirrored in the oracle)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    n_users_hint = ev.count()
+    nb = dd.derive_buckets(n_users_hint)
+
+    def partial(df):
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": np.ones(len(df), np.int64),
+            "sum_value_micro": _micro_int_col(df["value"]),
+        }).groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micro=("sum_value_micro", "sum"))
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def reduce_user(g):
+        s = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_micro=("sum_value_micro", "sum"))
+        return s.astype({"user_id": "int64", "n_events": "int64",
+                         "sum_value_micro": "int64"})
+
+    left = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_user, batch_format="pandas")
+        .repartition(1)  # user-rollup is small; nonempty blocks
+    )
+
+    def dim(df):
+        df = df[df["c_custkey"].to_numpy(np.int64) % 2 == 0]
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_name": df["c_name"],
+            "acctbal_c": _cents_col(df["c_acctbal"]),
+        })
+
+    right = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(dim, batch_format="pandas")
+        .repartition(1)
+    )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(4, cpus // 4)
+    joined = left.join(
+        right, "full_outer", n_part,
+        on=("user_id",), right_on=("c_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def project(df):
+        # Ray's full_outer COALESCES the key pair into the LEFT key
+        # column (user_id), so presence flags come from each side's
+        # non-key columns (n_events / acctbal_c are NOT NULL on their
+        # own side by construction)
+        has_ev = df["n_events"].notna().to_numpy()
+        has_acct = df["acctbal_c"].notna().to_numpy()
+        return pd.DataFrame({
+            "id": df["user_id"].to_numpy(np.int64),
+            "has_events": has_ev,
+            "n_events": df["n_events"].fillna(0).to_numpy(np.int64),
+            "sum_value_micro": df["sum_value_micro"].fillna(0)
+                                 .to_numpy(np.int64),
+            "has_account": has_acct,
+            "c_name": df["c_name"].fillna("").to_numpy(dtype=object),
+            "acctbal_c": df["acctbal_c"].fillna(0).to_numpy(np.int64),
+        })
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def q_top_customers(sf_dir: str):
     """Broadcast join (small dim side via ray.put) + grouped rollup +
     deterministic top-k."""
@@ -2236,6 +2367,8 @@ def queries() -> dict:
         "event_transitions": q_event_transitions,
         "user_running_total": q_user_running_total,
         "retained_users": q_retained_users,
+        "percentile_rank": q_percentile_rank,
+        "user_customer_outer": q_user_customer_outer,
         "length_outliers": q_length_outliers,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2775,6 +2908,39 @@ ORACLES: dict[str, str] = {
           FROM events, b GROUP BY user_id)
         SELECT user_id, n_first, n_second
         FROM f WHERE n_first > 0 AND n_second > 0
+    """,
+    # integer-exact min-rank percentile: (rank-1)*1e6 // (N-1); rank()
+    # gives min-rank on ties, matching the histogram cum-below + 1
+    "percentile_rank": """
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 rank() OVER (ORDER BY n_chars) AS rk,
+                 count(*) OVER () AS n
+          FROM documents)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST((rk - 1) * 1000000 // greatest(1, n - 1) AS BIGINT)
+                   AS pct_micro
+        FROM r
+    """,
+    "user_customer_outer": """
+        WITH u AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_value_micro
+          FROM events GROUP BY user_id),
+        c AS (
+          SELECT c_custkey, c_name,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+          FROM customer WHERE c_custkey % 2 = 0)
+        SELECT CAST(coalesce(u.user_id, c.c_custkey) AS BIGINT) AS id,
+               u.user_id IS NOT NULL AS has_events,
+               CAST(coalesce(u.n_events, 0) AS BIGINT) AS n_events,
+               CAST(coalesce(u.sum_value_micro, 0) AS BIGINT)
+                   AS sum_value_micro,
+               c.c_custkey IS NOT NULL AS has_account,
+               coalesce(c.c_name, '') AS c_name,
+               CAST(coalesce(c.acctbal_c, 0) AS BIGINT) AS acctbal_c
+        FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey
     """,
     # rarity = (N·10^6) // df — the exact-rational idf stand-in; the
     # df*2<=N HAVING mirrors the stage's hot-term exclusion; top-k from

@@ -46,6 +46,8 @@ SQL_QUERIES = [
     "sample_exact_k",
     "user_running_total",
     "retained_users",
+    "percentile_rank",
+    "user_customer_outer",
     "user_first_last",
     "event_transitions",
     "length_outliers",
