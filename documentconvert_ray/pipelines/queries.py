@@ -133,6 +133,51 @@ def q_extract_error_stats(sf_dir: str):
     )
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-DOMAIN curation rollup over the web corpus (the
+    crawl-hygiene view every CC-scale pipeline needs before sampling:
+    which hosts dominate, what payload mix they serve, how many
+    bytes). Map-side per-batch combiner — url parse (reference S5
+    family, sources/urls.py semantics), payload-kind split, byte
+    totals — then a tiny per-domain groupby (domains ≪ docs). Payload
+    bytes are length-counted in place and never shuffle."""
+    import pandas as pd
+    import re as _re
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+    dom_re = _re.compile(r"https://([^/]+)/")
+    kind_re = _re.compile(r"/(html|pdf|office|junk)/")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = b.column("url").to_pylist()
+        doms = [m.group(1) if (m := dom_re.search(u)) else "" for u in urls]
+        kinds = [m.group(1) if (m := kind_re.search(u)) else "" for u in urls]
+        nb = pc.binary_length(b.column("html")).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"domain": doms, "kind": kinds, "n_bytes": nb})
+        out = df.groupby("domain", as_index=False).agg(
+            n_docs=("kind", "size"),
+            n_html=("kind", lambda s: int((s == "html").sum())),
+            n_pdf=("kind", lambda s: int((s == "pdf").sum())),
+            n_office=("kind", lambda s: int((s == "office").sum())),
+            sum_bytes=("n_bytes", "sum"))
+        for c in ("n_docs", "n_html", "n_pdf", "n_office", "sum_bytes"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_html", alias_name="n_html"),
+                   Sum("n_pdf", alias_name="n_pdf"),
+                   Sum("n_office", alias_name="n_office"),
+                   Sum("sum_bytes", alias_name="sum_bytes"))
+    )
+
+
 # ------------------------------------------------------- documents queries
 
 
@@ -2329,6 +2374,7 @@ def queries() -> dict:
     return {
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
+        "domain_stats": q_domain_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -3222,4 +3268,22 @@ def oracle_sql() -> dict[str, str]:
         cte + """SELECT doc_type, ok, error_kind, count(*) AS n_docs
                  FROM derived GROUP BY 1, 2, 3"""
     )
+    glob = os.path.join(_corpus_dir(), "*.parquet")
+    out["domain_stats"] = f"""
+        WITH src AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                 regexp_extract(url, '/(html|pdf|office|junk)/', 1) AS kind,
+                 octet_length(html) AS nb
+          FROM read_parquet('{glob}'))
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE kind = 'html') AS BIGINT)
+                   AS n_html,
+               CAST(count(*) FILTER (WHERE kind = 'pdf') AS BIGINT)
+                   AS n_pdf,
+               CAST(count(*) FILTER (WHERE kind = 'office') AS BIGINT)
+                   AS n_office,
+               CAST(sum(nb) AS BIGINT) AS sum_bytes
+        FROM src GROUP BY domain
+    """
     return out

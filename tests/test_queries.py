@@ -16,6 +16,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 SQL_QUERIES = [
     "extract_pipeline",
     "extract_error_stats",
+    "domain_stats",
     "doc_stats_by_lang",
     "token_counts",
     "quality_scores",
