@@ -50,8 +50,11 @@ _ODF_P_RE = re.compile(
 _ODF_OUTLINE_RE = re.compile(r'text:outline-level="(\d)"')
 _ODF_ROW_RE = re.compile(
     r"<table:table-row(?: [^>]*)?>.*?</table:table-row>", re.S)
+# covered cells (under a merged span) must keep their column POSITION
+# as an empty value, so the cell pattern matches both element names
 _ODF_CELL_RE = re.compile(
-    r"<table:table-cell(?: ([^>/]*))?(?:/>|>(.*?)</table:table-cell>)", re.S)
+    r"<table:(covered-)?table-cell(?: ([^>/]*))?"
+    r"(?:/>|>(.*?)</table:(?:covered-)?table-cell>)", re.S)
 _ODF_REPEAT_RE = re.compile(r'table:number-columns-repeated="(\d+)"')
 _ODF_PAGE_RE = re.compile(r"<draw:page(?: [^>]*)?>.*?</draw:page>", re.S)
 _ODF_WS_EL_RE = re.compile(r"<text:(?:s|tab|line-break)\s*/>")
@@ -275,9 +278,10 @@ def _odf_table_block(table_xml: str, blocks: list) -> None:
     for rxml in _ODF_ROW_RE.findall(table_xml):
         cells: list[str] = []
         for cm in _ODF_CELL_RE.finditer(rxml):
-            attrs = cm.group(1) or ""
-            body = cm.group(2) or ""
-            val = _odf_text(body)
+            covered = cm.group(1)
+            attrs = cm.group(2) or ""
+            body = cm.group(3) or ""
+            val = "" if covered else _odf_text(body)
             rm = _ODF_REPEAT_RE.search(attrs)
             cells.extend([val] * (int(rm.group(1)) if rm else 1))
         if cells:
@@ -297,6 +301,10 @@ def _extract_odf(xml: str) -> ExtractResult:
     - ``<office:presentation>`` (.odp): per-slide heading + one para
       per text:p, pages in document order (mirrors the pptx leg).
     """
+    # attribute-less tables would be invisible to the "<table:table "
+    # span search (the trailing space exists to exclude table-row /
+    # table-cell); normalize them once
+    xml = xml.replace("<table:table>", "<table:table >")
     blocks: list[Block] = []
     if "<office:presentation" in xml:
         for num, page in enumerate(_ODF_PAGE_RE.findall(xml), start=1):

@@ -49,7 +49,10 @@ _CHAR_WORDS = {
     "emspace": " ", "enspace": " ", "qmspace": " ",
 }
 
-_CW_RE = re.compile(rb"[a-z]{1,32}")
+# consume the FULL alphabetic run (case-insensitive) so a mixed-case
+# extension word (\moMath …) is ignored whole instead of leaking its
+# uppercase tail into the text; all words we INTERPRET are lowercase
+_CW_RE = re.compile(rb"[a-zA-Z]{1,32}")
 _NUM_RE = re.compile(rb"-?\d{1,10}")
 _WS_RE = re.compile(r"[ \t]+")
 
@@ -87,18 +90,38 @@ def _scan(raw: bytes) -> list:
     out: list[str] = []  # text fragments of the CURRENT paragraph
     paras: list[str] = []
     codepage = "cp1252"
-    # (skipping, uc) per open group; current state at top
-    stack: list = [[False, 1]]
-    # pending \uN alternate-representation skip (consumes this many
-    # "characters": plain bytes or \'hh escapes)
-    pend_skip = 0
+    # (skipping, uc, pend) per open group; current state at top. pend
+    # is the \uN alternate-representation skip count — PER GROUP, so a
+    # '}' discards an unconsumed fallback skip (the fallback lives in
+    # the \uN's own group per spec) instead of swallowing later text.
+    stack: list = [[False, 1, 0]]
     i = 0
     n = len(raw)
+
+    def emit_u(num: int) -> None:
+        # \u params are 16-bit signed; non-BMP chars arrive as TWO \u
+        # words forming a surrogate pair — combine them, since a lone
+        # surrogate cannot be utf-8-encoded and would detonate far
+        # from here (batch sha256 / arrow conversion)
+        code = (num + 65536 if num < 0 else num) & 0xFFFF
+        if (0xDC00 <= code <= 0xDFFF and out and out[-1]
+                and 0xD800 <= ord(out[-1][-1]) <= 0xDBFF):
+            hi = ord(out[-1][-1])
+            out[-1] = out[-1][:-1]
+            out.append(chr(0x10000 + ((hi - 0xD800) << 10)
+                           + (code - 0xDC00)))
+        else:
+            out.append(chr(code))
 
     def flush_para() -> None:
         text = _WS_RE.sub(" ", "".join(out)).strip()
         out.clear()
         if text:
+            # a surrogate half whose partner never arrived must not
+            # reach text_md (unencodable)
+            text = "".join(
+                "�" if 0xD800 <= ord(ch) <= 0xDFFF else ch
+                for ch in text)
             paras.append(text)
 
     while i < n:
@@ -120,8 +143,8 @@ def _scan(raw: bytes) -> list:
             if c2 == 0x27:  # \'hh hex escape
                 hh = raw[i + 1:i + 3]
                 i += 3
-                if pend_skip > 0:
-                    pend_skip -= 1
+                if stack[-1][2] > 0:
+                    stack[-1][2] -= 1
                     continue
                 if not stack[-1][0] and len(hh) == 2:
                     try:
@@ -142,7 +165,7 @@ def _scan(raw: bytes) -> list:
                     # implement none of them, so skip the group
                     stack[-1][0] = True
                     continue
-                if not stack[-1][0] and pend_skip == 0:
+                if not stack[-1][0] and stack[-1][2] == 0:
                     if sym == "~":
                         out.append(" ")
                     elif sym in "\\{}":
@@ -164,9 +187,8 @@ def _scan(raw: bytes) -> list:
                 continue
             if word == "u" and num is not None:
                 if not stack[-1][0]:
-                    out.append(chr((num + 65536 if num < 0 else num)
-                                   & 0x10FFFF))
-                pend_skip = stack[-1][1]
+                    emit_u(num)
+                stack[-1][2] = stack[-1][1]
                 continue
             if word == "uc" and num is not None:
                 stack[-1][1] = max(0, num)
@@ -194,8 +216,8 @@ def _scan(raw: bytes) -> list:
         i += 1
         if c in (0x0D, 0x0A, 0x00):
             continue  # source line breaks are not text
-        if pend_skip > 0:
-            pend_skip -= 1
+        if stack[-1][2] > 0:
+            stack[-1][2] -= 1
             continue
         if not stack[-1][0]:
             out.append(_decode_byte(c, codepage))

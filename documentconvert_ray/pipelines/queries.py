@@ -156,16 +156,26 @@ def q_domain_stats(sf_dir: str):
         doms = [m.group(1) if (m := dom_re.search(u)) else "" for u in urls]
         kinds = [m.group(1) if (m := kind_re.search(u)) else "" for u in urls]
         nb = pc.binary_length(b.column("html")).to_numpy().astype(np.int64)
-        df = pd.DataFrame({"domain": doms, "kind": kinds, "n_bytes": nb})
+        k = pd.Series(kinds)
+        df = pd.DataFrame({
+            "domain": doms,
+            "is_html": (k == "html").to_numpy(np.int64),
+            "is_pdf": (k == "pdf").to_numpy(np.int64),
+            "is_office": (k == "office").to_numpy(np.int64),
+            "n_bytes": nb,
+        })
         out = df.groupby("domain", as_index=False).agg(
-            n_docs=("kind", "size"),
-            n_html=("kind", lambda s: int((s == "html").sum())),
-            n_pdf=("kind", lambda s: int((s == "pdf").sum())),
-            n_office=("kind", lambda s: int((s == "office").sum())),
+            n_docs=("n_bytes", "size"), n_html=("is_html", "sum"),
+            n_pdf=("is_pdf", "sum"), n_office=("is_office", "sum"),
             sum_bytes=("n_bytes", "sum"))
-        for c in ("n_docs", "n_html", "n_pdf", "n_office", "sum_bytes"):
-            out[c] = out[c].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # from_pydict, NOT from_pandas: the pandas metadata blob makes
+        # pa.Schema unhashable and defeats Ray's block-schema dedup
+        return pa.Table.from_pydict({
+            "domain": pa.array(out["domain"].tolist(), pa.string()),
+            **{c: pa.array(out[c].to_numpy(np.int64), pa.int64())
+               for c in ("n_docs", "n_html", "n_pdf", "n_office",
+                         "sum_bytes")},
+        })
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1482,21 +1492,24 @@ def q_big_orders(sf_dir: str):
         li.map_batches(partial, batch_format="pandas")
         .groupby("bucket")
         .map_groups(reduce_having, batch_format="pandas")
+        .materialize()  # tiny by the HAVING bound; also lets the
+        #                 fallback reuse it without re-scanning lineitem
     )
 
     # Q18's HAVING makes survivors RARE by construction (sum qty ≥ 300
     # ≈ top fraction of a percent of orders), so the textbook plan is
     # to broadcast them and keep both "joins" map-side; the native
-    # hash-join fallback guards the data-dependent assumption.
-    surv = survivors.to_pandas()
-    if len(surv) > 100_000:
+    # hash-join fallback guards the data-dependent assumption. The
+    # count decides BEFORE any driver transfer.
+    n_surv = survivors.count()
+    if n_surv > 100_000:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_part = max(8, min(dd.derive_buckets(n_orders), cpus // 2))
         orders = _read(
             sf_dir, "orders",
             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
         with_orders = orders.join(
-            survivors.repartition(max(1, len(surv) // 100_000)),
+            survivors.repartition(max(1, n_surv // 100_000)),
             "inner", n_part,
             on=("o_orderkey",), right_on=("l_orderkey",),
             aggregator_ray_remote_args=_join_remote_args(n_part),
@@ -1524,6 +1537,7 @@ def q_big_orders(sf_dir: str):
             .limit(100)
         )
 
+    surv = survivors.to_pandas()  # ≤ the 100k bound checked above
     qty_by_okey = dict(zip(surv["l_orderkey"].to_numpy(np.int64),
                            surv["sum_qty_micro"].to_numpy(np.int64)))
     qty_ref = ray.put(qty_by_okey)
@@ -1645,9 +1659,10 @@ def q_dup_gram_mass(sf_dir: str):
          scale this relation is far too large to broadcast — it stays
          distributed and becomes the hash-join build side.
       2. probe rows: per (doc, distinct gram) occurrence counts, plus
-         ONE sentinel row per doc (g='', n_occ = total positions) so
-         a single text pass emits both numerator candidates and the
-         denominator.
+         ONE sentinel row per doc (g='\\x00<doc_id>', n_occ = total
+         positions — per-doc keys so the denominators SPREAD instead
+         of hot-keying one partition) so a single text pass emits
+         both numerator candidates and the denominator.
       3. left-outer native hash join marks duplicated grams; a
          per-batch combiner collapses to one (doc, n_pos, n_dup)
          partial per partition before the per-doc sum.
@@ -1694,7 +1709,7 @@ def q_dup_gram_mass(sf_dir: str):
 
     def partial(df):
         occ = df["n_occ"].to_numpy(np.int64)
-        is_tot = (df["g"] == "").to_numpy()
+        is_tot = df["g"].str.startswith(tx.DUPG_SENTINEL).to_numpy()
         is_dup = df["dup"].fillna(0).to_numpy(np.int64) == 1
         out = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),

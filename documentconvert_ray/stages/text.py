@@ -204,12 +204,20 @@ def dupgram_partial_df(batch: pa.Table) -> pa.Table:
     )
 
 
+# sentinel-row prefix: '\x00' cannot appear in a real word-gram (the
+# grams are whitespace-split tokens), and making the sentinel key
+# PER-DOC ('\x00<doc_id>') spreads the denominator rows uniformly
+# across join partitions — a single shared sentinel key would be a
+# guaranteed hot key growing linearly with the corpus
+DUPG_SENTINEL = "\x00"
+
+
 def dupgram_doc_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, g, n_occ) per distinct (doc, gram) + the doc totals
-    carried as sentinel rows (g='' with n_occ = total positions), so
-    ONE pass emits both the join probe and the denominator — the
-    union-free way to keep the exchange at 1 + distinct-gram rows per
-    doc."""
+    carried as sentinel rows (g='\\x00<doc_id>' with n_occ = total
+    positions), so ONE pass emits both the join probe and the
+    denominator — the union-free way to keep the exchange at
+    1 + distinct-gram rows per doc."""
     ids: list[int] = []
     gs: list[str] = []
     occ: list[int] = []
@@ -217,7 +225,7 @@ def dupgram_doc_rows(batch: pa.Table) -> pa.Table:
                     batch.column("text").to_pylist()):
         c, n_pos = _doc_grams(t)
         ids.append(i)
-        gs.append("")  # sentinel: per-doc total positions
+        gs.append(DUPG_SENTINEL + str(i))  # per-doc total positions
         occ.append(n_pos)
         for g in sorted(c):
             ids.append(i)

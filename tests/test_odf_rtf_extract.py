@@ -183,3 +183,67 @@ def test_rtf_non_rtf_rejected():
     res = extract_rtf(b"not rtf at all")
     assert not res.ok
     assert res.error_kind == "office_unsupported"
+
+
+# -------------------------------------------- review-finding regressions
+
+
+def test_rtf_surrogate_pairs_combine():
+    # non-BMP chars arrive as TWO \uN words (16-bit signed surrogate
+    # halves); they must combine and the result must be sha256-able
+    import hashlib
+
+    res = extract_rtf(b"{\\rtf1\\uc1 hello \\u-10179?\\u-9089? world\\par}")
+    assert res.ok
+    assert res.text_md == "hello \U0001F47F world"
+    hashlib.sha256(res.text_md.encode("utf-8"))  # must not raise
+
+
+def test_rtf_lone_surrogate_replaced():
+    res = extract_rtf(b"{\\rtf1\\uc1 a\\u-10179?b}")
+    assert res.ok
+    assert "\ud800" not in res.text_md and "�" in res.text_md
+    res.text_md.encode("utf-8")  # must not raise
+
+
+def test_rtf_mixed_case_word_ignored_whole():
+    res = extract_rtf(b"{\\rtf1 a\\Xyz b}")
+    assert res.text_md == "ab"  # 'yz' must NOT leak into the text
+
+
+def test_rtf_pend_skip_dies_with_group():
+    # the \uN fallback lives in the \uN's group: a '}' discards the
+    # unconsumed skip instead of swallowing following text
+    res = extract_rtf(b"{\\rtf1\\uc1 {\\u956}X}")
+    assert res.text_md == "μX"
+
+
+def test_odf_attributeless_table_extracts():
+    from documentconvert_ray.sources.corpus import _odf_zip
+
+    body = ("<office:spreadsheet><table:table>"
+            "<table:table-row>"
+            "<table:table-cell><text:p>v1</text:p></table:table-cell>"
+            "<table:table-cell><text:p>v2</text:p></table:table-cell>"
+            "</table:table-row></table:table></office:spreadsheet>")
+    res = extract_docx(_odf_zip("ods", body))
+    assert res.ok
+    assert "v1" in res.text_md and "v2" in res.text_md
+
+
+def test_odf_covered_cells_keep_position():
+    from documentconvert_ray.sources.corpus import _odf_zip
+
+    body = ('<office:spreadsheet><table:table table:name="S">'
+            "<table:table-row>"
+            "<table:table-cell><text:p>h1</text:p></table:table-cell>"
+            "<table:table-cell><text:p>h2</text:p></table:table-cell>"
+            "<table:table-cell><text:p>h3</text:p></table:table-cell>"
+            "</table:table-row><table:table-row>"
+            '<table:table-cell table:number-columns-spanned="2">'
+            "<text:p>merged</text:p></table:table-cell>"
+            "<table:covered-table-cell/>"
+            "<table:table-cell><text:p>c3</text:p></table:table-cell>"
+            "</table:table-row></table:table></office:spreadsheet>")
+    res = extract_docx(_odf_zip("ods", body))
+    assert "| merged |  | c3 |" in res.text_md  # c3 stays under h3
