@@ -12,8 +12,10 @@ MinerU's pipeline (`pipeline_doc_analyze` → `pipeline_result_to_middle_json`
 - heading detection by font size;
 - Markdown rendering with per-page span offsets.
 
-Supported profile: PDFs with uncompressed, FlateDecode, LZWDecode or
-ASCIIHexDecode content streams (incl. /ObjStm object streams and
+Supported profile: PDFs with uncompressed, FlateDecode, LZWDecode,
+ASCIIHexDecode, ASCII85Decode or RunLengthDecode content streams —
+chained filter lists included; that is the complete standard
+non-image-codec filter set (incl. /ObjStm object streams and
 xref-stream documents), standard fonts plus Type0/CID fonts carrying a
 /ToUnicode CMap, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
 ruled tables via ``re``/``m``/``l`` path ops, figures via ``cm`` + ``Do``.
@@ -374,6 +376,10 @@ class _PdfDoc:
                     raise PdfError(
                         "pdf_parse_error", f"bad ASCIIHex data: {e}"
                     ) from e
+            elif f == "ASCII85Decode":
+                data = ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = runlength_decode(data)
             elif f is None:
                 pass
             else:
@@ -1059,6 +1065,76 @@ def _apply_predictor(data: bytes, parm, doc=None) -> bytes:
 # EOD=257, EarlyChange=1 (code length bumps one code early). The
 # matching encoder lives in sources/corpus.py's generator; the
 # round-trip and fixture tests pin both ends.
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """PDF ASCII85Decode (spec 7.4.3): base-85 groups, ``z`` shorthand
+    for four zero bytes, ``~>`` EOD, whitespace ignored; a trailing
+    partial group of n chars yields n−1 bytes. PDF data may carry a
+    ``<~`` opener (Adobe convention) — stripped if present."""
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    try:
+        for c in body:
+            if c in b" \t\r\n\f\x00":
+                continue
+            if c == 0x7A:  # 'z'
+                if group:
+                    raise PdfError("pdf_parse_error",
+                                   "ASCII85: z inside group")
+                out += b"\x00\x00\x00\x00"
+                continue
+            if not 0x21 <= c <= 0x75:
+                raise PdfError("pdf_parse_error",
+                               f"ASCII85: bad byte {c}")
+            group.append(c - 0x21)
+            if len(group) == 5:
+                v = 0
+                for d in group:
+                    v = v * 85 + d
+                out += v.to_bytes(4, "big")
+                group = []
+        if group:
+            if len(group) == 1:
+                raise PdfError("pdf_parse_error",
+                               "ASCII85: lone trailing char")
+            n = len(group)
+            v = 0
+            for d in group + [84] * (5 - n):
+                v = v * 85 + d
+            out += v.to_bytes(4, "big")[: n - 1]
+    except OverflowError as e:  # group value > 2^32
+        raise PdfError("pdf_parse_error", f"ASCII85: {e}") from e
+    return bytes(out)
+
+
+def runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (spec 7.4.5): length byte L — L ≤ 127 →
+    copy L+1 literal bytes; L ≥ 129 → repeat next byte 257−L times;
+    L == 128 → EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ell = data[i]
+        i += 1
+        if ell == 128:
+            break
+        if ell <= 127:
+            chunk = data[i:i + ell + 1]
+            if len(chunk) != ell + 1:
+                raise PdfError("truncated_pdf", "RunLength: cut literal run")
+            out += chunk
+            i += ell + 1
+        else:
+            if i >= n:
+                raise PdfError("truncated_pdf", "RunLength: cut repeat run")
+            out += bytes([data[i]]) * (257 - ell)
+            i += 1
+    return bytes(out)
 
 
 def lzw_decode(data: bytes) -> bytes:

@@ -33,8 +33,10 @@ from ..stages.extract import OUTPUT_SCHEMA, PdfExtractor, SniffAndExtractHtml
 from ..state import manifest as mf
 
 
-def expand_input_files(input_path: str | list[str]) -> list[str]:
-    """Deterministic sorted list of parquet files for a path/dir/glob.
+def expand_input_files(input_path: str | list[str],
+                       suffix: str = ".parquet") -> list[str]:
+    """Deterministic sorted list of input files for a path/dir/glob
+    (``suffix=None`` lists EVERY file — the raw-document input mode).
 
     URI inputs (s3://, file:// — any pyarrow.fs scheme) are listed
     through the fs layer (reference S1-S3 semantics,
@@ -43,7 +45,7 @@ def expand_input_files(input_path: str | list[str]) -> list[str]:
     if isinstance(input_path, list):
         files: list[str] = []
         for p in input_path:
-            files.extend(expand_input_files(p))
+            files.extend(expand_input_files(p, suffix=suffix))
         return sorted(set(files))
     if mf.is_uri(input_path):
         import pyarrow.fs as pafs
@@ -59,14 +61,69 @@ def expand_input_files(input_path: str | list[str]) -> list[str]:
             return []
         return sorted(
             f"{scheme}://{i.path}" for i in infos
-            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+            if i.type == pafs.FileType.File
+            and (suffix is None or i.path.endswith(suffix))
         )
     if os.path.isdir(input_path):
-        files = glob.glob(os.path.join(input_path, "**", "*.parquet"),
-                          recursive=True)
+        pat = "*" if suffix is None else f"*{suffix}"
+        files = [f for f in glob.glob(os.path.join(input_path, "**", pat),
+                                      recursive=True) if os.path.isfile(f)]
     else:
         files = glob.glob(input_path) or [input_path]
     return sorted(files)
+
+
+def stage_raw_files(input_path: str | list[str], out_dir: str,
+                    files_per_shard: int = 512) -> list[str]:
+    """The reference's ACTUAL input mode — a directory/bucket of raw
+    document files (.pdf/.docx/.doc/.html/…; reference S1/S11/S13,
+    s3_download_service.py:102-209 + batch directory loops M6/M7) —
+    staged into corpus-schema parquet shards that the shard-resumable
+    main job consumes unchanged.
+
+    One streaming Ray Data pass: ``read_binary_files`` (one read task
+    per ``files_per_shard`` documents via ``override_num_blocks`` — no
+    shuffle, payload bytes go straight from reader task to its output
+    shard) → corpus rows (url = file URI; content-type comes from the
+    SNIFFER downstream, never the extension — M1/M9 semantics) →
+    ``write_parquet``. Returns the staged parquet paths."""
+    import datetime as _dt
+
+    paths = expand_input_files(input_path, suffix=None)
+    if not paths:
+        return []
+    filesystem = None
+    read_paths = paths
+    if mf.is_uri(paths[0]):
+        filesystem, _ = mf.fs_for(paths[0])
+        read_paths = [mf.fs_for(p)[1] for p in paths]
+    ds = ray.data.read_binary_files(
+        read_paths,
+        filesystem=filesystem,
+        include_paths=True,
+        override_num_blocks=max(1, len(read_paths) // files_per_shard),
+    )
+    # staged rows are a pure function of file path+bytes (fixed
+    # timestamp): re-staging the same tree is byte-deterministic, so
+    # the downstream config-fingerprint resume contract holds
+    epoch = _dt.datetime(2024, 1, 1)
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        fps = b.column("path").to_pylist()
+        n = len(fps)
+        return pa.Table.from_pydict({
+            "url": pa.array(
+                [p if mf.is_uri(p) else "file://" + p for p in fps],
+                pa.string()),
+            "warc_ts": pa.array([epoch] * n, pa.timestamp("us")),
+            "html": b.column("bytes"),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
+        })
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(to_rows, batch_format="pyarrow").write_parquet(out_dir)
+    return expand_input_files(out_dir)
 
 
 def build_extract_ds(

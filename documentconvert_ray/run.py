@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-urls-to", metavar="DIR", default=None,
                     help="run the url-dedup prep pass writing a deduped "
                          "corpus copy to DIR, then extract from DIR")
+    # raw-document input (the reference's actual mode: a directory/
+    # bucket of .pdf/.docx/.html files): stage into corpus-schema
+    # parquet shards at --input first, then run the normal job
+    ap.add_argument("--stage-raw-from", metavar="SRC", default=None,
+                    help="stage raw document files from SRC into corpus "
+                         "parquet shards at --input, then extract")
     args = ap.parse_args(argv)
 
     import ray
@@ -58,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
             os.path.isdir(args.input) and os.listdir(args.input)
         ):
             write_corpus(args.input, args.corpus_rows)
+
+        if args.stage_raw_from:
+            from .pipelines.extract import stage_raw_files
+
+            if not (os.path.isdir(args.input) and os.listdir(args.input)):
+                stage_raw_files(args.stage_raw_from, args.input)
 
         input_path = args.input
         if args.dedup_urls_to:

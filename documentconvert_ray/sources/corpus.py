@@ -313,6 +313,56 @@ def _tiff_predict_encode(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _a85_encode(data: bytes) -> bytes:
+    """PDF ASCII85Decode-compatible encoder (no 'z' shorthand; partial
+    final group of n bytes → n+1 chars). Round-trip pinned against
+    functions.pdf_extract.ascii85_decode."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        enc = bytes(33 + d for d in reversed(digits))
+        out += enc if n == 4 else enc[: n + 1]
+    out += b"~>"
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode-compatible encoder: repeat runs ≥ 3 become
+    (257-len, byte); literals chunked ≤ 128; EOD 0x80."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    def flush_lit(end: int) -> None:
+        j = lit_start
+        while j < end:
+            chunk = data[j:min(j + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += 128
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_lit(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_lit(n)
+    out.append(128)
+    return bytes(out)
+
+
 def _tounicode_cmap() -> bytes:
     """Minimal real-shape ToUnicode CMap: identity bfrange over
     printable ASCII plus redundant bfchar entries (both sections get
@@ -461,6 +511,17 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             data = zlib.compress(_tiff_predict_encode(s, 64))
             extra = (b" /Filter /FlateDecode /DecodeParms << /Predictor 2"
                      b" /Colors 1 /BitsPerComponent 8 /Columns 64 >>")
+        elif filt < 0.48:
+            data = _a85_encode(s)
+            extra = b" /Filter /ASCII85Decode"
+        elif filt < 0.52:
+            data = _rle_encode(s)
+            extra = b" /Filter /RunLengthDecode"
+        elif filt < 0.56:
+            # filter CHAIN: RunLength under ASCII85 (decode order is
+            # list order: 85 first, then RLE)
+            data = _a85_encode(_rle_encode(s))
+            extra = b" /Filter [/ASCII85Decode /RunLengthDecode]"
         elif compress:
             data = zlib.compress(s)
             extra = b" /Filter /FlateDecode"

@@ -284,6 +284,75 @@ def test_lzw_roundtrip_and_filter():
     assert res.ok and "lzw encoded text" in res.text_md
 
 
+def test_ascii85_roundtrip_and_filter():
+    import random
+
+    from documentconvert_ray.functions.pdf_extract import ascii85_decode
+    from documentconvert_ray.sources.corpus import _a85_encode
+
+    rng = random.Random(9)
+    for n in (0, 1, 2, 3, 4, 5, 100, 5000):
+        data = bytes(rng.getrandbits(8) for _ in range(n))
+        assert ascii85_decode(_a85_encode(data)) == data
+    # 'z' shorthand + <~ opener + embedded whitespace
+    assert ascii85_decode(b"<~z~>") == b"\x00\x00\x00\x00"
+    assert ascii85_decode(b"87cUR\nDZ") == ascii85_decode(b"87cURDZ")
+
+    content = b"BT /F1 10 Tf 72 700 Td (a85 encoded text) Tj ET"
+    data = _a85_encode(content)
+    pdf = build_pdf("")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter /ASCII85Decode >>\nstream\n" + data + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "a85 encoded text" in res.text_md
+
+
+def test_runlength_roundtrip_filter_and_chain():
+    import random
+
+    from documentconvert_ray.functions.pdf_extract import (
+        ascii85_decode,
+        runlength_decode,
+    )
+    from documentconvert_ray.sources.corpus import _a85_encode, _rle_encode
+
+    rng = random.Random(11)
+    for _t in range(100):
+        # adversarial run mix: the literal-flush-before-a-run boundary
+        # was a real encoder bug (slice past `end`)
+        data = b"".join(
+            bytes([rng.getrandbits(8)]) * rng.randint(1, 9)
+            for _ in range(rng.randint(0, 120)))
+        assert runlength_decode(_rle_encode(data)) == data
+    assert runlength_decode(_rle_encode(b"x" * 1000)) == b"x" * 1000
+
+    content = b"BT /F1 10 Tf 72 700 Td (rle encoded    text) Tj ET"
+    data = _rle_encode(content)
+    pdf = build_pdf("")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter /RunLengthDecode >>\nstream\n" + data + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "rle encoded    text" in res.text_md
+
+    # filter CHAIN in list order: ASCII85 outermost, then RunLength
+    chain = _a85_encode(_rle_encode(content))
+    pdf = build_pdf("")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(chain)).encode()
+        + b" /Filter [/ASCII85Decode /RunLengthDecode] >>\nstream\n"
+        + chain + b"\nendstream",
+    )
+    res = extract_pdf(pdf)
+    assert res.ok and "rle encoded    text" in res.text_md
+
+
 def _build_cid_pdf(cmap: bytes, hex_codes: str) -> bytes:
     content = f"BT /F1 10 Tf 72 700 Td <{hex_codes}> Tj ET".encode()
     bodies = {
