@@ -1927,11 +1927,15 @@ def q_user_customer_outer(sf_dir: str):
         return s.astype({"user_id": "int64", "n_events": "int64",
                          "sum_value_micro": "int64"})
 
+    # repartition to guaranteed-NONEMPTY blocks for the join (empty
+    # input blocks crash the hash-shuffle join); block count is
+    # size-derived — user cardinality scales with the data, so a
+    # fixed repartition(1) would bottleneck at scale
     left = (
         ev.map_batches(partial, batch_format="pandas")
         .groupby("bucket")
         .map_groups(reduce_user, batch_format="pandas")
-        .repartition(1)  # user-rollup is small; nonempty blocks
+        .repartition(max(1, min(64, n_users_hint // 500_000)))
     )
 
     def dim(df):
@@ -1942,10 +1946,11 @@ def q_user_customer_outer(sf_dir: str):
             "acctbal_c": _cents_col(df["c_acctbal"]),
         })
 
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    n_cust = cust_ds.count()
     right = (
-        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(dim, batch_format="pandas")
-        .repartition(1)
+        cust_ds.map_batches(dim, batch_format="pandas")
+        .repartition(max(1, min(64, n_cust // 200_000)))
     )
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
