@@ -184,8 +184,12 @@ _SIMHASH_CACHE: dict[str, int] = {}
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over lowercased tokens (unit weights).
-    Bit-vote accumulation is vectorized; per-token blake2b hashes are
-    memoized per worker."""
+    Bit-vote accumulation is vectorized; per-token hashes are memoized
+    per worker. The per-token hash is md5 of 'simhash:'+token read as
+    LITTLE-endian from the first 8 digest bytes — exactly DuckDB's
+    ``md5_number_upper('simhash:' || tok)`` — so the entire operator
+    (hash → bit votes → band keys → hamming verify) is SQL-mirrorable
+    and simhash_near_dups carries a full DuckDB oracle."""
     import numpy as np
 
     toks = [t.lower() for t in tokens(text)]
@@ -198,7 +202,9 @@ def simhash64(text: str) -> int:
         if h is None:
             if len(cache) > 1_000_000:
                 cache.clear()
-            h = _h64(t.encode(), person=b"simhash")
+            h = int.from_bytes(
+                hashlib.md5(b"simhash:" + t.encode()).digest()[:8], "little"
+            )
             cache[t] = h
         hs[i] = h
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1

@@ -480,11 +480,16 @@ def _cc_distributed(pairs):
     )
 
 
+SIMHASH_MAX_HAMMING = 3  # verify threshold, shared with the oracle
+
+
 def q_simhash_near_dups(sf_dir: str):
-    """SimHash banding near-dup pairs (hamming ≤ 3) — non-SQL op.
-    Verification is one vectorized map_batches over the carried
-    sh_a/sh_b columns (numpy XOR+popcount) + a bucketed pair-dedup
-    groupby; nothing ever leaves the cluster."""
+    """SimHash banding near-dup pairs (hamming ≤ 3). Verification is
+    one vectorized map_batches over the carried sh_a/sh_b columns
+    (numpy XOR+popcount) + a bucketed pair-dedup groupby; nothing ever
+    leaves the cluster. Fully DuckDB-oracled: the per-token hash is
+    md5_number_upper (textstats.simhash64), so hash → bit votes →
+    16-bit band keys → MAX_BUCKET cap → hamming all mirror in SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
     nb = dd.derive_buckets(n_docs, rows_per_doc=4)
@@ -496,8 +501,9 @@ def q_simhash_near_dups(sf_dir: str):
     verified = (
         bands.groupby("bucket")
         .map_groups(dd.band_bucket_pairs, batch_format="pandas")
-        .map_batches(lambda b: dd.hamming_filter_pairs(b, 3, npb),
-                     batch_format="pyarrow")
+        .map_batches(
+            lambda b: dd.hamming_filter_pairs(b, SIMHASH_MAX_HAMMING, npb),
+            batch_format="pyarrow")
     )
     return verified.groupby("pair_bucket").map_groups(
         dd.dedup_pairs, batch_format="pandas"
@@ -2874,6 +2880,60 @@ ORACLES: dict[str, str] = {
                CAST(least(a, min(b)) AS BIGINT) AS rep_doc_id
         FROM reach GROUP BY a
     """.format(cte=_MINHASH_PAIRS_CTE),
+    # full SimHash mirror: per-token md5_number_upper == the Python
+    # token hash by construction (textstats.simhash64 reads the first
+    # 8 md5 digest bytes little-endian); bit votes, the 4×16-bit band
+    # keys, the per-band MAX_BUCKET candidate cap (smallest doc_ids
+    # win — band_bucket_pairs sorts before capping) and the hamming
+    # verify are all integer-exact
+    "simhash_near_dups": """
+        WITH toks AS (
+          SELECT doc_id, lower(t.tok) AS tok
+          FROM documents,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS t(tok)
+        ),
+        th AS (
+          SELECT doc_id, md5_number_upper('simhash:' || tok) AS h
+          FROM toks
+        ),
+        acc AS (
+          SELECT doc_id, b.b AS bit,
+                 SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS votes
+          FROM th, range(64) b(b) GROUP BY 1, 2
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN votes > 0 THEN (1::UBIGINT << bit)
+                          ELSE 0::UBIGINT END)::UBIGINT AS sh
+          FROM acc GROUP BY doc_id
+        ),
+        sims AS (
+          -- token-less docs simhash to 0 (the Python empty branch)
+          SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+          FROM documents d LEFT JOIN sh0 s USING (doc_id)
+        ),
+        bands AS (
+          SELECT doc_id, sh, r.b AS band,
+                 (sh >> (r.b * 16)) & 65535 AS chunk,
+                 row_number() OVER (
+                   PARTITION BY r.b, (sh >> (r.b * 16)) & 65535
+                   ORDER BY doc_id) AS rk
+          FROM sims, range(4) r(b)
+        ),
+        capped AS (SELECT * FROM bands WHERE rk <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                          a.sh AS sh_a, b.sh AS sh_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_ham}
+    """.format(max_bucket=dd.MAX_BUCKET, max_ham=SIMHASH_MAX_HAMMING),
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,
