@@ -201,6 +201,43 @@ def q_doc_stats_by_lang(sf_dir: str):
     )
 
 
+ROLLUP_ALL = "ALL"  # grouping-sets sentinel (no real lang/source is 'ALL')
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (lang, source), (lang, ALL) and
+    (ALL, ALL) doc counts + char sums in ONE pass (the OLAP cube
+    shape): the per-batch combiner emits partial rows for every
+    grouping level, so the corpus is read once and the shuffle carries
+    ≤ (combos+langs+1) tiny partial rows per batch; a single small
+    two-key groupby finishes. The naive alternative — one groupby per
+    level — reads and shuffles the table three times."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(df):
+        base = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        by_lang = base.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        by_lang["source"] = ROLLUP_ALL
+        total = pd.DataFrame({
+            "lang": [ROLLUP_ALL], "source": [ROLLUP_ALL],
+            "n_docs": [base["n_docs"].sum()],
+            "sum_chars": [base["sum_chars"].sum()],
+        })
+        out = pd.concat([base, by_lang, total], ignore_index=True)
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
 def q_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(tx.token_stats_batch, batch_format="pyarrow")
@@ -774,6 +811,45 @@ def q_per_lang_top5(sf_dir: str):
     )
 
 
+SOURCE_CAP_K = 20  # per-source quota (shared with the oracle)
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source quota cap — the Common-Crawl per-domain quota rule
+    (no single domain may dominate the training mix): keep the K docs
+    per source with the smallest Knuth multiplicative hash (the
+    deterministic stand-in for a uniform draw; same constant as
+    hash_sample), tie-break doc_id. Per-batch partial min-K per source
+    (combiner) → tiny per-source final reduce: the shuffle carries
+    ≤ K·n_blocks rows per source, never the corpus — at 10^12 docs the
+    exchange is bounded by K × sources × blocks regardless of skew."""
+    import pandas as pd  # noqa: F401 (pandas batch format)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df):
+        df = df.copy()
+        df["hkey"] = (
+            df["doc_id"].to_numpy(np.int64) * 2654435761
+        ) % 4294967296
+        return (
+            df.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(SOURCE_CAP_K)
+        )
+
+    def final(g):
+        g = g.sort_values(["hkey", "doc_id"], kind="mergesort")
+        g = g.head(SOURCE_CAP_K)
+        return g[["source", "doc_id"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_corpus_curation(sf_dir: str):
     """Composite training-data curation — the end-to-end shape a real
     pipeline runs, as ONE streaming Dataset chain:
@@ -1038,6 +1114,39 @@ def q_events_hourly(sf_dir: str):
     return partials.groupby(["event_type", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_micro", alias_name="sum_value_micro"),
+    )
+
+
+def q_props_json_stats(sf_dir: str):
+    """JSON scalar extraction (§2.8 map/json functions): parse the
+    props JSON column map-side with stdlib json (general-JSON
+    semantics — the oracle's json_extract, not a regex), pull $.k, and
+    roll up per event type. The per-batch combiner reduces the
+    exchange to ≤ n_types partial rows per batch; payload JSON never
+    shuffles."""
+    import json
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df):
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in df["props"]),
+            dtype=np.int64, count=len(df),
+        )
+        out = pd.DataFrame({"event_type": df["event_type"], "k": ks})
+        g = out.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        return g.astype({"n_events": "int64", "sum_k": "int64",
+                         "max_k": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"))
     )
 
 
@@ -1457,6 +1566,62 @@ def q_event_transitions(sf_dir: str):
         .map_groups(count_transitions, batch_format="pandas")
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered, shared w/ oracle
+
+
+def q_funnel_users(sf_dir: str):
+    """Ordered-funnel match (product-analytics sequence op): users
+    whose timeline contains view → click → purchase in strict ts
+    order, greedy-earliest at each step (ts1 = first view, ts2 = first
+    click after ts1, ts3 = first purchase after ts2). Funnel-type rows
+    are filtered map-side, co-partitioned by user-id hash (a timeline
+    never splits), and each step is one vectorized groupby-min + merge
+    per bucket — no self-join, no global sort; the exchange carries
+    only funnel-type (user, type, ts) triples."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_buckets = dd.derive_buckets(ds.count())
+    steps = list(FUNNEL_STEPS)
+
+    def bucketize(df):
+        df = df[df["event_type"].isin(steps)].copy()
+        df["bucket"] = (df["user_id"] % n_buckets).astype("int32")
+        return df
+
+    def match_funnel(g):
+        cur = (
+            g[g["event_type"] == steps[0]]
+            .groupby("user_id", as_index=False)
+            .agg(ts1=("ts", "min"))
+        )
+        for i, step in enumerate(steps[1:], start=2):
+            nxt = g[g["event_type"] == step][["user_id", "ts"]].merge(
+                cur, on="user_id", how="inner")
+            nxt = nxt[nxt["ts"] > nxt[f"ts{i - 1}"]]
+            if not len(nxt):
+                # empty frame with the BUCKET'S ts dtype (blocks must
+                # unify across buckets whatever parquet's ts unit is)
+                return pd.DataFrame({
+                    "user_id": pd.Series(dtype="int64"),
+                    **{f"ts{j}": pd.Series(dtype=g["ts"].dtype)
+                       for j in range(1, len(steps) + 1)},
+                })
+            keep = [c for c in nxt.columns if c != "ts"]
+            cur = (
+                nxt.groupby(keep, as_index=False)
+                .agg(**{f"ts{i}": ("ts", "min")})
+            )
+        cols = ["user_id"] + [f"ts{j}" for j in range(1, len(steps) + 1)]
+        return cur[cols].sort_values("user_id").reset_index(drop=True)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(match_funnel, batch_format="pandas")
     )
 
 
@@ -2072,6 +2237,41 @@ def q_distinct_users(sf_dir: str):
     )
 
 
+def q_user_event_types(sf_dir: str):
+    """Grouped string aggregation (collect-set / string_agg): per
+    user, the ','-joined SORTED distinct event types + their count.
+    Per-batch drop_duplicates means only batch-distinct (user, type)
+    pairs shuffle; user-hash bucketing keeps every user's pairs in one
+    group, where a single vectorized pandas pass dedups, sorts and
+    joins. Sorted join order makes the result partitioning-independent
+    (mirrors the oracle's string_agg(... ORDER BY))."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        g = df.drop_duplicates(["user_id", "event_type"]).copy()
+        g["bucket"] = (g["user_id"] % n_buckets).astype("int32")
+        return g[["bucket", "user_id", "event_type"]]
+
+    def rollup(g):
+        g = (
+            g.drop_duplicates(["user_id", "event_type"])
+            .sort_values(["user_id", "event_type"], kind="mergesort")
+        )
+        out = g.groupby("user_id", as_index=False).agg(
+            n_types=("event_type", "size"),
+            types_csv=("event_type", ",".join))
+        return out.astype({"n_types": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """Grouped APPROXIMATE count-distinct via HyperLogLog
     (stages/cardinality.py) — the sketch twin of q_distinct_users.
@@ -2272,6 +2472,53 @@ def q_embeddings_by_label(sf_dir: str):
     return ds.groupby("label").aggregate(Count(alias_name="n_vecs"))
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (class centroids / semantic-dedup
+    cluster means), one (label, dim) row per output cell. Per-batch
+    numpy partial sums mean only labels×dims tiny partial rows ever
+    shuffle — the vectors themselves never cross an exchange, so the
+    exchange is independent of corpus size. Integer-exact: each
+    float32 component is floor(x·10⁶) in both engines and the mean is
+    floor-div — no floating aggregation order to disagree on."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df):
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        labels = df["label"].to_numpy()
+        out = []
+        for lab in np.unique(labels):
+            rows = mat[labels == lab]
+            out.append(pd.DataFrame({
+                "label": np.int64(lab),
+                "dim": np.arange(mat.shape[1], dtype=np.int64),
+                "n_vecs": np.int64(len(rows)),
+                "sum_micro": rows.sum(axis=0, dtype=np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def finish(df):
+        return pd.DataFrame({
+            "label": df["label"].to_numpy(np.int64),
+            "dim": df["dim"].to_numpy(np.int64),
+            "n_vecs": df["n_vecs"].to_numpy(np.int64),
+            "centroid_micro":
+                df["sum_micro"].to_numpy(np.int64)
+                // df["n_vecs"].to_numpy(np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("sum_micro", alias_name="sum_micro"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 N_KNN_QUERIES = 10
 KNN_K = 5
 
@@ -2402,6 +2649,7 @@ def queries() -> dict:
         "extract_error_stats": q_extract_error_stats,
         "domain_stats": q_domain_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
+        "lang_source_rollup": q_lang_source_rollup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "term_scrub": q_term_scrub,
@@ -2424,12 +2672,14 @@ def queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "dup_gram_mass": q_dup_gram_mass,
         "per_lang_top5": q_per_lang_top5,
+        "source_cap": q_source_cap,
         "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
         "filter_regex": q_filter_regex,
         "simhash_near_dups": q_simhash_near_dups,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
+        "props_json_stats": q_props_json_stats,
         "value_quantiles": q_value_quantiles,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "purchase_attribution": q_purchase_attribution,
@@ -2437,6 +2687,7 @@ def queries() -> dict:
         "user_sessions": q_user_sessions,
         "user_first_last": q_user_first_last,
         "event_transitions": q_event_transitions,
+        "funnel_users": q_funnel_users,
         "user_running_total": q_user_running_total,
         "retained_users": q_retained_users,
         "percentile_rank": q_percentile_rank,
@@ -2448,8 +2699,10 @@ def queries() -> dict:
         "big_orders": q_big_orders,
         "inactive_customers": q_inactive_customers,
         "distinct_users": q_distinct_users,
+        "user_event_types": q_user_event_types,
         "distinct_users_hll": q_distinct_users_hll,
         "embeddings_by_label": q_embeddings_by_label,
+        "label_centroids": q_label_centroids,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
@@ -2934,6 +3187,84 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_ham}
     """.format(max_bucket=dd.MAX_BUCKET, max_ham=SIMHASH_MAX_HAMMING),
+    # K and the Knuth constant come from the stage definition
+    "source_cap": """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                 ) AS rk
+          FROM documents)
+        WHERE rk <= {k}
+    """.format(k=SOURCE_CAP_K),
+    "lang_source_rollup": """
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN '{all}' ELSE lang END
+                   AS lang,
+               CASE WHEN GROUPING(source) = 1 THEN '{all}' ELSE source
+                   END AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """.format(all=ROLLUP_ALL),
+    "props_json_stats": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "user_event_types": """
+        WITH pairs AS (
+          SELECT DISTINCT user_id, event_type FROM events)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_types,
+               string_agg(event_type, ',' ORDER BY event_type)
+                   AS types_csv
+        FROM pairs GROUP BY user_id
+    """,
+    # greedy-earliest funnel: ts1 = first view, ts2 = first click
+    # AFTER ts1, ts3 = first purchase AFTER ts2 (strict >)
+    "funnel_users": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS ts1 FROM events
+          WHERE event_type = '{f0}' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS ts2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{f1}' AND e.ts > s1.ts1
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS ts3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = '{f2}' AND e.ts > s2.ts2
+          GROUP BY e.user_id)
+        SELECT s1.user_id, s1.ts1, s2.ts2, s3.ts3
+        FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+                JOIN s3 ON s1.user_id = s3.user_id
+    """.format(f0=FUNNEL_STEPS[0], f1=FUNNEL_STEPS[1], f2=FUNNEL_STEPS[2]),
+    # float32 → double is exact; floor(x·1e6) then FLOOR-division by n
+    # is integer-exact. DuckDB's // truncates toward zero, so the
+    # Python floor semantics are spelled out: (s - mod(s, n)) / n with
+    # a nonnegative mod
+    "label_centroids": """
+        WITH sums AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 r.i - 1 AS dim,
+                 CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(CAST(floor(CAST(embedding[r.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM embeddings,
+               unnest(range(1, len(embedding) + 1)) AS r(i)
+          GROUP BY label, r.i)
+        SELECT label, dim, n_vecs,
+               CAST((s - (((s % n_vecs) + n_vecs) % n_vecs)) // n_vecs
+                    AS BIGINT) AS centroid_micro
+        FROM sums
+    """,
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,

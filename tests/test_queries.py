@@ -61,6 +61,12 @@ SQL_QUERIES = [
     "purchase_attribution",
     "event_value_bands",
     "embeddings_by_label",
+    "source_cap",
+    "lang_source_rollup",
+    "props_json_stats",
+    "user_event_types",
+    "funnel_users",
+    "label_centroids",
     "knn_cosine",
     "multimodal_decode",
     "multimodal_resize",
