@@ -850,6 +850,34 @@ def q_source_cap(sf_dir: str):
     )
 
 
+WEIGHTED_CHARS_PER_MILLION = 500  # acceptance reaches 1.0 at 500 chars
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-WEIGHTED deterministic sampling (importance sampling by
+    token mass — the curation move that favors substantive documents
+    without an RNG): keep doc iff knuth(doc_id) mod 10⁶ <
+    min(10⁶, n_chars·10⁶/500). Integer-exact, pure map-side filter —
+    the acceptance test and the probability are both functions of the
+    row alone, so membership is partitioning- and scale-independent
+    (hash_sample's shape with a per-row weight instead of a flat
+    rate)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keep(df):
+        h = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        thresh = np.minimum(
+            1_000_000,
+            df["n_chars"].to_numpy(np.int64) * 1_000_000
+            // WEIGHTED_CHARS_PER_MILLION,
+        )
+        return df[(h % 1_000_000) < thresh]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def q_corpus_curation(sf_dir: str):
     """Composite training-data curation — the end-to-end shape a real
     pipeline runs, as ONE streaming Dataset chain:
@@ -1147,6 +1175,35 @@ def q_props_json_stats(sf_dir: str):
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("sum_k", alias_name="sum_k"),
                    Max("max_k", alias_name="max_k"))
+    )
+
+
+def q_events_by_dow(sf_dir: str):
+    """Day-of-week × type traffic matrix (§2.8 date-function
+    coverage). dow follows SQL semantics (Sunday = 0 — pandas counts
+    Monday = 0, so the map-side key is (dayofweek+1) mod 7); values
+    aggregate in integer micro units. Per-batch combiner → ≤ 7·types
+    partial rows per batch into a tiny two-key groupby."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df):
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": ((df["ts"].dt.dayofweek + 1) % 7).astype("int64"),
+            "value_micro": _micro_int_col(df["value"]),
+        })
+        g = out.groupby(["dow", "event_type"], as_index=False).agg(
+            n_events=("value_micro", "size"),
+            sum_value_micro=("value_micro", "sum"))
+        return g.astype({"n_events": "int64", "sum_value_micro": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["dow", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_micro", alias_name="sum_value_micro"))
     )
 
 
@@ -2272,6 +2329,43 @@ def q_user_event_types(sf_dir: str):
     )
 
 
+def q_click_no_purchase_days(sf_dir: str):
+    """EXCEPT-distinct over a COMPOSITE key (§2.7 set op): (user, day)
+    pairs with a click but no purchase that day. Per-batch partials
+    carry two booleans per distinct (user, day) instead of events; the
+    user-hash bucketed reduce ORs the flags and filters — an EXCEPT
+    without a self-join, exchange O(distinct pairs per batch)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].dt.floor("D"),
+            "clicked": (df["event_type"] == "click").to_numpy(),
+            "purchased": (df["event_type"] == "purchase").to_numpy(),
+        }).groupby(["user_id", "day"], as_index=False).agg(
+            clicked=("clicked", "max"), purchased=("purchased", "max"))
+        out = out[out["clicked"] | out["purchased"]]
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        s = g.groupby(["user_id", "day"], as_index=False).agg(
+            clicked=("clicked", "max"), purchased=("purchased", "max"))
+        s = s[s["clicked"] & ~s["purchased"]]
+        return (s[["user_id", "day"]].astype({"user_id": "int64"})
+                .reset_index(drop=True))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """Grouped APPROXIMATE count-distinct via HyperLogLog
     (stages/cardinality.py) — the sketch twin of q_distinct_users.
@@ -2519,6 +2613,33 @@ def q_label_centroids(sf_dir: str):
     )
 
 
+def q_vector_stats(sf_dir: str):
+    """Per-vector list/array scalar functions (§2.8 array coverage):
+    squared L2 norm in exact milli² units (each float32 component →
+    floor(x·10³), squared and summed — integer-exact in both engines),
+    the argmax-|component| dimension (tie-break: smallest dim), and
+    the positive-component count. Pure map-side numpy over the whole
+    component matrix at once — one vectorized pass per batch, no
+    shuffle at all."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stats(df):
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e3
+        ).astype(np.int64)
+        a = np.abs(mat)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "sq_norm_milli2": (mat * mat).sum(axis=1),
+            "argmax_dim": a.argmax(axis=1).astype(np.int64),
+            "n_pos": (mat > 0).sum(axis=1).astype(np.int64),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 N_KNN_QUERIES = 10
 KNN_K = 5
 
@@ -2673,6 +2794,7 @@ def queries() -> dict:
         "dup_gram_mass": q_dup_gram_mass,
         "per_lang_top5": q_per_lang_top5,
         "source_cap": q_source_cap,
+        "weighted_sample": q_weighted_sample,
         "corpus_curation": q_corpus_curation,
         "latest_orders": q_latest_orders,
         "filter_regex": q_filter_regex,
@@ -2680,6 +2802,7 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "props_json_stats": q_props_json_stats,
+        "events_by_dow": q_events_by_dow,
         "value_quantiles": q_value_quantiles,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "purchase_attribution": q_purchase_attribution,
@@ -2700,9 +2823,11 @@ def queries() -> dict:
         "inactive_customers": q_inactive_customers,
         "distinct_users": q_distinct_users,
         "user_event_types": q_user_event_types,
+        "click_no_purchase_days": q_click_no_purchase_days,
         "distinct_users_hll": q_distinct_users_hll,
         "embeddings_by_label": q_embeddings_by_label,
         "label_centroids": q_label_centroids,
+        "vector_stats": q_vector_stats,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
@@ -3264,6 +3389,48 @@ ORACLES: dict[str, str] = {
                CAST((s - (((s % n_vecs) + n_vecs) % n_vecs)) // n_vecs
                     AS BIGINT) AS centroid_micro
         FROM sums
+    """,
+    "weighted_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 <
+              least(1000000, n_chars * 1000000 // {w})
+    """.format(w=WEIGHTED_CHARS_PER_MILLION),
+    "events_by_dow": """
+        SELECT dayofweek(ts) AS dow, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_micro
+        FROM events GROUP BY 1, 2
+    """,
+    "click_no_purchase_days": """
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, date_trunc('day', ts)
+        FROM events WHERE event_type = 'purchase'
+    """,
+    # abs AFTER floor (mirrors the map's floor-then-abs); argmax dim =
+    # first max, i.e. smallest dim on ties (row_number tie-break)
+    "vector_stats": """
+        WITH comps AS (
+          SELECT vec_id, r.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+                      AS BIGINT) AS c
+          FROM embeddings,
+               unnest(range(1, len(embedding) + 1)) AS r(i)),
+        stats AS (
+          SELECT vec_id,
+                 CAST(sum(c * c) AS BIGINT) AS sq_norm_milli2,
+                 CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_pos
+          FROM comps GROUP BY vec_id),
+        am AS (
+          SELECT vec_id, dim AS argmax_dim FROM (
+            SELECT vec_id, dim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY abs(c) DESC, dim) AS rn
+            FROM comps) WHERE rn = 1)
+        SELECT s.vec_id, s.sq_norm_milli2, am.argmax_dim, s.n_pos
+        FROM stats s JOIN am ON s.vec_id = am.vec_id
     """,
     "ngram_jaccard_dups": """
         WITH toks AS (

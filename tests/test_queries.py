@@ -67,6 +67,10 @@ SQL_QUERIES = [
     "user_event_types",
     "funnel_users",
     "label_centroids",
+    "weighted_sample",
+    "events_by_dow",
+    "click_no_purchase_days",
+    "vector_stats",
     "knn_cosine",
     "multimodal_decode",
     "multimodal_resize",
