@@ -83,24 +83,63 @@ def _h64(data: bytes, *, person: bytes = b"") -> int:
     )
 
 
+def _md5_u64(data: bytes) -> int:
+    """First 8 md5 digest bytes read little-endian — exactly DuckDB's
+    ``md5_number_upper``, so fallback fingerprints are SQL-mirrorable
+    (same convention as simhash64's per-token hash)."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
+_FP_M = (1 << 61) - 1  # Mersenne modulus of the polynomial hash
+_FP_LUTS: dict[int, object] = {}
+
+
+def _fp_lut(window: int):
+    """(window, 256) uint64 LUT of (byte · 257^(window-1-j)) mod M.
+    Built with Python ints (the raw product overflows 64 bits); each
+    entry is < 2^61, so the window sum of ≤ 8 entries stays < 2^64 and
+    plain uint64 addition is exact."""
+    lut = _FP_LUTS.get(window)
+    if lut is None:
+        import numpy as np
+
+        lut = np.array(
+            [[(b * pow(257, window - 1 - j, _FP_M)) % _FP_M
+              for b in range(256)] for j in range(window)],
+            dtype=np.uint64,
+        )
+        _FP_LUTS[window] = lut
+    return lut
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Polynomial rolling-hash document fingerprint: XOR of the hashes
-    of all `window`-byte rolling windows' minima per 64-byte stripe —
-    cheap, deterministic, shift-tolerant content fingerprint."""
+    """Polynomial rolling-hash document fingerprint: XOR of the
+    content-sampled (h mod 16 == 0) `window`-byte rolling-window
+    hashes — cheap, deterministic, shift-tolerant content id.
+
+    Vectorized: one LUT gather + uint64 add per window offset over the
+    whole byte array (no per-byte Python loop). Identical values to
+    the scalar recurrence h·257+b mod 2^61−1. Docs shorter than the
+    window — or where no window samples — fall back to the md5-derived
+    hash, so the whole function is DuckDB-mirrorable (the
+    ``doc_fingerprints`` oracle recomputes it with ascii()·257^j
+    HUGEINT window sums + bit_xor)."""
     data = text.encode("utf-8")
-    if len(data) < window:
-        return _h64(data, person=b"fp")
-    B, M = 257, (1 << 61) - 1
-    h = 0
-    power = pow(B, window - 1, M)
-    out = 0
-    for i, b in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * power) % M
-        h = (h * B + b) % M
-        if i >= window - 1 and h % 16 == 0:  # content-defined sampling
-            out ^= h
-    return out or _h64(data, person=b"fp")
+    n = len(data)
+    if n < window:
+        return _md5_u64(b"fp:" + data)
+    import numpy as np
+
+    lut = _fp_lut(window)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_win = n - window + 1
+    h = lut[0][arr[:n_win]].copy()
+    for j in range(1, window):
+        h += lut[j][arr[j:j + n_win]]
+    h %= np.uint64(_FP_M)
+    sel = h[h % np.uint64(16) == 0]  # content-defined sampling
+    out = int(np.bitwise_xor.reduce(sel)) if sel.size else 0
+    return out or _md5_u64(b"fp:" + data)
 
 
 def shingles(text: str, k: int = 3) -> set[int]:

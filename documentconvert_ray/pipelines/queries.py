@@ -352,7 +352,10 @@ def q_lang_id(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    """Rolling-hash + SimHash content fingerprints — non-SQL op."""
+    """Rolling-hash + SimHash content fingerprints, pure map-side.
+    Both hashes are SQL-mirrorable (polynomial window hash recomputed
+    via HUGEINT ascii() sums; md5-token simhash), so this carries a
+    full DuckDB oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
@@ -2931,7 +2934,59 @@ def _lang_id_sql() -> str:
         FROM s JOIN cjk USING (doc_id)
     """
 
+# rolling_fingerprint's SQL mirror: per-window polynomial hash
+# Σ byte·257^(7−j) mod 2^61−1 as a HUGEINT sum of ascii() terms (text
+# is ASCII in this corpus; the engine itself handles any utf-8).
+_FP_M = (1 << 61) - 1
+_FP_TERMS_SQL = " + ".join(
+    "ascii(substr(text, i + {j}, 1))::HUGEINT * {c}::HUGEINT".format(
+        j=j, c=pow(257, 7 - j, _FP_M))
+    for j in range(8))
+
 ORACLES: dict[str, str] = {
+    # fingerprint: bit_xor of the h%16==0 window hashes; 0/NULL (no
+    # sampled window, or <8 bytes ⇒ no windows) falls back to
+    # md5_number_upper('fp:'||text) — exactly textstats._md5_u64.
+    # simhash: same md5-token bit-vote CTE as the simhash_near_dups
+    # oracle. lpad(hex()) == python's '%016x'.
+    "doc_fingerprints": """
+        WITH pos AS (
+          SELECT doc_id, text, r.i AS i
+          FROM documents, unnest(range(1, length(text) - 6)) AS r(i)
+          WHERE length(text) >= 8),
+        wh AS (
+          SELECT doc_id, CAST(({terms}) % {m} AS BIGINT) AS h FROM pos),
+        xr AS (
+          SELECT doc_id, bit_xor(h) FILTER (WHERE h % 16 = 0) AS x
+          FROM wh GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, lower(t.tok) AS tok
+          FROM documents,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS t(tok)),
+        th AS (
+          SELECT doc_id, md5_number_upper('simhash:' || tok) AS h
+          FROM toks),
+        acc AS (
+          SELECT doc_id, b.b AS bit,
+                 SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS votes
+          FROM th, range(64) b(b) GROUP BY 1, 2),
+        sh0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN votes > 0 THEN (1::UBIGINT << bit)
+                          ELSE 0::UBIGINT END)::UBIGINT AS sh
+          FROM acc GROUP BY doc_id)
+        SELECT d.doc_id,
+               lpad(lower(hex(CASE WHEN xr.x IS NOT NULL AND xr.x <> 0
+                                   THEN xr.x::UBIGINT
+                                   ELSE md5_number_upper('fp:' || d.text)
+                              END)), 16, '0') AS fingerprint_hex,
+               lpad(lower(hex(COALESCE(s.sh, 0::UBIGINT))), 16, '0')
+                   AS simhash_hex
+        FROM documents d
+        LEFT JOIN xr USING (doc_id) LEFT JOIN sh0 s USING (doc_id)
+    """.format(terms=_FP_TERMS_SQL, m=_FP_M),
     "doc_stats_by_lang": """
         SELECT lang,
                count(*) AS n_docs,

@@ -71,6 +71,7 @@ SQL_QUERIES = [
     "events_by_dow",
     "click_no_purchase_days",
     "vector_stats",
+    "doc_fingerprints",
     "knn_cosine",
     "multimodal_decode",
     "multimodal_resize",
@@ -116,13 +117,6 @@ def test_every_query_has_runnable_entry(registry):
     assert len(qs) >= 20
 
 
-def test_rows_only_queries_run(registry, ray_session):
-    from check_oracles import to_pandas
-
-    qs, oracles = registry
-    for name in ["doc_fingerprints"]:
-        df = to_pandas(qs[name](SF_DIR))
-        assert len(df) > 0, name
 
 
 def test_ann_ivf_recall_vs_brute_force(registry, ray_session):
