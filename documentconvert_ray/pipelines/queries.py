@@ -6,12 +6,12 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 5 queries without an oracle entry are genuinely
-non-SQL-expressible (SimHash banding over blake2b hashes, the two
-approximate IVF paths, rolling-hash fingerprints, the mergeable
-quantile sketch whose result is partitioning-dependent); those are
-covered by the pytest determinism/recall/rank-bound suites instead
-and get the driver's rows-only check.
+The 4 queries without an oracle entry are genuinely
+non-SQL-expressible (the two approximate IVF paths, the mergeable
+quantile sketch whose result is partitioning-dependent, and the
+HyperLogLog estimate); those are covered by the pytest
+determinism/recall/rank-bound/error-bound suites instead and get the
+driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG
 from ..sources.corpus import write_corpus
+from ..stages import bloom as bl
 from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages import text as tx
@@ -2511,6 +2512,202 @@ def q_order_revenue_join(sf_dir: str):
     )
 
 
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered SEMI JOIN (sideways information passing —
+    the scale move when the build side's distinct key set is too big
+    to broadcast exactly, T40's limit): revenue of lineitem rows
+    belonging to urgent orders.
+
+    Build: urgent o_orderkey per-batch packed-bitmap partials →
+    bucketed OR-merge tree → one ≤ MiB bitmap via ray.put
+    (stages/bloom.py; bits size-derived at 8/key). Probe: lineitem
+    drops non-members map-side BEFORE any exchange (~80% of rows at
+    this priority mix never shuffle). Bloom false positives are
+    removed by the exact native hash join against the distinct urgent
+    keys that follows, so the result is EXACT — the bitmap only
+    shrinks the exchange. Revenue in integer micro-units."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def urgent_keys():
+        return _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+        ).map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("o_orderpriority"), BLOOM_PRIORITY)
+            ).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    bits_ref = ray.put(
+        bl.build_bloom(urgent_keys(), "o_orderkey", n_orders // 5))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)  # zero-copy from the local store
+        return batch.filter(
+            bl.contains(batch.column("l_orderkey").to_numpy(), bits))
+
+    survivors = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(prefilter, batch_format="pyarrow")
+
+    # distinct build keys for the exact verify: per-batch unique
+    # combiner, then the native hash join dedupes across batches
+    dedup_keys = urgent_keys().map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"o_orderkey": pa.array(
+                np.unique(b.column("o_orderkey").to_numpy()), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    n_part = max(8, min(dd.derive_buckets(n_li // 5), cpus // 2))
+    verified = survivors.join(
+        dedup_keys, "left_semi", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def partial(df):
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        return (
+            df.assign(rev=rev)
+            .groupby("l_returnflag", as_index=False)
+            .agg(n_items=("rev", "size"), revenue_micro=("rev", "sum"))
+            .astype({"n_items": "int64", "revenue_micro": "int64"})
+        )
+
+    return (
+        verified.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_micro", alias_name="revenue_micro"))
+    )
+
+
+def q_top_event_type(sf_dir: str):
+    """Grouped MODE (argmax-count per key — the aggregate family
+    member plain Sum/Min/Max can't express): each user's dominant
+    event type. Per-batch (user, type) count partials shuffle instead
+    of events; the user-hash-bucketed reduce sums and picks the mode
+    with a deterministic tie-break (count DESC, type ASC) mirrored by
+    the oracle's row_number ORDER BY."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        g["bucket"] = (g["user_id"] % nb).astype("int32")
+        return g
+
+    def reduce_bucket(g):
+        s = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        s = s.drop_duplicates("user_id")
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(np.int64),
+            "top_event_type": s["event_type"].to_numpy(),
+            "n_events": s["n"].to_numpy(np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_events_daily_pivot(sf_dir: str):
+    """PIVOT-shaped wide aggregate (§2.8 long→wide): one fixed count
+    column per event type + the day's value total, produced by ONE
+    combiner pass (events read once, not once per column); partial
+    rows are ≤ days·1 per batch into a small per-day groupby. The
+    type→column map is a fixed engine constant — at 100 TB a pivot on
+    an unbounded type domain is a different op (T55's collect shape),
+    not this one."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df):
+        out = pd.DataFrame({"day": df["ts"].dt.floor("D")})
+        out["value_micro"] = _micro_int_col(df["value"])
+        et = df["event_type"].to_numpy()
+        for t in PIVOT_TYPES:
+            out[f"n_{t}"] = (et == t).astype("int64")
+        return out.groupby("day", as_index=False).agg(
+            **{f"n_{t}": (f"n_{t}", "sum") for t in PIVOT_TYPES},
+            sum_value_micro=("value_micro", "sum"),
+        ).astype({f"n_{t}": "int64" for t in PIVOT_TYPES}
+                 | {"sum_value_micro": "int64"})
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_TYPES]
+    aggs.append(Sum("sum_value_micro", alias_name="sum_value_micro"))
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(*aggs)
+    )
+
+
+def q_nation_parties(sf_dir: str):
+    """Query-level Dataset.union (§2.8 set-op coverage — dedup's
+    internal tagged unions, made a first-class operator): customers ∪
+    suppliers rolled up per nation. Each leg is pruned at the read and
+    pre-aggregated per batch to (nationkey, n_customers, n_suppliers,
+    sum_acctbal_micro) partials BEFORE the union, so the merged stream
+    carries ≤ 25·batches tiny rows into a native groupby over the
+    25-key nation column (small fixed key domain — the bucketed-reduce
+    rule doesn't apply)."""
+    import pandas as pd
+
+    def leg(table: str, key: str, bal: str, is_cust: int):
+        def partial(df):
+            out = pd.DataFrame({
+                "nationkey": df[key].to_numpy(np.int64),
+                "bal_micro": _micro_int_col(df[bal]),
+            })
+            g = out.groupby("nationkey", as_index=False).agg(
+                n=("bal_micro", "size"),
+                sum_acctbal_micro=("bal_micro", "sum"))
+            return pd.DataFrame({
+                "nationkey": g["nationkey"].to_numpy(np.int64),
+                "n_customers": (g["n"] * is_cust).to_numpy(np.int64),
+                "n_suppliers": (g["n"] * (1 - is_cust)).to_numpy(np.int64),
+                "sum_acctbal_micro":
+                    g["sum_acctbal_micro"].to_numpy(np.int64),
+            })
+
+        return _read(sf_dir, table, [key, bal]).map_batches(
+            partial, batch_format="pandas")
+
+    merged = leg("customer", "c_nationkey", "c_acctbal", 1).union(
+        leg("supplier", "s_nationkey", "s_acctbal", 0))
+    return merged.groupby("nationkey").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("sum_acctbal_micro", alias_name="sum_acctbal_micro"),
+    )
+
+
 INACTIVE_CUTOFF = "2000-01-01"
 
 
@@ -2823,6 +3020,10 @@ def queries() -> dict:
         "top_customers": q_top_customers,
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
+        "bloom_semi_join": q_bloom_semi_join,
+        "top_event_type": q_top_event_type,
+        "events_daily_pivot": q_events_daily_pivot,
+        "nation_parties": q_nation_parties,
         "inactive_customers": q_inactive_customers,
         "distinct_users": q_distinct_users,
         "user_event_types": q_user_event_types,
@@ -3456,6 +3657,49 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
                     AS BIGINT) AS sum_value_micro
         FROM events GROUP BY 1, 2
+    """,
+    "bloom_semi_join": """
+        WITH u AS (SELECT DISTINCT o_orderkey FROM orders
+                   WHERE o_orderpriority = '{prio}')
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_micro
+        FROM lineitem l JOIN u ON l.l_orderkey = u.o_orderkey
+        GROUP BY 1
+    """.format(prio=BLOOM_PRIORITY),
+    "top_event_type": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS top_event_type, n AS n_events
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+              FROM c)
+        WHERE rk = 1
+    """,
+    "events_daily_pivot": """
+        SELECT date_trunc('day', ts) AS day,
+               {counts},
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_micro
+        FROM events GROUP BY 1
+    """.format(counts=",\n               ".join(
+        "CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        " AS n_{t}".format(t=t) for t in PIVOT_TYPES)),
+    "nation_parties": """
+        WITH parties AS (
+          SELECT c_nationkey AS nationkey, c_acctbal AS bal, 1 AS isc
+          FROM customer
+          UNION ALL
+          SELECT s_nationkey, s_acctbal, 0 FROM supplier)
+        SELECT nationkey,
+               CAST(sum(isc) AS BIGINT) AS n_customers,
+               CAST(count(*) - sum(isc) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(floor(bal * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_acctbal_micro
+        FROM parties GROUP BY 1
     """,
     "click_no_purchase_days": """
         SELECT user_id, date_trunc('day', ts) AS day

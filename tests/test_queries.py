@@ -72,6 +72,10 @@ SQL_QUERIES = [
     "click_no_purchase_days",
     "vector_stats",
     "doc_fingerprints",
+    "bloom_semi_join",
+    "top_event_type",
+    "events_daily_pivot",
+    "nation_parties",
     "knn_cosine",
     "multimodal_decode",
     "multimodal_resize",
