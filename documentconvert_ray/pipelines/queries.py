@@ -17,6 +17,7 @@ driver's rows-only check.
 from __future__ import annotations
 
 import os
+import re
 import zlib
 
 import numpy as np
@@ -2708,6 +2709,121 @@ def q_nation_parties(sf_dir: str):
     )
 
 
+_SENT_RE = re.compile(r"[.!?]+\s+")
+
+
+def q_sentence_split(sf_dir: str):
+    """Sentence EXPLODE (flat_map one-doc→N-rows — the long-form twin
+    of the pivot): split on `[.!?]+\\s+` (identical RE2/`re` semantics,
+    probed in the oracle test), drop empties, emit (doc_id, sent_idx,
+    sentence, n_chars_sent). Pure map-side; downstream sentence-level
+    filters (the curation use) chain as further map_batches. Output
+    rows ≈ sentences, so blocks grow ~20×: Ray's streaming executor
+    re-blocks after the flat map, no repartition needed."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_idx: list[int] = []
+        o_sent: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            sents = [s for s in _SENT_RE.split(t) if s != ""]
+            o_id.extend([did] * len(sents))
+            o_idx.extend(range(len(sents)))
+            o_sent.extend(sents)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "sent_idx": pa.array(o_idx, pa.int64()),
+            "sentence": pa.array(o_sent, pa.string()),
+            "n_chars_sent": pa.array([len(s) for s in o_sent], pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+MOVING_WINDOW = 4  # trailing events per moving sum (incl. current)
+
+
+def q_moving_sum(sf_dir: str):
+    """Per-user trailing-4-event MOVING SUM (the bounded window frame
+    T48's unbounded cumsum lacks — SQL ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW). User-hash co-partition so a timeline never splits;
+    per-bucket ONE sort + vectorized prefix-sum difference with
+    per-user run starts from the sorted key column (no per-user loop).
+    Deterministic (ts, event_id) order mirrors the oracle's window
+    ORDER BY."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts": df["ts"],
+            "value_micro": _micro_int_col(df["value"]),
+            "bucket": (df["user_id"].to_numpy(np.int64) % nb)
+                .astype("int32"),
+        })
+
+    def reduce_bucket(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        uid = g["user_id"].to_numpy(np.int64)
+        cs = np.cumsum(g["value_micro"].to_numpy(np.int64))
+        run_first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        start = np.repeat(run_first, np.diff(np.r_[run_first, n]))
+        lo = np.maximum(start, np.arange(n) - (MOVING_WINDOW - 1))
+        ms = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "moving_sum_micro": ms.astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total (window-over-ALL-rows: SQL sum() OVER ()) —
+    per-priority revenue share in exact ppm. One combiner pass →
+    5-row groupby; the global total is computed FROM those 5 rows on
+    the driver (a scalar fold over an already-tiny result, like T49's
+    midpoint) with unbounded Python ints, so cents·10⁶ can't overflow
+    — the oracle casts through HUGEINT for the same reason."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df):
+        out = pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "cents": _cents_col(df["o_totalprice"]),
+        })
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+
+    small = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    total = int(small["revenue_cents"].sum())
+    small["share_ppm"] = np.array(
+        [int(c) * 1_000_000 // total for c in small["revenue_cents"]],
+        np.int64)
+    small["revenue_cents"] = small["revenue_cents"].astype("int64")
+    return small
+
+
 INACTIVE_CUTOFF = "2000-01-01"
 
 
@@ -3021,6 +3137,9 @@ def queries() -> dict:
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
         "bloom_semi_join": q_bloom_semi_join,
+        "sentence_split": q_sentence_split,
+        "moving_sum": q_moving_sum,
+        "revenue_share": q_revenue_share,
         "top_event_type": q_top_event_type,
         "events_daily_pivot": q_events_daily_pivot,
         "nation_parties": q_nation_parties,
@@ -3669,6 +3788,36 @@ ORACLES: dict[str, str] = {
         FROM lineitem l JOIN u ON l.l_orderkey = u.o_orderkey
         GROUP BY 1
     """.format(prio=BLOOM_PRIORITY),
+    "sentence_split": """
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[.!?]+\\s+'),
+                             x -> x <> '') AS sents
+          FROM documents)
+        SELECT doc_id, r.i - 1 AS sent_idx, sents[r.i] AS sentence,
+               CAST(length(sents[r.i]) AS BIGINT) AS n_chars_sent
+        FROM l, unnest(range(1, len(sents) + 1)) AS r(i)
+    """,
+    "moving_sum": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {wm1} PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS moving_sum_micro
+        FROM events
+    """.format(wm1=MOVING_WINDOW - 1),
+    "revenue_share": """
+        WITH s AS (
+          SELECT o_orderpriority,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority,
+               CAST(cents AS BIGINT) AS revenue_cents,
+               CAST(CAST(cents AS HUGEINT) * 1000000
+                    // (SELECT sum(cents) FROM s) AS BIGINT) AS share_ppm
+        FROM s
+    """,
     "top_event_type": """
         WITH c AS (
           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

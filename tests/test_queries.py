@@ -73,6 +73,9 @@ SQL_QUERIES = [
     "vector_stats",
     "doc_fingerprints",
     "bloom_semi_join",
+    "sentence_split",
+    "moving_sum",
+    "revenue_share",
     "top_event_type",
     "events_daily_pivot",
     "nation_parties",
@@ -416,3 +419,33 @@ def test_cc_distributed_random_graph(ray_session):
     df = _cc_distributed(ds).to_pandas()
     got = dict(zip(df["doc_id"].astype(int), df["rep_doc_id"].astype(int)))
     assert got == expected
+
+
+def test_sentence_split_multi_sentence(registry, ray_session, tmp_path):
+    """The sf corpus happens to be single-sentence docs, so the gate
+    never exercises the 1→N explode path — pin it against the oracle
+    on a multi-sentence table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from check_oracles import canon, to_pandas
+
+    qs, oracles = registry
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "One. Two sentences! A third? Tail without ender",
+            "",
+            "no enders at all",
+            "Multi  spaces.  After!   End.",
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = canon(to_pandas(qs["sentence_split"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    exp = canon(con.execute(oracles["sentence_split"]).fetchdf())
+    assert len(got) == 8  # 4 + 0 + 1 + 3 (the final 'End.' stays whole)
+    assert got.equals(exp)
