@@ -42,6 +42,9 @@ QUERY_NAMES = [
     "embedding_near_dups",
     "embedding_near_dups_ivf",
     "hash_sample",
+    "sentence_split",
+    "bloom_semi_join",
+    "moving_sum",
     "dup_gram_mass",
     "tfidf_top_terms",
     "per_lang_top5",

@@ -5,9 +5,12 @@ SURVEY.md §2.5/§2.7), these are the first-class large-scale
 training-data operators: token counting, quality scoring, language ID,
 document fingerprinting, shingles/MinHash/SimHash for near-dedup.
 
-All functions are pure and deterministic; hashes use blake2b with
-fixed digest sizes (stdlib, stable across runs/processes — never
-python's salted ``hash()``).
+All functions are pure and deterministic — never python's salted
+``hash()``. Two hash families, chosen per operator: md5-derived
+(DuckDB ``md5_number_upper`` convention) wherever the value must be
+SQL-mirrorable (simhash token hashes, fingerprint fallback), blake2b
+with fixed persons elsewhere (shingles/MinHash, whose oracles compare
+exact-Jaccard RESULTS, not hashes).
 """
 
 from __future__ import annotations
@@ -136,6 +139,8 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     h = lut[0][arr[:n_win]].copy()
     for j in range(1, window):
         h += lut[j][arr[j:j + n_win]]
+        if j % 7 == 0:  # ≤ 8 unreduced terms keeps the sum < 2^64
+            h %= np.uint64(_FP_M)
     h %= np.uint64(_FP_M)
     sel = h[h % np.uint64(16) == 0]  # content-defined sampling
     out = int(np.bitwise_xor.reduce(sel)) if sel.size else 0

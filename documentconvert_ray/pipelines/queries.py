@@ -95,6 +95,18 @@ def _cents_col(series) -> "np.ndarray":
     return np.floor(np.asarray(series, dtype=np.float64) * 100 + 0.5).astype(np.int64)
 
 
+def _knuth32(ids) -> "np.ndarray":
+    """(id · 2654435761) mod 2^32, wrap-safe: int64 multiply would
+    wrap silently for ids > ~3.4e9 (any multi-billion-row corpus)
+    while the SQL side errored — so hash in uint64 and mirror with
+    doc_id::HUGEINT in the oracles. Wrap mod 2^64 then mod 2^32 ==
+    exact mod 2^32 (2^32 | 2^64), so both sides agree for ALL ids."""
+    return (
+        (np.asarray(ids).astype(np.uint64) * np.uint64(2654435761))
+        % np.uint64(4294967296)
+    ).astype(np.int64)
+
+
 def _crc_bucket_col(tbl: pa.Table, col: str, nb: int) -> pa.Table:
     """Append ``bucket = crc32(str_col) % nb`` — the string-key leg of
     the repo's bucketed-reduce idiom (a native per-key aggregate pays
@@ -624,7 +636,7 @@ def q_hash_sample(sf_dir: str):
 
     def flt(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()  # zero-copy int64
-        keep = ((ids * 2654435761) % 4294967296) % 100 < 7
+        keep = _knuth32(ids) % 100 < 7
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(flt, batch_format="pyarrow")
@@ -654,7 +666,7 @@ def q_stratified_sample(sf_dir: str):
             .to_numpy(np.int64)
         )
         ids = df["doc_id"].to_numpy(np.int64)
-        keep = ((ids * 2654435761) % 4294967296) % 100 < rates
+        keep = _knuth32(ids) % 100 < rates
         return df[keep]
 
     return ds.map_batches(flt, batch_format="pandas")
@@ -834,9 +846,7 @@ def q_source_cap(sf_dir: str):
 
     def partial(df):
         df = df.copy()
-        df["hkey"] = (
-            df["doc_id"].to_numpy(np.int64) * 2654435761
-        ) % 4294967296
+        df["hkey"] = _knuth32(df["doc_id"].to_numpy(np.int64))
         return (
             df.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
             .groupby("source", sort=False)
@@ -872,7 +882,7 @@ def q_weighted_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def keep(df):
-        h = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        h = _knuth32(df["doc_id"].to_numpy(np.int64))
         thresh = np.minimum(
             1_000_000,
             df["n_chars"].to_numpy(np.int64) * 1_000_000
@@ -931,7 +941,7 @@ def q_corpus_curation(sf_dir: str):
 
     def sample(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        keep = ((ids * 2654435761) % 4294967296) % 100 < 50
+        keep = _knuth32(ids) % 100 < 50
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id").filter(pa.array(keep)),
              "n_tokens": batch.column("n_tokens").filter(pa.array(keep))})
@@ -1985,7 +1995,7 @@ def q_sample_exact_k(sf_dir: str):
 
     def partial(df):
         ids = df["doc_id"].to_numpy(np.int64)
-        df = df.assign(h=(ids * 2654435761) % 4294967296)
+        df = df.assign(h=_knuth32(ids))
         return df.sort_values(["h", "doc_id"],
                               kind="mergesort").head(SAMPLE_K)
 
@@ -3693,7 +3703,7 @@ ORACLES: dict[str, str] = {
           SELECT source, doc_id,
                  row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id
                  ) AS rk
           FROM documents)
         WHERE rk <= {k}
@@ -3767,7 +3777,7 @@ ORACLES: dict[str, str] = {
     """,
     "weighted_sample": """
         SELECT doc_id, lang, n_chars FROM documents
-        WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 <
+        WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 <
               least(1000000, n_chars * 1000000 // {w})
     """.format(w=WEIGHTED_CHARS_PER_MILLION),
     "events_by_dow": """
@@ -3919,7 +3929,7 @@ ORACLES: dict[str, str] = {
     # CASE table generated from STRATA_PCT — one source of truth
     "stratified_sample": """
         SELECT doc_id, lang, n_chars FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+        WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 % 100 <
               CASE lang {cases} ELSE {dflt} END
     """.format(
         cases=" ".join(f"WHEN '{k}' THEN {v}"
@@ -3929,7 +3939,7 @@ ORACLES: dict[str, str] = {
     "sample_exact_k": """
         SELECT doc_id, lang, n_chars
         FROM documents
-        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id
         LIMIT {k}
     """.format(k=SAMPLE_K),
     # gram width constants from stages/text.DUPG_N (one source of
@@ -4124,7 +4134,7 @@ ORACLES: dict[str, str] = {
     "hash_sample": """
         SELECT doc_id, lang, n_chars
         FROM documents
-        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 7
+        WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100 < 7
     """,
     "corpus_curation": """
         WITH s AS (
@@ -4141,7 +4151,7 @@ ORACLES: dict[str, str] = {
                      CAST(min(n_tokens) AS BIGINT) AS n_tokens
               FROM q GROUP BY md5(text))
         SELECT doc_id, n_tokens FROM d
-        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 50
+        WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100 < 50
     """.format(stop=_STOP_SQL),
     "per_lang_top5": """
         WITH r AS (

@@ -6,10 +6,11 @@ lists, SURVEY.md §2.4; scale technique: bloom-pruned semi-join a la
 "sideways information passing" in distributed SQL engines): when the
 build side's DISTINCT key set is too large to broadcast exactly, a
 fixed-size Bloom bitmap is built distributively — each build batch
-emits ONE packed-bitmap partial row, partials OR-merge in a bucketed
-tree reduce (never more than _TREE_FANOUT rows reach any single
-reducer input group), and only the final ≤ a-few-MiB bitmap is
-broadcast via ray.put. The probe side then drops non-members map-side
+emits ONE packed-bitmap partial row, partials OR-merge through a
+bounded-fan-in tree of shuffle-free map_batches levels (no task folds
+more than _TREE_FANOUT bitmaps, however many build batches there
+are), and only the final ≤ a-few-MiB bitmap is broadcast via
+ray.put. The probe side then drops non-members map-side
 BEFORE its shuffle; the bitmap's false positives (rate ≈ (1-e^{-kn/m})^k,
 < 2.5% at 8 bits/key, k=4) are removed by the exact co-partitioned
 hash join that follows, so results are EXACT — the bloom only shrinks
@@ -81,22 +82,23 @@ def contains(keys: np.ndarray, bits: np.ndarray) -> np.ndarray:
 
 def build_bloom(keys_ds, column: str, n_keys_hint: int) -> np.ndarray:
     """Distributed bitmap build over ``keys_ds[column]``: per-batch
-    packed partials (one row each) → bucketed OR-merge tree
-    (≤ _TREE_FANOUT partial rows per group) → driver OR of the
-    ≤ _TREE_FANOUT group results. Only bitmap rows ever shuffle; the
-    key rows themselves never leave their read tasks."""
+    packed partials (one row each) → bounded-fan-in OR-merge tree —
+    each level is a shuffle-FREE ``map_batches(batch_size=_TREE_FANOUT)``
+    that folds ≤ _TREE_FANOUT bitmap rows into one, repeated (OR is
+    associative+commutative, so level grouping is free to be
+    arbitrary) until ≤ _TREE_FANOUT rows remain for the driver fold.
+    No task or the driver ever materializes more than _TREE_FANOUT
+    bitmaps at once, regardless of the build batch count; the key
+    rows themselves never leave their read tasks."""
     m = bloom_bits(n_keys_hint)
 
     def make_partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(column).to_numpy()
-        buf = partial_bitmap(keys, m)
-        tb = int(keys[0]) % _TREE_FANOUT if len(keys) else 0
+        buf = partial_bitmap(batch.column(column).to_numpy(), m)
         return pa.Table.from_pydict({
-            "tb": pa.array([tb], pa.int32()),
             "bits": pa.array([buf.tobytes()], pa.binary()),
         })
 
-    def or_group(batch: pa.Table) -> pa.Table:
+    def or_batch(batch: pa.Table) -> pa.Table:
         acc = np.zeros(m // 8, np.uint8)
         for b in batch.column("bits"):
             acc |= np.frombuffer(b.as_py(), np.uint8)
@@ -104,13 +106,27 @@ def build_bloom(keys_ds, column: str, n_keys_hint: int) -> np.ndarray:
             "bits": pa.array([acc.tobytes()], pa.binary()),
         })
 
-    merged = (
-        keys_ds.map_batches(make_partial, batch_format="pyarrow")
-        .groupby("tb")
-        .map_groups(or_group, batch_format="pyarrow")
-        .take_all()
-    )
+    level = keys_ds.map_batches(
+        make_partial, batch_format="pyarrow"
+    ).map_batches(
+        or_batch, batch_size=_TREE_FANOUT, batch_format="pyarrow"
+    ).materialize()
+    n = level.count()
+    while n > _TREE_FANOUT:
+        # batch bundling usually gives full fan-in; if block layout
+        # ever stalls the shrink, force it with an explicit coalesce
+        nxt = level.map_batches(
+            or_batch, batch_size=_TREE_FANOUT, batch_format="pyarrow"
+        ).materialize()
+        n_nxt = nxt.count()
+        if n_nxt >= n:
+            nxt = level.repartition(
+                max(1, n // _TREE_FANOUT)
+            ).map_batches(or_batch, batch_format="pyarrow").materialize()
+            n_nxt = nxt.count()
+        level, n = nxt, n_nxt
+
     final = np.zeros(m // 8, np.uint8)
-    for row in merged:
+    for row in level.take_all():
         final |= np.frombuffer(row["bits"], np.uint8)
     return final

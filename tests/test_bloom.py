@@ -53,3 +53,19 @@ def test_distributed_build_matches_local(ray_session):
     dist = bl.build_bloom(ds, "k", len(keys))
     local = bl.partial_bitmap(keys, bl.bloom_bits(len(keys)))
     assert np.array_equal(dist, local)
+
+
+def test_distributed_build_multilevel_tree(ray_session):
+    """More partial rows than _TREE_FANOUT forces a second OR level —
+    the result must still equal the local whole-set bitmap."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 1 << 40, size=9_000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64())})
+    ).repartition(bl._TREE_FANOUT * 2 + 9)
+    dist = bl.build_bloom(ds, "k", len(keys))
+    local = bl.partial_bitmap(keys, bl.bloom_bits(len(keys)))
+    assert np.array_equal(dist, local)

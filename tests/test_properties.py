@@ -126,3 +126,31 @@ def test_png_predictor_roundtrip_property(data, pred, columns):
     enc = _png_predict_encode(data, pred, columns)
     out = _apply_predictor(enc, {"Predictor": pred, "Columns": columns})
     assert out == data
+
+
+def test_fingerprint_wide_window_matches_scalar_recurrence():
+    """window > 8 exceeds what a single unreduced uint64 sum can hold;
+    the periodic mod keeps the vectorized path exact — pin it against
+    the scalar recurrence."""
+    from documentconvert_ray.functions.textstats import (
+        _FP_M, _md5_u64, rolling_fingerprint)
+
+    def scalar(text, window):
+        data = text.encode("utf-8")
+        if len(data) < window:
+            return _md5_u64(b"fp:" + data)
+        h = out = 0
+        power = pow(257, window - 1, _FP_M)
+        for i, b in enumerate(data):
+            if i >= window:
+                h = (h - data[i - window] * power) % _FP_M
+            h = (h * 257 + b) % _FP_M
+            if i >= window - 1 and h % 16 == 0:
+                out ^= h
+        return out or _md5_u64(b"fp:" + data)
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 20,
+             "short", "ünïcode ☃ padded out to exceed the window size!"]
+    for w in (8, 9, 16, 23, 64):
+        for t in texts:
+            assert rolling_fingerprint(t, window=w) == scalar(t, w), (w, t)
