@@ -2834,6 +2834,58 @@ def q_revenue_share(sf_dir: str):
     return small
 
 
+DENSITY_WINDOW_US = 3_600_000_000  # ±1 h, integer µs
+
+
+def q_event_density(sf_dir: str):
+    """Big-big SELF INTERVAL JOIN with NO equi key (the join family
+    member T27/T28 can't cover — both sides are the full stream):
+    per-event count of events within ±1 h. Technique: time-bucket
+    co-partitioning with BOUNDARY REPLICATION — bucket width equals
+    the half-window, probes land in their own bucket, builds replicate
+    to buckets b−1/b/b+1 (any in-window pair is then co-bucketed
+    EXACTLY once), per-bucket sorted searchsorted counting in integer
+    µs. Only (event_id, t) int64 rows shuffle, 4N total; bucket count
+    grows with the time span, not the data, and a pathologically hot
+    hour can be salted into sub-buckets whose counts merge (same
+    fix as the dedup sentinel keys)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def expand(df):
+        t = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        eid = df["event_id"].to_numpy(np.int64)
+        b = t // DENSITY_WINDOW_US
+        parts = [pd.DataFrame({"event_id": eid, "t": t, "bucket": b,
+                               "is_probe": True})]
+        for off in (-1, 0, 1):
+            parts.append(pd.DataFrame({
+                "event_id": np.int64(0), "t": t, "bucket": b + off,
+                "is_probe": False}))
+        return pd.concat(parts, ignore_index=True)
+
+    def count_bucket(g):
+        p = g[g["is_probe"]]
+        if not len(p):  # bucket holds only replicated builds
+            return pd.DataFrame({
+                "event_id": np.array([], np.int64),
+                "n_within_1h": np.array([], np.int64)})
+        bt = np.sort(g.loc[~g["is_probe"], "t"].to_numpy(np.int64))
+        pt = p["t"].to_numpy(np.int64)
+        lo = np.searchsorted(bt, pt - DENSITY_WINDOW_US, "left")
+        hi = np.searchsorted(bt, pt + DENSITY_WINDOW_US, "right")
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy(np.int64),
+            "n_within_1h": (hi - lo).astype(np.int64)})
+
+    return (
+        ds.map_batches(expand, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+
+
 INACTIVE_CUTOFF = "2000-01-01"
 
 
@@ -3147,6 +3199,7 @@ def queries() -> dict:
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
         "bloom_semi_join": q_bloom_semi_join,
+        "event_density": q_event_density,
         "sentence_split": q_sentence_split,
         "moving_sum": q_moving_sum,
         "revenue_share": q_revenue_share,
@@ -3798,6 +3851,13 @@ ORACLES: dict[str, str] = {
         FROM lineitem l JOIN u ON l.l_orderkey = u.o_orderkey
         GROUP BY 1
     """.format(prio=BLOOM_PRIORITY),
+    "event_density": """
+        SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_within_1h
+        FROM events a JOIN events b
+          ON b.ts BETWEEN a.ts - INTERVAL 1 HOUR
+                      AND a.ts + INTERVAL 1 HOUR
+        GROUP BY 1
+    """,
     "sentence_split": """
         WITH l AS (
           SELECT doc_id,

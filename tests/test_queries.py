@@ -73,6 +73,7 @@ SQL_QUERIES = [
     "vector_stats",
     "doc_fingerprints",
     "bloom_semi_join",
+    "event_density",
     "sentence_split",
     "moving_sum",
     "revenue_share",
