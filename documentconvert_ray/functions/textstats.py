@@ -122,19 +122,22 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
 
     Vectorized: one LUT gather + uint64 add per window offset over the
     whole byte array (no per-byte Python loop). Identical values to
-    the scalar recurrence h·257+b mod 2^61−1. Docs shorter than the
-    window — or where no window samples — fall back to the md5-derived
-    hash, so the whole function is DuckDB-mirrorable (the
-    ``doc_fingerprints`` oracle recomputes it with ascii()·257^j
-    HUGEINT window sums + bit_xor)."""
+    the scalar recurrence h·257+b mod 2^61−1. Non-ASCII docs, docs
+    shorter than the window, and docs where no window samples all take
+    the md5-derived fallback — SQL can only address CHARACTERS
+    (ascii()/length()), not UTF-8 bytes, so routing non-ASCII text to
+    the fallback is what makes the function TOTAL under its DuckDB
+    mirror (the ``doc_fingerprints`` oracle recomputes the window path
+    with ascii()·257^j HUGEINT sums + bit_xor and mirrors this routing
+    with an octet_length(encode())<>length() CASE)."""
     data = text.encode("utf-8")
     n = len(data)
-    if n < window:
+    if n < window or n != len(text):  # short or non-ASCII
         return _md5_u64(b"fp:" + data)
     import numpy as np
 
     lut = _fp_lut(window)
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = np.frombuffer(data, dtype=np.uint8)  # ASCII: bytes == chars
     n_win = n - window + 1
     h = lut[0][arr[:n_win]].copy()
     for j in range(1, window):
@@ -246,9 +249,7 @@ def simhash64(text: str) -> int:
         if h is None:
             if len(cache) > 1_000_000:
                 cache.clear()
-            h = int.from_bytes(
-                hashlib.md5(b"simhash:" + t.encode()).digest()[:8], "little"
-            )
+            h = _md5_u64(b"simhash:" + t.encode())
             cache[t] = h
         hs[i] = h
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1

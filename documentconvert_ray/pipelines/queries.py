@@ -2554,8 +2554,18 @@ def q_bloom_semi_join(sf_dir: str):
         )
 
     n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    # ONE orders scan: the per-batch-unique urgent keys are
+    # distributed-materialized once and reused as BOTH the bloom-build
+    # input and the exact-verify join build side (this key set is what
+    # is too big to broadcast — shuffling/pinning it stays fine)
+    dedup_keys = urgent_keys().map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"o_orderkey": pa.array(
+                np.unique(b.column("o_orderkey").to_numpy()), pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
     bits_ref = ray.put(
-        bl.build_bloom(urgent_keys(), "o_orderkey", n_orders // 5))
+        bl.build_bloom(dedup_keys, "o_orderkey", n_orders // 5))
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)  # zero-copy from the local store
@@ -2566,15 +2576,6 @@ def q_bloom_semi_join(sf_dir: str):
         sf_dir, "lineitem",
         ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     ).map_batches(prefilter, batch_format="pyarrow")
-
-    # distinct build keys for the exact verify: per-batch unique
-    # combiner, then the native hash join dedupes across batches
-    dedup_keys = urgent_keys().map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"o_orderkey": pa.array(
-                np.unique(b.column("o_orderkey").to_numpy()), pa.int64())}),
-        batch_format="pyarrow",
-    )
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
     n_part = max(8, min(dd.derive_buckets(n_li // 5), cpus // 2))
@@ -2719,13 +2720,17 @@ def q_nation_parties(sf_dir: str):
     )
 
 
-_SENT_RE = re.compile(r"[.!?]+\s+")
+# explicit ASCII whitespace class: Python re's \s matches Unicode
+# whitespace (NBSP, thin space, …) while DuckDB's RE2 \s does not —
+# spelling the class out makes both engines identical by construction
+_SENT_RE = re.compile(r"[.!?]+[ \t\n\r\f\v]+")
 
 
 def q_sentence_split(sf_dir: str):
     """Sentence EXPLODE (flat_map one-doc→N-rows — the long-form twin
-    of the pivot): split on `[.!?]+\\s+` (identical RE2/`re` semantics,
-    probed in the oracle test), drop empties, emit (doc_id, sent_idx,
+    of the pivot): split on enders + explicit-ASCII whitespace (`\\s`
+    is Unicode-wide in `re` but not in RE2, so the class is spelled
+    out on both sides), drop empties, emit (doc_id, sent_idx,
     sentence, n_chars_sent). Pure map-side; downstream sentence-level
     filters (the curation use) chain as further map_batches. Output
     rows ≈ sentences, so blocks grow ~20×: Ray's streaming executor
@@ -3328,7 +3333,9 @@ _FP_TERMS_SQL = " + ".join(
 
 ORACLES: dict[str, str] = {
     # fingerprint: bit_xor of the h%16==0 window hashes; 0/NULL (no
-    # sampled window, or <8 bytes ⇒ no windows) falls back to
+    # sampled window, <8 bytes ⇒ no windows, or NON-ASCII text — SQL
+    # addresses characters, the engine rolls UTF-8 bytes, so both
+    # route non-ASCII docs to the fallback) falls back to
     # md5_number_upper('fp:'||text) — exactly textstats._md5_u64.
     # simhash: same md5-token bit-vote CTE as the simhash_near_dups
     # oracle. lpad(hex()) == python's '%016x'.
@@ -3336,7 +3343,8 @@ ORACLES: dict[str, str] = {
         WITH pos AS (
           SELECT doc_id, text, r.i AS i
           FROM documents, unnest(range(1, length(text) - 6)) AS r(i)
-          WHERE length(text) >= 8),
+          WHERE length(text) >= 8
+            AND octet_length(encode(text)) = length(text)),
         wh AS (
           SELECT doc_id, CAST(({terms}) % {m} AS BIGINT) AS h FROM pos),
         xr AS (
@@ -3861,8 +3869,10 @@ ORACLES: dict[str, str] = {
     "sentence_split": """
         WITH l AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(text, '[.!?]+\\s+'),
-                             x -> x <> '') AS sents
+                 list_filter(
+                   string_split_regex(text,
+                                      '[.!?]+[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '') AS sents
           FROM documents)
         SELECT doc_id, r.i - 1 AS sent_idx, sents[r.i] AS sentence,
                CAST(length(sents[r.i]) AS BIGINT) AS n_chars_sent

@@ -106,8 +106,11 @@ def build_bloom(keys_ds, column: str, n_keys_hint: int) -> np.ndarray:
             "bits": pa.array([acc.tobytes()], pa.binary()),
         })
 
+    # batch_size=None → one partial bitmap per BLOCK, not per 1024
+    # rows: at a 32 MiB bitmap the default batch size would stream
+    # thousands of near-empty bitmaps through the first OR level
     level = keys_ds.map_batches(
-        make_partial, batch_format="pyarrow"
+        make_partial, batch_size=None, batch_format="pyarrow"
     ).map_batches(
         or_batch, batch_size=_TREE_FANOUT, batch_format="pyarrow"
     ).materialize()

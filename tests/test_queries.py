@@ -434,12 +434,15 @@ def test_sentence_split_multi_sentence(registry, ray_session, tmp_path):
 
     qs, oracles = registry
     docs = pa.table({
-        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
         "text": pa.array([
             "One. Two sentences! A third? Tail without ender",
             "",
             "no enders at all",
             "Multi  spaces.  After!   End.",
+            # Unicode whitespace (NBSP/thin space) must NOT split on
+            # either side — the class is explicit ASCII, not \\s
+            "Stays. together! really. glued? Split here",
         ], pa.string()),
     })
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
@@ -448,5 +451,38 @@ def test_sentence_split_multi_sentence(registry, ray_session, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
     exp = canon(con.execute(oracles["sentence_split"]).fetchdf())
-    assert len(got) == 8  # 4 + 0 + 1 + 3 (the final 'End.' stays whole)
+    # doc 5: ASCII spaces after '!' and '?' split (3 pieces); the
+    # NBSP after 'Stays.' and thin space after 'really.' do NOT
+    assert len(got) == 11  # 4 + 0 + 1 + 3 + 3 ('End.' stays whole)
+    assert got.equals(exp)
+
+
+def test_doc_fingerprints_non_ascii_matches_oracle(registry, ray_session,
+                                                   tmp_path):
+    """Non-ASCII docs route to the md5 fallback on BOTH sides (SQL
+    can only address characters, the engine rolls UTF-8 bytes) — pin
+    engine/oracle parity on a mixed-ASCII/unicode table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from check_oracles import canon, to_pandas
+
+    qs, oracles = registry
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "plain ascii document long enough for many windows. " * 3,
+            "ünïcode document — müssen wir über den Fallback gehen",
+            "中文文档也必须走哈希回退路径才能保持一致",
+            "sm",  # shorter than the window
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = canon(to_pandas(qs["doc_fingerprints"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    exp = canon(con.execute(oracles["doc_fingerprints"]).fetchdf())
+    assert len(got) == 4
     assert got.equals(exp)
