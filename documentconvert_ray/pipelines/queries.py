@@ -2839,6 +2839,74 @@ def q_revenue_share(sf_dir: str):
     return small
 
 
+def q_nation_order_avg(sf_dir: str):
+    """NESTED aggregate (aggregate of aggregates — the two-level
+    reduction a single groupby can't express): per-customer order
+    counts, averaged per nation, customers WITHOUT orders included as
+    zeros. Inner level: per-batch (custkey, n) partials → bucketed
+    per-customer reduce (custkey cardinality scales with data). Join
+    level: native left_outer hash join customer ⟕ counts (both sides
+    big at scale; only (custkey, nationkey) resp. (custkey, n) rows
+    shuffle). Outer level: per-batch (nation, n_cust, sum_n) combiner
+    → 25-key groupby; exact floor-div micro average."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    nb = dd.derive_buckets(orders.count())
+
+    def count_partial(df):
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("o_custkey", "size"))
+        g["bucket"] = (g["o_custkey"] % nb).astype("int32")
+        return g
+
+    def count_reduce(g):
+        return (g.groupby("o_custkey", as_index=False).agg(n=("n", "sum"))
+                .astype({"o_custkey": "int64", "n": "int64"}))
+
+    oc = (
+        orders.map_batches(count_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_cust = cust.count()
+    n_part = max(8, min(dd.derive_buckets(n_cust), cpus // 2))
+    joined = cust.join(
+        oc, "left_outer", n_part,
+        on=("c_custkey",), right_on=("o_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def nation_partial(df):
+        n = df["n"].fillna(0).to_numpy(np.int64)
+        out = pd.DataFrame({
+            "nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "n_orders": n,
+        })
+        return out.groupby("nationkey", as_index=False).agg(
+            n_customers=("n_orders", "size"), n_orders=("n_orders", "sum")
+        ).astype({"n_customers": "int64", "n_orders": "int64"})
+
+    small = (
+        joined.map_batches(nation_partial, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def finalize(df):
+        df = df.copy()
+        df["avg_orders_micro"] = (
+            df["n_orders"].to_numpy(np.int64) * 1_000_000
+            // df["n_customers"].to_numpy(np.int64)
+        )
+        return df
+
+    return small.map_batches(finalize, batch_format="pandas")
+
+
 DENSITY_WINDOW_US = 3_600_000_000  # ±1 h, integer µs
 
 
@@ -3205,6 +3273,7 @@ def queries() -> dict:
         "big_orders": q_big_orders,
         "bloom_semi_join": q_bloom_semi_join,
         "event_density": q_event_density,
+        "nation_order_avg": q_nation_order_avg,
         "sentence_split": q_sentence_split,
         "moving_sum": q_moving_sum,
         "revenue_share": q_revenue_share,
@@ -3859,6 +3928,18 @@ ORACLES: dict[str, str] = {
         FROM lineitem l JOIN u ON l.l_orderkey = u.o_orderkey
         GROUP BY 1
     """.format(prio=BLOOM_PRIORITY),
+    "nation_order_avg": """
+        WITH oc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1)
+        SELECT c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(COALESCE(n, 0)) AS BIGINT) AS n_orders,
+               CAST(sum(COALESCE(n, 0)) * 1000000 // count(*)
+                    AS BIGINT) AS avg_orders_micro
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        GROUP BY 1
+    """,
     "event_density": """
         SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_within_1h
         FROM events a JOIN events b

@@ -74,6 +74,7 @@ SQL_QUERIES = [
     "doc_fingerprints",
     "bloom_semi_join",
     "event_density",
+    "nation_order_avg",
     "sentence_split",
     "moving_sum",
     "revenue_share",
