@@ -487,3 +487,41 @@ def test_doc_fingerprints_non_ascii_matches_oracle(registry, ray_session,
     exp = canon(con.execute(oracles["doc_fingerprints"]).fetchdf())
     assert len(got) == 4
     assert got.equals(exp)
+
+
+def test_event_density_boundary_semantics(registry, ray_session, tmp_path):
+    """Inclusive ±1 h bounds and bucket-boundary replication, pinned
+    on crafted timestamps: pairs exactly 1 h apart count (BETWEEN is
+    inclusive), 1 h + 1 µs apart don't, and pairs straddling a bucket
+    edge are found via the b±1 build replication."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from check_oracles import canon, to_pandas
+    from documentconvert_ray.pipelines.queries import DENSITY_WINDOW_US
+
+    W = DENSITY_WINDOW_US
+    base = 1_700_000_000_000_000  # µs epoch, mid-bucket somewhere
+    ts_us = [
+        base,              # e1
+        base + W,          # e2: exactly +1h from e1 → mutual (inclusive)
+        base + 2 * W + 1,  # e3: 1h+1µs after e2 → NOT counted with e2
+        ((base // W) + 5) * W - 1,   # e4: 1µs before a bucket edge
+        ((base // W) + 5) * W + 1,   # e5: 1µs after it (2µs apart,
+                                     # different buckets → replication)
+    ]
+    events = pa.table({
+        "event_id": pa.array(list(range(1, 6)), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    qs, oracles = registry
+    got = canon(to_pandas(qs["event_density"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    exp = canon(con.execute(oracles["event_density"]).fetchdf())
+    assert got.equals(exp)
+    counts = dict(zip(got["event_id"], got["n_within_1h"]))
+    assert counts == {1: 2, 2: 2, 3: 1, 4: 2, 5: 2}
