@@ -2862,8 +2862,14 @@ def q_nation_order_avg(sf_dir: str):
         return g
 
     def count_reduce(g):
-        return (g.groupby("o_custkey", as_index=False).agg(n=("n", "sum"))
-                .astype({"o_custkey": "int64", "n": "int64"}))
+        s = (g.groupby("o_custkey", as_index=False).agg(n=("n", "sum"))
+             .astype({"o_custkey": "int64", "n": "int64"}))
+        # arrow + metadata-free: pandas→arrow conversion at the join
+        # exchange would attach the b'pandas' schema blob, which makes
+        # pa.Schema unhashable and defeats Ray's schema dedup (same
+        # root cause as the _read schema strip)
+        return pa.Table.from_pandas(
+            s, preserve_index=False).replace_schema_metadata(None)
 
     oc = (
         orders.map_batches(count_partial, batch_format="pandas")
