@@ -18,7 +18,10 @@ from __future__ import annotations
 import hashlib
 import re
 
-_WS_SPLIT_RE = re.compile(r"\s+")
+# EXACTLY DuckDB/RE2 '\s' = [\t\n\f\r ] (probed: no \v, no Unicode
+# whitespace) — python's own \s is Unicode-wide and would diverge
+# from every token-based SQL oracle on NBSP/thin-space/VT input
+_WS_SPLIT_RE = re.compile(r"[ \t\n\r\f]+")
 _PUNCT_RE = re.compile(r"[.!,?;:]")
 
 # fixed stopword list (shared with the SQL oracle — keep in sync with
@@ -35,8 +38,13 @@ _LANG_MARKERS = {
 
 
 def tokens(text: str) -> list[str]:
-    """Whitespace tokens, empties dropped (== SQL
-    list_filter(string_split_regex(text,'\\s+'), x -> x <> ''))."""
+    """Whitespace tokens, empties dropped — byte-for-byte == SQL
+    list_filter(string_split_regex(text,'\\s+'), x -> x <> '') for ANY
+    input (the split class mirrors RE2's \\s exactly; see
+    _WS_SPLIT_RE). Residual i18n caveat shared by all token oracles:
+    str.lower() vs DuckDB lower() can differ on rare locale-specific
+    codepoints (e.g. Turkish İ); identical on ASCII and standard
+    Unicode case folds."""
     return [t for t in _WS_SPLIT_RE.split(text) if t]
 
 

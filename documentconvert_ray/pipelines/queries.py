@@ -2543,29 +2543,25 @@ def q_bloom_semi_join(sf_dir: str):
     import pandas as pd
     import pyarrow.compute as pc
 
-    def urgent_keys():
-        return _read(
-            sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
-        ).map_batches(
-            lambda b: b.filter(
-                pc.equal(b.column("o_orderpriority"), BLOOM_PRIORITY)
-            ).select(["o_orderkey"]),
-            batch_format="pyarrow",
-        )
-
-    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
     # ONE orders scan: the per-batch-unique urgent keys are
     # distributed-materialized once and reused as BOTH the bloom-build
     # input and the exact-verify join build side (this key set is what
     # is too big to broadcast — shuffling/pinning it stays fine)
-    dedup_keys = urgent_keys().map_batches(
+    dedup_keys = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    ).map_batches(
         lambda b: pa.Table.from_pydict(
-            {"o_orderkey": pa.array(
-                np.unique(b.column("o_orderkey").to_numpy()), pa.int64())}),
+            {"o_orderkey": pa.array(np.unique(
+                b.filter(pc.equal(b.column("o_orderpriority"),
+                                  BLOOM_PRIORITY))
+                .column("o_orderkey").to_numpy()), pa.int64())}),
         batch_format="pyarrow",
     ).materialize()
+    # bitmap sized from the ACTUAL materialized key count (metadata
+    # read), not a priority-mix guess — a skewed mix would otherwise
+    # silently gut the bits/key budget and with it the prune rate
     bits_ref = ray.put(
-        bl.build_bloom(dedup_keys, "o_orderkey", n_orders // 5))
+        bl.build_bloom(dedup_keys, "o_orderkey", dedup_keys.count()))
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)  # zero-copy from the local store
@@ -2700,12 +2696,18 @@ def q_nation_parties(sf_dir: str):
             g = out.groupby("nationkey", as_index=False).agg(
                 n=("bal_micro", "size"),
                 sum_acctbal_micro=("bal_micro", "sum"))
-            return pd.DataFrame({
-                "nationkey": g["nationkey"].to_numpy(np.int64),
-                "n_customers": (g["n"] * is_cust).to_numpy(np.int64),
-                "n_suppliers": (g["n"] * (1 - is_cust)).to_numpy(np.int64),
-                "sum_acctbal_micro":
-                    g["sum_acctbal_micro"].to_numpy(np.int64),
+            # arrow out (metadata-free): keeps the union→aggregate
+            # exchange on one hashable schema
+            return pa.Table.from_pydict({
+                "nationkey": pa.array(
+                    g["nationkey"].to_numpy(np.int64), pa.int64()),
+                "n_customers": pa.array(
+                    (g["n"] * is_cust).to_numpy(np.int64), pa.int64()),
+                "n_suppliers": pa.array(
+                    (g["n"] * (1 - is_cust)).to_numpy(np.int64),
+                    pa.int64()),
+                "sum_acctbal_micro": pa.array(
+                    g["sum_acctbal_micro"].to_numpy(np.int64), pa.int64()),
             })
 
         return _read(sf_dir, table, [key, bal]).map_batches(
@@ -2923,8 +2925,9 @@ def q_event_density(sf_dir: str):
     co-partitioning with BOUNDARY REPLICATION — bucket width equals
     the half-window, probes land in their own bucket, builds replicate
     to buckets b−1/b/b+1 (any in-window pair is then co-bucketed
-    EXACTLY once), per-bucket sorted searchsorted counting in integer
-    µs. Only (event_id, t) int64 rows shuffle, 4N total; bucket count
+    EXACTLY once — probes double as their own bucket's build side),
+    per-bucket sorted searchsorted counting in integer
+    µs. Only (event_id, t) int64 rows shuffle, 3N total; bucket count
     grows with the time span, not the data, and a pathologically hot
     hour can be salted into sub-buckets whose counts merge (same
     fix as the dedup sentinel keys)."""
@@ -2936,9 +2939,12 @@ def q_event_density(sf_dir: str):
         t = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
         eid = df["event_id"].to_numpy(np.int64)
         b = t // DENSITY_WINDOW_US
+        # probes double as the in-bucket build side (their t values
+        # ARE bucket b's events), so only the b±1 replicas ship —
+        # 3N rows through the exchange instead of 4N
         parts = [pd.DataFrame({"event_id": eid, "t": t, "bucket": b,
                                "is_probe": True})]
-        for off in (-1, 0, 1):
+        for off in (-1, 1):
             parts.append(pd.DataFrame({
                 "event_id": np.int64(0), "t": t, "bucket": b + off,
                 "is_probe": False}))
@@ -2950,7 +2956,7 @@ def q_event_density(sf_dir: str):
             return pd.DataFrame({
                 "event_id": np.array([], np.int64),
                 "n_within_1h": np.array([], np.int64)})
-        bt = np.sort(g.loc[~g["is_probe"], "t"].to_numpy(np.int64))
+        bt = np.sort(g["t"].to_numpy(np.int64))  # probes + b±1 builds
         pt = p["t"].to_numpy(np.int64)
         lo = np.searchsorted(bt, pt - DENSITY_WINDOW_US, "left")
         hi = np.searchsorted(bt, pt + DENSITY_WINDOW_US, "right")

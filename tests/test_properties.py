@@ -154,3 +154,28 @@ def test_fingerprint_wide_window_matches_scalar_recurrence():
     for w in (8, 9, 16, 23, 64):
         for t in texts:
             assert rolling_fingerprint(t, window=w) == scalar(t, w), (w, t)
+
+
+def test_tokens_match_duckdb_split_on_unicode_whitespace():
+    """tokens() must equal DuckDB string_split_regex(text,'\\s+') for
+    ANY input — RE2's \\s is [\\t\\n\\f\\r ] (no \\v, no Unicode
+    whitespace), and every token-based oracle depends on the match."""
+    import duckdb
+
+    from documentconvert_ray.functions.textstats import tokens
+
+    con = duckdb.connect()
+    cases = [
+        "plain ascii words",
+        "nbsp joined stays",
+        "thin space stays",
+        "vt\x0bjoined stays",
+        "ideographic　space stays",
+        "tab\tand\nnewline\rand\fformfeed split",
+        "", "   ", " ",
+    ]
+    for text in cases:
+        sql = con.execute(
+            "SELECT list_filter(string_split_regex(?, '\\s+'),"
+            " x -> x <> '')", [text]).fetchone()[0]
+        assert tokens(text) == sql, (text, tokens(text), sql)

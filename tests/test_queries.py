@@ -126,8 +126,6 @@ def test_every_query_has_runnable_entry(registry):
     assert len(qs) >= 20
 
 
-
-
 def test_ann_ivf_recall_vs_brute_force(registry, ray_session):
     """IVF is approximate; require recall@5 ≥ 0.6 vs brute force on
     this data (nprobe=4 of 16 buckets)."""
