@@ -3404,8 +3404,11 @@ def _lang_id_sql() -> str:
     """
 
 # rolling_fingerprint's SQL mirror: per-window polynomial hash
-# Σ byte·257^(7−j) mod 2^61−1 as a HUGEINT sum of ascii() terms (text
-# is ASCII in this corpus; the engine itself handles any utf-8).
+# Σ byte·257^(7−j) mod 2^61−1 as a HUGEINT sum of ascii() terms.
+# ascii() addresses CHARACTERS, so the window path only mirrors ASCII
+# text — both engine and oracle route non-ASCII docs to the md5
+# fallback (octet_length(encode())<>length() CASE), keeping the
+# mirror total for any input.
 _FP_M = (1 << 61) - 1
 _FP_TERMS_SQL = " + ".join(
     "ascii(substr(text, i + {j}, 1))::HUGEINT * {c}::HUGEINT".format(
