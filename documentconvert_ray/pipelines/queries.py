@@ -2344,12 +2344,12 @@ def q_user_event_types(sf_dir: str):
     )
 
 
-def q_click_no_purchase_days(sf_dir: str):
-    """EXCEPT-distinct over a COMPOSITE key (§2.7 set op): (user, day)
-    pairs with a click but no purchase that day. Per-batch partials
-    carry two booleans per distinct (user, day) instead of events; the
-    user-hash bucketed reduce ORs the flags and filters — an EXCEPT
-    without a self-join, exchange O(distinct pairs per batch)."""
+def _click_purchase_days(sf_dir: str, final_mask):
+    """Shared distinct-(user, day) flag pipeline behind the composite-
+    key set ops (T62 EXCEPT / T72 INTERSECT): per-batch partials carry
+    two booleans per distinct (user, day) instead of events; the
+    user-hash bucketed reduce ORs the flags and applies the set-op's
+    mask — no self-join, exchange O(distinct pairs per batch)."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
@@ -2370,7 +2370,7 @@ def q_click_no_purchase_days(sf_dir: str):
     def reduce_bucket(g):
         s = g.groupby(["user_id", "day"], as_index=False).agg(
             clicked=("clicked", "max"), purchased=("purchased", "max"))
-        s = s[s["clicked"] & ~s["purchased"]]
+        s = s[final_mask(s)]
         return (s[["user_id", "day"]].astype({"user_id": "int64"})
                 .reset_index(drop=True))
 
@@ -2379,6 +2379,22 @@ def q_click_no_purchase_days(sf_dir: str):
         .groupby("bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def q_click_no_purchase_days(sf_dir: str):
+    """EXCEPT-distinct over a COMPOSITE key (§2.7 set op): (user, day)
+    pairs with a click but no purchase that day."""
+    return _click_purchase_days(
+        sf_dir, lambda s: s["clicked"] & ~s["purchased"])
+
+
+def q_click_and_purchase_days(sf_dir: str):
+    """INTERSECT-distinct over a COMPOSITE key (§2.7 set op — the
+    EXCEPT twin with the conjunctive mask): (user, day) pairs with
+    BOTH a click and a purchase that day; same flag-partial pipeline,
+    no self-join."""
+    return _click_purchase_days(
+        sf_dir, lambda s: s["clicked"] & s["purchased"])
 
 
 def q_distinct_users_hll(sf_dir: str):
@@ -3296,6 +3312,7 @@ def queries() -> dict:
         "distinct_users": q_distinct_users,
         "user_event_types": q_user_event_types,
         "click_no_purchase_days": q_click_no_purchase_days,
+        "click_and_purchase_days": q_click_and_purchase_days,
         "distinct_users_hll": q_distinct_users_hll,
         "embeddings_by_label": q_embeddings_by_label,
         "label_centroids": q_label_centroids,
@@ -4030,6 +4047,13 @@ ORACLES: dict[str, str] = {
         SELECT user_id, date_trunc('day', ts) AS day
         FROM events WHERE event_type = 'click'
         EXCEPT
+        SELECT user_id, date_trunc('day', ts)
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "click_and_purchase_days": """
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'click'
+        INTERSECT
         SELECT user_id, date_trunc('day', ts)
         FROM events WHERE event_type = 'purchase'
     """,

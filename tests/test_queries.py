@@ -70,6 +70,7 @@ SQL_QUERIES = [
     "weighted_sample",
     "events_by_dow",
     "click_no_purchase_days",
+    "click_and_purchase_days",
     "vector_stats",
     "doc_fingerprints",
     "bloom_semi_join",
