@@ -327,10 +327,14 @@ def _is_boiler_attr(node: Node) -> bool:
 
 
 def _collapsed_len(s: str) -> int:
-    """len of whitespace-collapsed-and-stripped s (C-level split/join;
-    str.split() and the \\s+ collapse agree on the whitespace set — the
-    corpus-wide differential test against the stdlib parse guards
-    this)."""
+    """len of whitespace-collapsed-and-stripped s (C-level split/join).
+    str.split() and _WS_RE (PYTHON \\s+) share python's Unicode
+    whitespace set, so the two collapse paths in this module agree with
+    each other; this is internal HTML text normalization, NOT the
+    RE2/DuckDB ``\\s`` class — token-counting oracles must go through
+    textstats.tokens() instead (see textstats._WS_SPLIT_RE). The
+    corpus-wide differential test against the stdlib parse guards the
+    agreement here."""
     return len(" ".join(s.split()))
 
 

@@ -27,10 +27,22 @@ _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 # opendocument mime string sits in the first ~100 bytes by spec
 _ZIP_MAGIC = b"PK\x03\x04"
 _OOXML_HINTS = (b"[Content_Types].xml", b"word/", b"xl/", b"ppt/",
-                b"mimetypeapplication/vnd.oasis.opendocument",
-                b"content.xml")
+                b"mimetypeapplication/vnd.oasis.opendocument")
+# ODF packages missing the spec's stored-first `mimetype` member are
+# still recognized by their FIRST local-file-header name — a bare
+# b"content.xml" substring scan would misroute any non-office zip
+# that happens to carry that common filename in its first 4 KiB
+_ODF_FIRST_MEMBERS = (b"mimetype", b"content.xml")
 # RTF is a text format opened by its version group
 _RTF_MAGIC = b"{\\rtf"
+
+
+def _zip_first_member_name(raw: bytes) -> bytes:
+    """Name of the first local-file-header entry (b'' if malformed)."""
+    if len(raw) < 30:
+        return b""
+    nlen = int.from_bytes(raw[26:28], "little")
+    return raw[30:30 + nlen]
 
 
 def sniff_doc_type(raw: bytes) -> str:
@@ -53,8 +65,9 @@ def sniff_doc_type(raw: bytes) -> str:
         return DOC_PDF
     if raw.startswith(_OLE2_MAGIC):
         return DOC_OFFICE
-    if raw.startswith(_ZIP_MAGIC) and any(
-        h in raw[:4096] for h in _OOXML_HINTS
+    if raw.startswith(_ZIP_MAGIC) and (
+        any(h in raw[:4096] for h in _OOXML_HINTS)
+        or _zip_first_member_name(raw) in _ODF_FIRST_MEMBERS
     ):
         return DOC_OFFICE
     if raw.startswith(_RTF_MAGIC):

@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..functions.textstats import (
     lang_id,
+    tokens,
     punct_count,
     rolling_fingerprint,
     simhash64,
@@ -86,7 +87,7 @@ def ngram_partial_counts(batch: pa.Table) -> pa.Table:
 
     c: Counter = Counter()
     for t in batch.column("text").to_pylist():
-        c.update(tok for tok in t.split() if tok)
+        c.update(tokens(t))
     if not c:
         return pa.Table.from_pydict(
             {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
@@ -115,7 +116,7 @@ def mg_partial_counts(batch: pa.Table) -> pa.Table:
 
     c: Counter = Counter()
     for t in batch.column("text").to_pylist():
-        c.update(tok for tok in t.split() if tok)
+        c.update(tokens(t))
     if not c:
         return pa.Table.from_pydict(
             {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
@@ -143,7 +144,7 @@ def tf_rows_batch(batch: pa.Table) -> pa.Table:
     tfs: list[int] = []
     for i, t in zip(batch.column("doc_id").to_pylist(),
                     batch.column("text").to_pylist()):
-        for w, n in sorted(Counter(tok for tok in t.split() if tok).items()):
+        for w, n in sorted(Counter(tokens(t)).items()):
             ids.append(i)
             terms.append(w)
             tfs.append(n)
@@ -163,7 +164,7 @@ def df_partial_counts(batch: pa.Table) -> pa.Table:
 
     c: Counter = Counter()
     for t in batch.column("text").to_pylist():
-        c.update({tok for tok in t.split() if tok})
+        c.update(set(tokens(t)))
     words = sorted(c)
     return pa.Table.from_pydict(
         {"term": pa.array(words, pa.string()),
@@ -179,7 +180,7 @@ DUPG_N = 5
 
 
 def _doc_grams(text: str):
-    toks = text.split()
+    toks = tokens(text)
     k = DUPG_N
     n_pos = max(0, len(toks) - k + 1)
     c: dict = {}
@@ -253,7 +254,7 @@ class CandidateCountStage:
         wset = resolve_broadcast(self._words_ref, key="mg-candidates")
         c: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            c.update(tok for tok in t.split() if tok in wset)
+            c.update(tok for tok in tokens(t) if tok in wset)
         words = sorted(c)
         return pa.Table.from_pydict(
             {"word": pa.array(words, pa.string()),
@@ -302,7 +303,7 @@ class TermScrubStage:
         n_out: list[int] = []
         md5_out: list[str] = []
         for t in batch.column("text").to_pylist():
-            toks = t.split()
+            toks = tokens(t)
             n = 0
             for i, w in enumerate(toks):
                 if w in block:
@@ -336,7 +337,7 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     tb_out: list[int] = []
     rep_out: list[bool] = []
     for t in batch.column("text").to_pylist():
-        toks = t.split()
+        toks = tokens(t)
         n = len(toks)
         distinct_frac = len(set(toks)) * 1_000_000 // n if n else 0
         if n >= 2:
@@ -366,7 +367,7 @@ def benchmark_gram_rows(batch: pa.Table) -> pa.Table:
                          batch.column("text").to_pylist()):
         if doc_id % BENCH_MOD != 0:
             continue
-        toks = t.split()
+        toks = tokens(t)
         k = BENCH_NGRAM
         out.update(" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
     return pa.Table.from_pydict({"g": pa.array(sorted(out), pa.string())})
@@ -397,7 +398,7 @@ class ContaminationStage:
                              batch.column("text").to_pylist()):
             if doc_id % BENCH_MOD == 0:
                 continue
-            toks = t.split()
+            toks = tokens(t)
             k = BENCH_NGRAM
             dg = {" ".join(toks[i:i + k])
                   for i in range(len(toks) - k + 1)}
@@ -437,7 +438,7 @@ def pack_count_rows(batch: pa.Table, max_id: int, n_ranges: int) -> pa.Table:
     import numpy as np
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    toks = [len(t.split()) for t in batch.column("text").to_pylist()]
+    toks = [len(tokens(t)) for t in batch.column("text").to_pylist()]
     rb = (ids.astype(np.uint64) * np.uint64(n_ranges)
           // np.uint64(max_id + 1)).astype(np.int32)
     return pa.Table.from_pydict(

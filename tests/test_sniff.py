@@ -43,3 +43,30 @@ def test_other():
 def test_precedence_pdf_over_html():
     # payload with both signals: PDF magic wins (order-fixed rules)
     assert sniff_doc_type(b"%PDF-1.4 <html>") == DOC_PDF
+
+
+def test_odf_zip_routing():
+    import io
+    import zipfile
+
+    # spec-shaped ODF: stored `mimetype` first — marker in the head
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        z.writestr(zi, "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", "<office:document-content/>")
+    assert sniff_doc_type(buf.getvalue()) == DOC_OFFICE
+
+    # mimetype-less ODF: first local header IS content.xml
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("content.xml", "<office:document-content/>")
+    assert sniff_doc_type(buf.getvalue()) == DOC_OFFICE
+
+    # a NON-office zip whose first member merely MENTIONS content.xml
+    # (e.g. 'docs/content.xml.md') must not be routed office
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("docs/content.xml.readme", "about content.xml")
+    assert sniff_doc_type(buf.getvalue()) == DOC_OTHER
