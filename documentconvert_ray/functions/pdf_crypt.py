@@ -1,0 +1,92 @@
+"""PDF standard security handler — empty-user-password decryption.
+
+Implements the spec's Algorithm 2 (file key), 4/5 (user-password
+check) and 1 (per-object key) for the RC4 cases /V 1 (40-bit, /R 2)
+and /V 2 (≤128-bit, /R 3): the overwhelmingly common real-world
+"encrypted but readable" class where the USER password is empty and
+only owner permissions are restricted. Reference parity: the
+reference's MinerU error analyzer classifies password-protected PDFs
+as a distinct failure (reference services/document_service.py:394-424
+``_analyze_mineru_python_error`` password branch); documents whose
+empty user password validates are readable there and must extract
+here, not error.
+
+AES (/V 4+ /AESV2/V3) and non-Standard security handlers stay
+classified ``encrypted_pdf`` — a documented non-goal (no AES in a
+stdlib-only sandbox... and RC4 covers the legacy encrypted corpus).
+
+Pure stdlib (hashlib.md5 + a self-contained RC4). The corpus
+generator carries an INDEPENDENT encrypt-side implementation
+(sources/corpus.py) so round-trip tests cross-check two readings of
+the spec; tests/test_pdf_crypt.py additionally pins RC4 to a
+published known-answer vector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# spec's 32-byte password padding constant (Algorithm 2 step a)
+PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def file_key(owner_entry: bytes, perms: int, id0: bytes,
+             revision: int, length_bits: int = 40,
+             user_password: bytes = b"") -> bytes:
+    """Algorithm 2: the file encryption key for ``user_password``
+    (default empty — the readable-without-a-password case)."""
+    h = hashlib.md5()
+    h.update((user_password + PAD)[:32])
+    h.update(owner_entry[:32])
+    h.update(struct.pack("<i", perms))
+    h.update(id0)
+    key = h.digest()
+    n = 5 if revision == 2 else max(5, min(16, length_bits // 8))
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def check_user_password(key: bytes, user_entry: bytes,
+                        revision: int, id0: bytes) -> bool:
+    """Algorithm 6 via 4 (R2) / 5 (R3+): does ``key`` (derived from a
+    candidate user password) reproduce the document's /U entry?"""
+    if revision == 2:
+        return rc4(key, PAD) == user_entry[:32]
+    x = hashlib.md5(PAD + id0).digest()
+    x = rc4(key, x)
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    # R3+ stores 16 significant bytes + 16 bytes arbitrary padding
+    return x[:16] == user_entry[:16]
+
+
+def object_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key (RC4 ⇒ no /AESV2 salt)."""
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]

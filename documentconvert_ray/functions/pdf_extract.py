@@ -257,9 +257,11 @@ class _PageGeom:
 class _PdfDoc:
     def __init__(self, raw: bytes) -> None:
         self.raw = raw
-        self.objects: dict[int, tuple[int, int]] = {}  # num -> (body_start, body_end)
+        # num -> (body_start, body_end, gen)
+        self.objects: dict[int, tuple[int, int, int]] = {}
         self._cache: dict[int, object] = {}
         self._objstm_loaded = False
+        self.enc_key: bytes | None = None  # set by setup_decryption()
         for m in _OBJ_RE.finditer(raw):
             num = int(m.group(1))
             end = raw.find(b"endobj", m.end())
@@ -267,7 +269,51 @@ class _PdfDoc:
                 end = len(raw)
             # first definition wins (deterministic)
             if num not in self.objects:
-                self.objects[num] = (m.end(), end)
+                self.objects[num] = (m.end(), end, int(m.group(2)))
+
+    def setup_decryption(self) -> None:
+        """Resolve the /Encrypt dict and validate the EMPTY user
+        password (standard security handler, RC4 /V 1-2). On success
+        every subsequent get_stream() call decrypts transparently; any
+        other configuration (real password, AES, non-Standard filter)
+        raises ``encrypted_pdf`` — reference M11's password branch
+        (services/document_service.py:394-424)."""
+        from .pdf_crypt import check_user_password, file_key
+
+        m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.raw)
+        if not m:
+            raise PdfError("encrypted_pdf",
+                           "unresolvable /Encrypt reference")
+        try:
+            enc = self.get_object(int(m.group(1)))
+        except PdfError:
+            enc = None
+        if not isinstance(enc, dict):
+            raise PdfError("encrypted_pdf", "unreadable /Encrypt dict")
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R", 2))
+        o_entry = self.resolve(enc.get("O"))
+        u_entry = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P", -1))
+        length = self.resolve(enc.get("Length", 40))
+        if (enc.get("Filter") != "Standard" or v not in (1, 2)
+                or r not in (2, 3)
+                or not isinstance(o_entry, bytes)
+                or not isinstance(u_entry, bytes)
+                or not isinstance(p, int)
+                or not isinstance(length, int)):
+            raise PdfError(
+                "encrypted_pdf",
+                f"unsupported security handler (V={v} R={r})")
+        # first /ID element from the trailer (empty when absent — the
+        # de-facto reader behavior for ID-less encrypted files)
+        idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]*)>", self.raw)
+        id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+        key = file_key(o_entry, p, id0, r, length)
+        if not check_user_password(key, u_entry, r, id0):
+            raise PdfError("encrypted_pdf",
+                           "non-empty user password required")
+        self.enc_key = key
 
     def resolve(self, v):
         if isinstance(v, _Ref):
@@ -297,7 +343,7 @@ class _PdfDoc:
         self._objstm_loaded = True
         hits = []
         for m in re.finditer(rb"/Type\s*/ObjStm\b", self.raw):
-            for num, (s, e) in self.objects.items():
+            for num, (s, e, _g) in self.objects.items():
                 if s <= m.start() < e:
                     hits.append((s, num))
                     break
@@ -350,6 +396,13 @@ class _PdfDoc:
         length = self.resolve(sdict.get("Length"))
         if isinstance(length, int) and 0 <= length <= len(data):
             data = data[:length]
+        # decryption is the OUTERMOST layer (spec: streams are
+        # filter-encoded, then encrypted) — RC4 before filters; xref
+        # streams are never encrypted by spec
+        if self.enc_key is not None and sdict.get("Type") != "XRef":
+            from .pdf_crypt import object_key, rc4
+
+            data = rc4(object_key(self.enc_key, num, span[2]), data)
         filt = self.resolve(sdict.get("Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(sdict.get("DecodeParms", sdict.get("DP")))
@@ -944,17 +997,21 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
         # (deterministic error_kind regardless of where the cut lands).
         if not raw.rstrip(b" \t\r\n\x00").endswith(b"%%EOF"):
             raise PdfError("truncated_pdf", "missing %%EOF trailer")
-        # encrypted-document classification (reference M11 semantics:
+        # encrypted-document handling (reference M11 semantics:
         # _analyze_mineru_python_error's password-protected branch,
         # services/document_service.py:394-424). The /Encrypt key
         # lives in the trailer (or XRef-stream dict); a whole-payload
-        # token scan is the deterministic, oracle-mirrorable rule —
-        # a false positive needs the literal token outside any
-        # compressed stream, which no sane writer emits.
-        if b"/Encrypt" in raw:
-            raise PdfError("encrypted_pdf",
-                           "document declares /Encrypt (password-protected)")
+        # token scan is the deterministic trigger — a false positive
+        # needs the literal token outside any compressed stream, which
+        # no sane writer emits. An /Encrypt document is NOT
+        # automatically an error: the common real-world class has an
+        # EMPTY user password (only owner permissions restricted) and
+        # is fully readable — setup_decryption() validates it and arms
+        # transparent RC4 stream decryption; genuinely passworded or
+        # AES documents raise encrypted_pdf there.
         doc = _PdfDoc(raw)
+        if b"/Encrypt" in raw:
+            doc.setup_decryption()
         pages = doc.pages()
         blocks: list[Block] = []
         seq_base = 0

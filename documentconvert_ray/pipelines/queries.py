@@ -1780,59 +1780,40 @@ def q_big_orders(sf_dir: str):
             .limit(100)
         )
 
+    # Broadcast path: the survivor set ships ONCE as a DataFrame and
+    # every probe is a vectorized pandas hash merge — no per-row
+    # Python membership tests anywhere.
     surv = survivors.to_pandas()  # ≤ the 100k bound checked above
-    qty_by_okey = dict(zip(surv["l_orderkey"].to_numpy(np.int64),
-                           surv["sum_qty_micro"].to_numpy(np.int64)))
-    qty_ref = ray.put(qty_by_okey)
+    surv = surv.rename(columns={"l_orderkey": "o_orderkey"})
+    surv_ref = ray.put(surv)
 
     def attach_orders(df):
-        m = sim.resolve_broadcast(qty_ref, key="bigorders-qty")
-        okeys = df["o_orderkey"].to_numpy(np.int64)
-        mask = np.fromiter((k in m for k in okeys), bool, len(okeys))
-        df = df[mask]
-        okeys = okeys[mask]
+        s = sim.resolve_broadcast(surv_ref, key="bigorders-qty")
+        m = df.merge(s, on="o_orderkey", how="inner")
         return pd.DataFrame({
-            "o_custkey": df["o_custkey"].to_numpy(np.int64),
-            "o_orderkey": okeys,
-            "o_orderdate": df["o_orderdate"],
-            "price_c": _cents_col(df["o_totalprice"]),
-            "sum_qty_micro": np.fromiter(
-                (m[k] for k in okeys), np.int64, len(okeys)),
+            "o_custkey": m["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": m["o_orderdate"],
+            "price_c": _cents_col(m["o_totalprice"]),
+            "sum_qty_micro": m["sum_qty_micro"].to_numpy(np.int64),
         })
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     wo = orders.map_batches(attach_orders, batch_format="pandas").to_pandas()
-    by_cust: dict = {}
-    for row in wo.itertuples(index=False):
-        by_cust.setdefault(int(row.o_custkey), []).append(row)
-    cust_ref = ray.put(by_cust)
+    wo_ref = ray.put(wo)  # ≤ survivor-bounded rows (one per big order)
 
     def attach_cust(df):
-        m = sim.resolve_broadcast(cust_ref, key="bigorders-cust")
-        cks: list[int] = []
-        cns: list[str] = []
-        oks: list[int] = []
-        ods: list = []
-        pcs: list[int] = []
-        qts: list[int] = []
-        keys = df["c_custkey"].to_numpy(np.int64)
-        hit = np.fromiter((int(k) in m for k in keys), bool, len(keys))
-        for ck, cn in zip(keys[hit], df["c_name"].to_numpy()[hit]):
-            for o in m[int(ck)]:
-                cks.append(int(ck))
-                cns.append(cn)
-                oks.append(int(o.o_orderkey))
-                ods.append(o.o_orderdate)
-                pcs.append(int(o.price_c))
-                qts.append(int(o.sum_qty_micro))
+        w = sim.resolve_broadcast(wo_ref, key="bigorders-cust")
+        m = df.merge(w, left_on="c_custkey", right_on="o_custkey",
+                     how="inner")
         return pd.DataFrame({
-            "c_custkey": np.array(cks, np.int64),
-            "c_name": np.array(cns, dtype=object),
-            "o_orderkey": np.array(oks, np.int64),
-            "o_orderdate": pd.to_datetime(pd.Series(ods)),
-            "price_c": np.array(pcs, np.int64),
-            "sum_qty_micro": np.array(qts, np.int64),
+            "c_custkey": m["c_custkey"].to_numpy(np.int64),
+            "c_name": m["c_name"],
+            "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": pd.to_datetime(m["o_orderdate"]),
+            "price_c": m["price_c"].to_numpy(np.int64),
+            "sum_qty_micro": m["sum_qty_micro"].to_numpy(np.int64),
         })
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -2515,6 +2496,17 @@ def q_order_revenue_join(sf_dir: str):
         aggregator_ray_remote_args=_join_remote_args(np_li),
     )
 
+    # Final reduce is the repo's BUCKETED idiom, not a native per-key
+    # aggregate: ~n_orders distinct (orderkey, date, priority) keys
+    # survive the join at scale, and the native sort-based aggregate
+    # pays per-distinct-key overhead (measured 30× on 100k+ keys —
+    # BASELINE.md / q_big_orders). Buckets are o_orderkey-hash, one
+    # vectorized pandas sum + a PARTIAL top-10 per bucket (the
+    # (orderkey, date, priority) key is functionally o_orderkey, so a
+    # per-bucket top-10 is a safe prune), then a tiny
+    # ≤ 10×n_buckets-row global sort picks the real top-10.
+    nb_agg = dd.derive_buckets(n_orders)
+
     def partial(df):
         rev = np.floor(
             df["l_extendedprice"].to_numpy(np.float64)
@@ -2527,12 +2519,22 @@ def q_order_revenue_join(sf_dir: str):
         ).groupby(
             ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
         ).agg(revenue_micro=("rev", "sum"))
+        g["bucket"] = (g["o_orderkey"] % nb_agg).astype("int32")
         return g
+
+    def reduce_topk(g):
+        s = g.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue_micro=("revenue_micro", "sum"))
+        return s.sort_values(
+            ["revenue_micro", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
 
     return (
         joined.map_batches(partial, batch_format="pandas")
-        .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"])
-        .aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+        .groupby("bucket")
+        .map_groups(reduce_topk, batch_format="pandas")
         .sort(["revenue_micro", "o_orderdate", "o_orderkey"],
               descending=[True, False, False])
         .limit(10)
@@ -4438,6 +4440,12 @@ def _extract_oracle_cte() -> str:
     doc_hex = "WordDocument".encode("utf-16-le").hex().upper()
     xls_hex = "Workbook".encode("utf-16-le").hex().upper()
     ppt_hex = "PowerPoint Document".encode("utf-16-le").hex().upper()
+    # the PASSWORDED slice's marker: the generator's bogus /U entry
+    # (b"/U <" + b"11"*32 + b">"), which validates NO password — the
+    # Python side proves the same classification via the real
+    # standard-security-handler empty-password check (Algorithm 4/5);
+    # per-doc equivalence asserted in tests/test_pdf_crypt.py
+    bogus_u_hex = (b"/U <" + b"11" * 32 + b">").hex().upper()
     return f"""
         WITH src AS (
           SELECT url,
@@ -4447,8 +4455,11 @@ def _extract_oracle_cte() -> str:
                   substr(hex(html), octet_length(html)*2 - 11, 12)
                     = '2525454F460A') AS has_eof,
                  -- '/Encrypt' token, byte-aligned (odd 1-based hex pos);
-                 -- mirrors the extractor's whole-payload scan exactly
-                 (strpos(hex(html), '2F456E6372797074') % 2) = 1 AS has_enc,
+                 -- an /Encrypt document is an ERROR only when the
+                 -- empty user password fails (the bogus-/U slice) —
+                 -- RC4-empty-password documents decrypt and extract
+                 ((strpos(hex(html), '2F456E6372797074') % 2) = 1 AND
+                  (strpos(hex(html), '{bogus_u_hex}') % 2) = 1) AS has_enc,
                  substr(hex(html), 1, 8) = 'D0CF11E0' AS is_ole2,
                  -- '{{\\rtf' magic; the RTF scanner is total, so the
                  -- magic alone decides ok (truncation-tolerant)

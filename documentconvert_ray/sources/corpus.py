@@ -455,6 +455,92 @@ def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
     return "\n".join(ops), shown
 
 
+# ---------------------------------------------- PDF standard encryption
+#
+# Encrypt-side twin of functions/pdf_crypt.py, implemented
+# INDEPENDENTLY from the spec text (Algorithms 1/2/4/5) so the
+# round-trip tests cross-check two readings of the standard security
+# handler rather than one shared implementation; RC4 itself is
+# additionally pinned to a published known-answer vector in
+# tests/test_pdf_crypt.py.
+
+_PDF_ENC_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+
+
+def _rc4_xor(key: bytes, data: bytes) -> bytes:
+    S = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) % 256
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + S[i]) % 256
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) % 256])
+    return bytes(out)
+
+
+def _pdf_enc_file_key(o: bytes, p: int, id0: bytes,
+                      rev: int, bits: int) -> bytes:
+    import hashlib
+
+    md = hashlib.md5()
+    md.update(_PDF_ENC_PAD)  # empty user password → the pad alone
+    md.update(o)
+    md.update((p & 0xFFFFFFFF).to_bytes(4, "little"))  # signed P, LE
+    md.update(id0)
+    key = md.digest()
+    n = 5 if rev == 2 else bits // 8
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _pdf_enc_user_entry(key: bytes, rev: int, id0: bytes) -> bytes:
+    import hashlib
+
+    if rev == 2:
+        return _rc4_xor(key, _PDF_ENC_PAD)
+    x = hashlib.md5(_PDF_ENC_PAD + id0).digest()
+    x = _rc4_xor(key, x)
+    for i in range(1, 20):
+        x = _rc4_xor(bytes(c ^ i for c in key), x)
+    return x + bytes(16)  # 16 significant + 16 arbitrary padding bytes
+
+
+def _pdf_enc_object_key(key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    d = hashlib.md5(key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes) -> None:
+    """RC4-encrypt every stream payload in ``bodies`` in place
+    (encryption is the OUTERMOST layer — applied after filters). The
+    xref stream is exempt by spec but never lives in ``bodies``."""
+    for num, body in bodies.items():
+        sidx = body.find(b">>\nstream\n")
+        if sidx < 0:
+            continue
+        start = sidx + len(b">>\nstream\n")
+        eidx = body.rfind(b"\nendstream")
+        payload = body[start:eidx]
+        bodies[num] = (body[:start]
+                       + _rc4_xor(_pdf_enc_object_key(fkey, num, 0), payload)
+                       + body[eidx:])
+
+
 def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     """Return (payload_bytes, naive_text, lang) for a PDF doc.
 
@@ -465,7 +551,10 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
       dicts + font packed into a /ObjStm object stream;
     - ASCIIHexDecode / LZW / Flate+PNG-predictor (10-15) /
       Flate+TIFF-predictor content streams;
-    - /Encrypt-bearing documents → deterministic encrypted_pdf;
+    - /Encrypt-bearing documents: a PASSWORDED slice (bogus /U that
+      validates no password → deterministic encrypted_pdf) and an
+      RC4-encrypted slice with an EMPTY user password (R2/V1 40-bit
+      and R3/V2 128-bit; really encrypted streams — must extract);
     - truncated payloads (no %%EOF) → deterministic truncated_pdf.
     """
     r = _rng(doc_id, seed + 7)
@@ -477,7 +566,15 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     # < 0.42 Flate+TIFF predictor 2
     filt = r.random()
     cid = r.random() < 0.12  # Type0/CID font + ToUnicode CMap
-    encrypted = r.random() < 0.04  # /Encrypt in trailer → encrypted_pdf
+    # /Encrypt split: a PASSWORDED slice (bogus /U that validates no
+    # password → encrypted_pdf error rows) and an RC4-ENCRYPTED-WITH-
+    # EMPTY-USER-PASSWORD slice (really encrypted streams; the common
+    # readable real-world class — must extract, not error)
+    # thresholds chosen so the 1500-doc gate corpus contains ≥1 doc of
+    # each class: passworded, RC4-40/R2 and RC4-128/R3 (md5-bit split)
+    enc_roll = r.random()
+    encrypted = enc_roll < 0.055
+    enc_empty = 0.015 <= enc_roll < 0.055
 
     page_streams: list[bytes] = []
     all_shown: list[str] = []
@@ -584,15 +681,46 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         bodies[cnum] = content_bodies[i]
 
     enc_ref = b""
+    id_ref = b""
+    enc_fkey: bytes | None = None
     if encrypted:
-        # standard security-handler dict; classification happens
-        # before parsing, so the streams stay readable here (the
-        # classifier's contract is the /Encrypt declaration itself)
+        import hashlib
+
         enc_num = max(bodies) + 1
-        bodies[enc_num] = (
-            b"<< /Filter /Standard /V 1 /R 2 /O <"
-            + b"00" * 32 + b"> /U <" + b"11" * 32 + b"> /P -44 >>"
-        )
+        if enc_empty:
+            # REAL standard-security-handler encryption with an empty
+            # user password: R2/V1 (RC4-40) or R3/V2 (RC4-128). O and
+            # /ID derive from doc_id via md5 (not the r stream, so the
+            # page-content draws stay byte-identical across variants).
+            o_entry = (hashlib.md5(f"encO-{doc_id}".encode()).digest()
+                       + hashlib.md5(f"encO2-{doc_id}".encode()).digest())
+            id0 = hashlib.md5(f"encID-{doc_id}".encode()).digest()
+            perms = -44
+            # md5-bit selector (not parity: the gate corpus's surviving
+            # empty-password ids happen to share parity)
+            r2_sel = hashlib.md5(f"encR-{doc_id}".encode()).digest()[0] & 1
+            rev, v, bits = (2, 1, 40) if r2_sel else (3, 2, 128)
+            enc_fkey = _pdf_enc_file_key(o_entry, perms, id0, rev, bits)
+            u_entry = _pdf_enc_user_entry(enc_fkey, rev, id0)
+            bodies[enc_num] = (
+                b"<< /Filter /Standard /V " + str(v).encode()
+                + b" /R " + str(rev).encode()
+                + b" /Length " + str(bits).encode()
+                + b" /O <" + o_entry.hex().encode() + b">"
+                + b" /U <" + u_entry.hex().encode() + b">"
+                + b" /P " + str(perms).encode() + b" >>"
+            )
+            idh = id0.hex().encode()
+            id_ref = b" /ID [<" + idh + b"> <" + idh + b">]"
+        else:
+            # passworded: a /U that NO password reproduces (fixed
+            # bogus bytes — also the oracle's byte marker for the
+            # encrypted_pdf error class); streams stay plaintext but
+            # the extractor must refuse before touching them
+            bodies[enc_num] = (
+                b"<< /Filter /Standard /V 1 /R 2 /O <"
+                + b"00" * 32 + b"> /U <" + b"11" * 32 + b"> /P -44 >>"
+            )
         enc_ref = b" /Encrypt " + str(enc_num).encode() + b" 0 R"
 
     if structure < 0.15:
@@ -622,6 +750,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             + b" >>\nstream\n" + zdata + b"\nendstream"
         )
         xref_num = objstm_num + 1
+        if enc_fkey is not None:
+            _pdf_encrypt_streams(bodies, enc_fkey)
         out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         for num in sorted(bodies):
@@ -642,13 +772,15 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         out += (
             str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
             + str(xref_num + 1).encode()
-            + b" /W [1 4 1] /Root 1 0 R" + enc_ref
+            + b" /W [1 4 1] /Root 1 0 R" + enc_ref + id_ref
             + b" /Filter /FlateDecode /Length "
             + str(len(zent)).encode() + b" >>\nstream\n" + zent
             + b"\nendstream\nendobj\n"
         )
         out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     else:
+        if enc_fkey is not None:
+            _pdf_encrypt_streams(bodies, enc_fkey)
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = {}
         for num in sorted(bodies):
@@ -666,7 +798,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
             b"trailer\n<< /Size " + str(maxnum + 1).encode()
-            + b" /Root 1 0 R" + enc_ref + b" >>\nstartxref\n"
+            + b" /Root 1 0 R" + enc_ref + id_ref + b" >>\nstartxref\n"
             + str(xref_pos).encode() + b"\n%%EOF\n"
         )
 

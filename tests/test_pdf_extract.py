@@ -245,18 +245,26 @@ def test_corpus_flagship_oracle_equivalence():
         elif dt == "pdf":
             res = extract_pdf(raw, DEFAULT_CONFIG)
             has_eof = raw.endswith(b"%%EOF\n")
-            has_enc = b"/Encrypt" in raw
+            # an /Encrypt document errors only when the EMPTY user
+            # password fails — the generator's passworded slice
+            # carries the bogus /U <11*32> marker; the RC4-empty
+            # slice must decrypt and extract
+            has_enc = (b"/Encrypt" in raw
+                       and b"/U <" + b"11" * 32 + b">" in raw)
             exp_ok = has_eof and not has_enc
             assert res.ok == exp_ok, (i, res.error_kind, res.error)
             exp_kind = ("truncated_pdf" if not has_eof
                         else "encrypted_pdf" if has_enc else "")
             assert res.error_kind == exp_kind, i
-            # the SQL oracle finds '/Encrypt' via a byte-aligned hex
-            # strpos; assert the hex search agrees with the byte scan
-            # (an even-position first hit would diverge)
+            # the SQL oracle finds '/Encrypt' and the bogus-/U marker
+            # via byte-aligned hex strpos; assert the hex search
+            # agrees with the byte scan (an even-position first hit
+            # would diverge)
             hx = raw.hex().upper()
             pos = hx.find("2F456E6372797074")
-            assert ((pos >= 0 and pos % 2 == 0) == has_enc), i
+            posu = hx.find((b"/U <" + b"11" * 32 + b">").hex().upper())
+            assert (((pos >= 0 and pos % 2 == 0)
+                     and (posu >= 0 and posu % 2 == 0)) == has_enc), i
 
 
 def test_lzw_roundtrip_and_filter():
