@@ -1877,16 +1877,22 @@ def q_dup_gram_mass(sf_dir: str):
     (arXiv:2107.06499): per doc, the fraction of 5-gram positions
     whose gram also appears in ≥ 1 OTHER document.
 
-    Shape (one gram-key exchange, no broadcast of the dup set):
-      1. gram-df combiner (≤ one row per (batch, distinct gram)) →
-         gram groupby → df ≥ 2 keeps the duplicated grams. At web
-         scale this relation is far too large to broadcast — it stays
-         distributed and becomes the hash-join build side.
+    Shape (one gram-key exchange, no broadcast of the dup set; the
+    exchange carries 8-byte md5-derived gram HASHES, never gram
+    strings — the SQL oracle applies the same md5_number_upper hash so
+    both sides share collision semantics exactly; at 64 bits the
+    birthday term is ~n²/2⁶⁵ spurious dup-gram keys over n distinct
+    grams — negligible below ~10¹⁰ grams, and a documented
+    approximation beyond):
+      1. gram-df combiner (≤ one (gh, nd) row per (batch, distinct
+         gram)) → gh groupby → df ≥ 2 keeps the duplicated grams. At
+         web scale this relation is far too large to broadcast — it
+         stays distributed and becomes the hash-join build side.
       2. probe rows: per (doc, distinct gram) occurrence counts, plus
-         ONE sentinel row per doc (g='\\x00<doc_id>', n_occ = total
-         positions — per-doc keys so the denominators SPREAD instead
-         of hot-keying one partition) so a single text pass emits
-         both numerator candidates and the denominator.
+         ONE is_tot row per doc (gh=doc_id, n_occ = total positions —
+         per-doc keys so the denominators SPREAD instead of
+         hot-keying one partition) so a single text pass emits both
+         numerator candidates and the denominator.
       3. left-outer native hash join marks duplicated grams; a
          per-batch combiner collapses to one (doc, n_pos, n_dup)
          partial per partition before the per-doc sum.
@@ -1905,12 +1911,15 @@ def q_dup_gram_mass(sf_dir: str):
     n_gb = dd.derive_buckets(n_docs, rows_per_doc=32)
 
     def gram_bucketize(b: pa.Table) -> pa.Table:
-        return _crc_bucket_col(tx.dupgram_partial_df(b), "g", n_gb)
+        t = tx.dupgram_partial_df(b)
+        gh = t.column("gh").to_numpy().view(np.uint64)
+        bk = (gh % np.uint64(n_gb)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bk))
 
     def dup_reduce(g):
-        s = g.groupby("g", as_index=False).agg(df=("nd", "sum"))
+        s = g.groupby("gh", as_index=False).agg(df=("nd", "sum"))
         s = s[s["df"] >= 2]
-        return pd.DataFrame({"g_r": s["g"],
+        return pd.DataFrame({"gh_r": s["gh"].to_numpy(np.int64),
                              "dup": np.ones(len(s), dtype=np.int64)})
 
     build = (
@@ -1925,7 +1934,7 @@ def q_dup_gram_mass(sf_dir: str):
     n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
                         cpus // 2))
     joined = probe.join(
-        build, "left_outer", n_part, on=("g",), right_on=("g_r",),
+        build, "left_outer", n_part, on=("gh",), right_on=("gh_r",),
         aggregator_ray_remote_args=_join_remote_args(n_part),
     )
 
@@ -1933,7 +1942,7 @@ def q_dup_gram_mass(sf_dir: str):
 
     def partial(df):
         occ = df["n_occ"].to_numpy(np.int64)
-        is_tot = df["g"].str.startswith(tx.DUPG_SENTINEL).to_numpy()
+        is_tot = df["is_tot"].to_numpy(bool)
         is_dup = df["dup"].fillna(0).to_numpy(np.int64) == 1
         out = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
@@ -4153,17 +4162,22 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split_regex(text, '\\s+'),
                              x -> x <> '') AS tk
           FROM documents),
+        -- gram keys are md5_number_upper HASHES on both sides (the
+        -- Ray side ships int64 hashes, never gram strings) — same
+        -- hash ⇒ identical collision semantics
         pos AS (
-          SELECT doc_id, array_to_string(tk[i:i+{nm1}], ' ') AS g
+          SELECT doc_id,
+                 md5_number_upper(array_to_string(tk[i:i+{nm1}], ' '))
+                     AS gh
           FROM toks, unnest(range(1, len(tk) - {nm2})) AS t(i)
           WHERE len(tk) >= {n}),
-        dg AS (SELECT doc_id, g, count(*) AS n_occ
-               FROM pos GROUP BY doc_id, g),
-        dup AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+        dg AS (SELECT doc_id, gh, count(*) AS n_occ
+               FROM pos GROUP BY doc_id, gh),
+        dup AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) >= 2),
         tot AS (SELECT doc_id, count(*) AS n_pos
                 FROM pos GROUP BY doc_id),
         hits AS (SELECT doc_id, sum(n_occ) AS n_dup
-                 FROM dg JOIN dup USING (g) GROUP BY doc_id)
+                 FROM dg JOIN dup USING (gh) GROUP BY doc_id)
         SELECT t.doc_id, CAST(t.n_pos AS BIGINT) AS n_pos,
                CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup,
                CAST(coalesce(h.n_dup, 0) * 1000000 // t.n_pos

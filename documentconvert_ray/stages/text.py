@@ -190,52 +190,78 @@ def _doc_grams(text: str):
     return c, n_pos
 
 
+def _gram_hashes_i64(grams) -> "object":
+    """md5-derived 64-bit gram keys (DuckDB ``md5_number_upper``
+    convention via textstats._md5_u64), reinterpreted int64 for Arrow.
+    Shipping 8-byte hashes instead of ~30-byte gram STRINGS through
+    the df combiner and the join is the web-scale exchange trade; the
+    SQL oracle applies the SAME hash so both sides share collision
+    semantics exactly (64-bit birthday caveat documented at the
+    query)."""
+    import numpy as np
+
+    from ..functions.textstats import _md5_u64
+
+    return np.fromiter(
+        (_md5_u64(g.encode("utf-8")) for g in grams), np.uint64, len(grams)
+    ).view(np.int64)
+
+
 def dupgram_partial_df(batch: pa.Table) -> pa.Table:
-    """Per-batch partial gram DOCUMENT counts (gram → number of batch
-    docs containing it) — the combiner before the gram-df groupby;
-    ≤ one row per (batch, distinct gram) shuffles."""
+    """Per-batch partial gram DOCUMENT counts (gram hash → number of
+    batch docs containing it) — the combiner before the gram-df
+    groupby; ≤ one 16-byte (gh, nd) row per (batch, distinct gram)
+    shuffles, never a gram string."""
+    import numpy as np
+
     c: dict = {}
     for t in batch.column("text").to_pylist():
         for g in _doc_grams(t)[0]:
             c[g] = c.get(g, 0) + 1
     grams = sorted(c)
     return pa.Table.from_pydict(
-        {"g": pa.array(grams, pa.string()),
-         "nd": pa.array([c[g] for g in grams], pa.int64())}
+        {"gh": pa.array(_gram_hashes_i64(grams), pa.int64()),
+         "nd": pa.array(np.fromiter((c[g] for g in grams), np.int64,
+                                    len(grams)))}
     )
 
 
-# sentinel-row prefix: '\x00' cannot appear in a real word-gram (the
-# grams are whitespace-split tokens), and making the sentinel key
-# PER-DOC ('\x00<doc_id>') spreads the denominator rows uniformly
-# across join partitions — a single shared sentinel key would be a
-# guaranteed hot key growing linearly with the corpus
-DUPG_SENTINEL = "\x00"
-
-
 def dupgram_doc_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, g, n_occ) per distinct (doc, gram) + the doc totals
-    carried as sentinel rows (g='\\x00<doc_id>' with n_occ = total
-    positions), so ONE pass emits both the join probe and the
-    denominator — the union-free way to keep the exchange at
-    1 + distinct-gram rows per doc."""
+    """(doc_id, gh, n_occ, is_tot) per distinct (doc, gram) + ONE
+    per-doc total row (is_tot=true, n_occ = total positions, gh =
+    doc_id — an arbitrary spread key that never feeds the numerator),
+    so a single text pass emits both the join probe and the
+    denominator; per-doc total keys spread the denominators instead
+    of hot-keying one partition."""
+    import numpy as np
+
     ids: list[int] = []
-    gs: list[str] = []
+    ghs: list[int] = []
     occ: list[int] = []
+    tot: list[bool] = []
     for i, t in zip(batch.column("doc_id").to_pylist(),
                     batch.column("text").to_pylist()):
         c, n_pos = _doc_grams(t)
         ids.append(i)
-        gs.append(DUPG_SENTINEL + str(i))  # per-doc total positions
+        ghs.append(0)  # placeholder; patched to doc_id below
         occ.append(n_pos)
-        for g in sorted(c):
+        tot.append(True)
+        grams = sorted(c)
+        hs = _gram_hashes_i64(grams)
+        for g, h in zip(grams, hs):
             ids.append(i)
-            gs.append(g)
+            ghs.append(int(h))
             occ.append(c[g])
+            tot.append(False)
+    gh_arr = np.array(ghs, np.int64)
+    id_arr = np.array(ids, np.int64)
+    tot_arr = np.array(tot, bool)
+    gh_arr[tot_arr] = id_arr[tot_arr]  # per-doc denominator spread keys
     return pa.Table.from_pydict(
-        {"doc_id": pa.array(ids, pa.int64()),
-         "g": pa.array(gs, pa.string()),
-         "n_occ": pa.array(occ, pa.int64())}
+        {"doc_id": pa.array(id_arr),
+         "gh": pa.array(gh_arr),
+         "n_occ": pa.array(occ, pa.int64()),
+         "is_tot": pa.array(tot_arr)}
     )
 
 
