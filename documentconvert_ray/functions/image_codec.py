@@ -1,0 +1,220 @@
+"""Pure-stdlib image decoding — the REAL kernel behind the
+multimodal decode stage for stdlib-decodable formats.
+
+Formats (all parsed from their published wire layouts, no codec
+libraries): PPM/PGM (binary P6/P5), BMP (BITMAPINFOHEADER), PNG
+(full IDAT inflate + row unfilter, grayscale/RGB/RGBA 8-bit,
+non-interlaced), GIF (logical screen descriptor), JPEG (SOF frame
+header scan). PNG is decoded to PIXELS, not just dims — the zlib
+inflate + Sub/Up/Average/Paeth unfilter chain is the same math as a
+real image library's hot path. Anything else returns None and the
+stage falls back to the declared deterministic stub (JPEG entropy
+decode, video codecs — genuinely unavailable in this environment).
+
+Reference parity: the reference's image leg feeds image files to a
+black-box OCR converter (services/document_service.py:826-907); the
+decode-to-metadata step here is the Ray-side analogue's first stage.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+__all__ = ["decode_image", "decode_png_pixels", "ImageInfo"]
+
+
+class ImageInfo:
+    """Decoded image metadata: width, height, channels and the decoded
+    pixel-buffer size (w*h*c) — NOT the wire size; a decode stage's
+    memory planning needs the decoded footprint."""
+
+    __slots__ = ("width", "height", "channels")
+
+    def __init__(self, width: int, height: int, channels: int) -> None:
+        self.width = width
+        self.height = height
+        self.channels = channels
+
+    @property
+    def n_bytes(self) -> int:
+        return self.width * self.height * self.channels
+
+
+_PNM_HEADER_RE = re.compile(
+    rb"^P([56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+    rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s")
+
+
+def _decode_pnm(payload: bytes) -> ImageInfo | None:
+    m = _PNM_HEADER_RE.match(payload)
+    if not m:
+        return None
+    w, h = int(m.group(2)), int(m.group(3))
+    if w <= 0 or h <= 0:
+        return None
+    channels = 3 if m.group(1) == b"6" else 1
+    if len(payload) - m.end() < w * h * channels:
+        return None  # truncated raster
+    return ImageInfo(w, h, channels)
+
+
+def _decode_bmp(payload: bytes) -> ImageInfo | None:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40 or w <= 0 or h == 0:
+        return None
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp not in (8, 24, 32):
+        return None
+    return ImageInfo(w, abs(h), bpp // 8)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_ihdr(payload: bytes):
+    if not payload.startswith(_PNG_SIG) or len(payload) < 33:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", payload, 16)
+    depth, color, _comp, _filt, interlace = payload[24:29]
+    if w <= 0 or h <= 0 or color not in _PNG_CHANNELS:
+        return None
+    return w, h, depth, color, interlace
+
+
+def _decode_png(payload: bytes) -> ImageInfo | None:
+    hdr = _png_ihdr(payload)
+    if hdr is None:
+        return None
+    w, h, _depth, color, _il = hdr
+    return ImageInfo(w, h, _PNG_CHANNELS[color])
+
+
+def decode_png_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
+    """Full PNG decode for 8-bit gray/RGB/RGBA non-interlaced images:
+    IDAT inflate + per-row unfilter (None/Sub/Up/Average/Paeth).
+    Returns (info, pixel bytes in row-major order) or None."""
+    hdr = _png_ihdr(payload)
+    if hdr is None:
+        return None
+    w, h, depth, color, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        return None
+    channels = _PNG_CHANNELS[color]
+    # walk chunks, concatenating IDAT
+    idat = bytearray()
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(data) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    bpp = channels
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = data[base]
+        row = bytearray(data[base + 1:base + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            return None
+        out[r * stride:(r + 1) * stride] = row
+        prev = bytes(row)
+    return ImageInfo(w, h, channels), bytes(out)
+
+
+def _decode_gif(payload: bytes) -> ImageInfo | None:
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w == 0 or h == 0:
+        return None
+    return ImageInfo(w, h, 3)  # palette resolves to RGB
+
+
+def _decode_jpeg(payload: bytes) -> ImageInfo | None:
+    """Scan the marker stream for a SOF frame header (C0-CF minus
+    C4/C8/CC) — the standard dims/components parse every real reader
+    performs before entropy decode."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 2 + seglen > n or seglen < 8:
+                return None
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            ncomp = payload[i + 9]
+            if w == 0 or h == 0 or ncomp == 0:
+                return None
+            return ImageInfo(w, h, ncomp)
+        i += 2 + seglen
+    return None
+
+
+def decode_image(payload: bytes) -> ImageInfo | None:
+    """Sniff-and-decode: real metadata for PPM/PGM, BMP, PNG, GIF and
+    JPEG payloads; None for anything else (caller falls back to its
+    declared stub)."""
+    if not payload:
+        return None
+    if payload[:1] == b"P":
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"\x89PNG":
+        return _decode_png(payload)
+    if payload[:3] == b"GIF":
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    return None

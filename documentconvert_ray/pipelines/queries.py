@@ -3205,24 +3205,59 @@ def _text_payload(batch: pa.Table) -> pa.Table:
     )
 
 
+# synthetic image slice: format by doc_id mod, dims from text length
+# (both SQL-derivable, so the oracle predicts the REAL decoder's
+# output); slice 4 stays a raw-bytes payload exercising the stub path
+_IMG_FMTS = ("ppm", "bmp", "png", "jpeg")  # doc_id % 5 ∈ 0..3; 4 = raw
+
+
+def _image_payload(batch: pa.Table) -> pa.Table:
+    """documents → binary image payloads: REAL PPM/BMP/PNG/JPEG files
+    (sources/corpus.synth_image) with dims w = 4 + L%60,
+    h = 4 + 3L%60 (L = utf-8 text bytes), pixel content tiling the
+    text bytes; every 5th doc keeps raw text bytes (no image magic) to
+    exercise the decode stage's declared stub fallback."""
+    from ..sources.corpus import synth_image
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i, t in zip(ids, batch.column("text").to_pylist()):
+        raw = t.encode("utf-8")
+        sel = i % 5
+        if sel == 4:
+            payloads.append(raw)
+        else:
+            n = len(raw)
+            payloads.append(synth_image(
+                _IMG_FMTS[sel], 4 + n % 60, 4 + (n * 3) % 60, raw))
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
-    """Binary-column decode plumbing (stubbed kernel; real actor-pool
-    stage). documents.text bytes stand in for image payloads."""
+    """Binary-column image decode: a REAL stdlib kernel
+    (functions/image_codec.py — header parse for PPM/BMP/JPEG, full
+    pixel unfilter for PNG) behind an actor-pool map_batches stage;
+    unrecognized payloads (the raw slice) fall back to the declared
+    deterministic stub. The oracle predicts the decoder's output from
+    the payload-generation rule."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    ds = ds.map_batches(_text_payload, batch_format="pyarrow")
+    ds = ds.map_batches(_image_payload, batch_format="pyarrow")
     return ds.map_batches(
         ImageDecodeStage(), batch_format="pyarrow", batch_size=128,
     )
 
 
 def q_multimodal_resize(sf_dir: str):
-    """Decode → resize chain (stub kernels, real plumbing): bounded
-    integer aspect-preserving rescale of the decoded dims."""
+    """Decode → resize chain over the real image slice: bounded
+    integer aspect-preserving rescale of the DECODED dims."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     return (
-        ds.map_batches(_text_payload, batch_format="pyarrow")
+        ds.map_batches(_image_payload, batch_format="pyarrow")
         .map_batches(ImageDecodeStage(), batch_format="pyarrow",
                      batch_size=128)
         .map_batches(ImageResizeStage(224), batch_format="pyarrow")
@@ -4393,22 +4428,43 @@ ORACLES: dict[str, str] = {
         WHERE regexp_matches(text, '(fast|slow) (table|scan)')
         GROUP BY source
     """,
+    # real-decoder prediction from the payload-generation rule: image
+    # slices (doc_id%5 in 0..3) carry real PPM/BMP/PNG/JPEG files with
+    # w = 4+L%60, h = 4+3L%60; PNG is grayscale (1 channel); n_bytes
+    # is the DECODED buffer w*h*c. The raw slice (doc_id%5=4) takes
+    # the stub formula over the wire length.
     "multimodal_decode": """
+        WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) AS L
+          FROM documents),
+        dim AS (
+          SELECT doc_id, L,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + L % 512
+                      ELSE 4 + L % 60 END AS w,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + (L * 7) % 512
+                      ELSE 4 + (L * 3) % 60 END AS h,
+                 CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS c
+          FROM d)
         SELECT doc_id,
-               CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
-               CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
-                   AS height,
-               CAST(3 AS BIGINT) AS channels,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        FROM documents
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(c AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 5 = 4 THEN L
+                    ELSE w * h * c END AS BIGINT) AS n_bytes
+        FROM dim
     """,
     "multimodal_resize": """
         WITH d AS (
-          SELECT doc_id,
-                 64 + octet_length(encode(text)) % 512 AS w,
-                 64 + (octet_length(encode(text)) * 7) % 512 AS h
+          SELECT doc_id, octet_length(encode(text)) AS L
           FROM documents),
-        m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM d)
+        dim AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + L % 512
+                      ELSE 4 + L % 60 END AS w,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + (L * 7) % 512
+                      ELSE 4 + (L * 3) % 60 END AS h
+          FROM d),
+        m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM dim)
         SELECT doc_id,
                CAST(CASE WHEN mx > 224 THEN w * 224 // mx ELSE w END
                     AS BIGINT) AS width,

@@ -455,6 +455,91 @@ def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
     return "\n".join(ops), shown
 
 
+# ------------------------------------------------- image synthesis
+#
+# Encode-side twins of functions/image_codec.py's decoders, written
+# independently from the published format layouts (PPM header, BMP
+# BITMAPFILE/INFOHEADER, PNG chunk framing + row filters, minimal
+# JPEG marker stream). Used by the multimodal queries to build REAL
+# image payloads whose decoded metadata a SQL oracle can predict from
+# the generation rule.
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
+    """A well-formed image file of ``fmt`` ∈ {ppm, bmp, png, jpeg}
+    with the given dims; pixel content tiles ``fill``. PNG is 8-bit
+    GRAYSCALE with row filters cycling None/Sub/Up so the decoder's
+    unfilter path is exercised; JPEG is a minimal SOI/APP0/SOF0/EOI
+    marker stream (dims parse; no entropy-coded scan)."""
+    fill = fill or b"\x00"
+
+    def tile(n: int) -> bytes:
+        return (fill * (n // len(fill) + 1))[:n]
+
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + tile(w * h * 3)
+    if fmt == "bmp":
+        row = w * 3
+        pad = (-row) % 4
+        img = b"".join(tile(row) + b"\x00" * pad for _ in range(h))
+        info = struct_pack_bmp(w, h)
+        return (b"BM" + (54 + len(img)).to_bytes(4, "little")
+                + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                + info + img)
+    if fmt == "png":
+        stride = w  # grayscale, 8-bit
+        rows = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            raw = bytearray(tile(stride))
+            ft = r % 3
+            if ft == 0:  # None
+                rows += b"\x00" + raw
+            elif ft == 1:  # Sub
+                enc = bytearray(raw)
+                for i in range(stride - 1, 0, -1):
+                    enc[i] = (enc[i] - raw[i - 1]) & 0xFF
+                rows += b"\x01" + enc
+            else:  # Up
+                enc = bytearray(raw)
+                for i in range(stride):
+                    enc[i] = (enc[i] - prev[i]) & 0xFF
+                rows += b"\x02" + enc
+            prev = bytes(raw)
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 0, 0, 0, 0]))
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + _png_chunk(b"IEND", b""))
+    if fmt == "jpeg":
+        app0 = (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+                b"\x00\x01\x00\x01\x00\x00")
+        sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+                + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+                + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(fmt)
+
+
+def struct_pack_bmp(w: int, h: int) -> bytes:
+    """40-byte BITMAPINFOHEADER (24-bit, bottom-up, BI_RGB)."""
+    row = w * 3
+    pad = (-row) % 4
+    return ((40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + ((row + pad) * h).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+
+
 # ---------------------------------------------- PDF standard encryption
 #
 # Encrypt-side twin of functions/pdf_crypt.py, implemented

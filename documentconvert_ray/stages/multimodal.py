@@ -2,11 +2,12 @@
 
 Payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool map_batches
-stages. The actual codecs are NOT available in this environment
-(SURVEY.md env facts), so the decode kernel is a clearly-marked
-deterministic stand-in: every Ray-side concern — schema, actor
-lifecycle, batch sizing, output layout — is real and tested, and the
-kernel body is the single function to swap for a real codec.
+stages. The image-decode kernel is REAL for the stdlib-decodable
+formats (PPM/PGM, BMP, PNG incl. full pixel unfilter, GIF, JPEG
+frame-header dims — functions/image_codec.py); payloads no decoder
+recognizes fall back to a clearly-marked deterministic stub, the
+swap-point for codec LIBRARIES (JPEG entropy decode, video) that are
+genuinely unavailable in this environment (SURVEY.md env facts).
 
 The reference's analogue is the image→markdown OCR leg
 (services/document_service.py:826-907, mineru CLI subprocess) which is
@@ -17,13 +18,17 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-REAL_CODECS_AVAILABLE = False  # flip when PIL/ffmpeg exist in the image
+# PIL/ffmpeg-class libraries absent; the stdlib image_codec decoders
+# below are real regardless — this flag only gates the library-backed
+# fallback for formats the stdlib path cannot parse
+REAL_CODECS_AVAILABLE = False
 
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: deterministic dims from byte length — replace with a
-    real image decode when codecs exist. Kept arithmetic-simple so the
-    SQL oracle can express it exactly (pipelines/queries.py)."""
+    """STUB decode for unrecognized payloads: deterministic dims from
+    byte length — replace with a library codec when one exists. Kept
+    arithmetic-simple so the SQL oracle can express it exactly
+    (pipelines/queries.py)."""
     n = len(payload)
     width = 64 + (n % 512)
     height = 64 + ((n * 7) % 512)
@@ -32,28 +37,52 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
 
 
 class ImageDecodeStage:
-    """Actor-pool 'decoder': __init__ loads the (stubbed) codec once per
-    actor; __call__ decodes a batch of binary payloads to metadata.
+    """Actor-pool decoder: __init__ binds the codec table once per
+    actor; __call__ decodes a batch of binary payloads to metadata
+    (width, height, channels, n_bytes = DECODED buffer size w*h*c for
+    real decodes / wire size for stub rows).
 
-    With real codecs this is where PIL/turbojpeg handles live; batch
-    sizes stay small because payload bytes are large (SURVEY guide:
-    memory-aware batch sizing for binary columns)."""
+    Real kernel: functions/image_codec.decode_image — actual header
+    (and for PNG, pixel) parsing of PPM/PGM/BMP/PNG/GIF/JPEG. With
+    codec libraries this is also where PIL/turbojpeg handles would
+    live; batch sizes stay small because payload bytes are large
+    (SURVEY guide: memory-aware batch sizing for binary columns)."""
 
     def __init__(self) -> None:
+        from ..functions.image_codec import decode_image
+
         if REAL_CODECS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire a real codec here")
-        self._decode = _fake_decode_dims
+            raise NotImplementedError("wire a library codec here")
+        self._decode = decode_image
+        self._fallback = _fake_decode_dims
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        dims = [self._decode(p or b"") for p in payloads]
+        ws: list[int] = []
+        hs: list[int] = []
+        cs: list[int] = []
+        nb: list[int] = []
+        for p in payloads:
+            p = p or b""
+            info = self._decode(p)
+            if info is not None:
+                ws.append(info.width)
+                hs.append(info.height)
+                cs.append(info.channels)
+                nb.append(info.n_bytes)
+            else:
+                w, h, c = self._fallback(p)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                nb.append(len(p))
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "width": pa.array([d[0] for d in dims], pa.int64()),
-                "height": pa.array([d[1] for d in dims], pa.int64()),
-                "channels": pa.array([d[2] for d in dims], pa.int64()),
-                "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "channels": pa.array(cs, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
             }
         )
 
