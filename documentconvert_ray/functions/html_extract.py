@@ -576,6 +576,9 @@ class ExtractResult:
     spans: list
     error_kind: str = ""
     error: str = ""
+    # embedded-image payloads ((name, bytes), ...) — PDF XObjects today;
+    # names match the markdown figure placeholders (![](pageP-figI))
+    images: tuple = ()
 
 
 def extract_html(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:

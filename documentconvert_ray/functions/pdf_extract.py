@@ -246,6 +246,7 @@ class _FigItem:
     x: int
     y: int  # top y in milli-units
     seq: int
+    xname: str = ""  # the Do operand (XObject resource name)
 
 
 @dataclass
@@ -370,8 +371,9 @@ class _PdfDoc:
         self._load_objstms()
         return sorted(set(self.objects) | set(self._cache))
 
-    def get_stream(self, num: int) -> bytes:
-        """Decoded stream bytes for object `num`."""
+    def _stream_raw(self, num: int) -> tuple[dict, bytes]:
+        """(stream dict, stream bytes after /Length trim + decryption
+        but BEFORE filters) for object `num`."""
         span = self.objects.get(num)
         if span is None:
             raise PdfError("pdf_parse_error", f"missing stream object {num}")
@@ -403,6 +405,11 @@ class _PdfDoc:
             from .pdf_crypt import object_key, rc4
 
             data = rc4(object_key(self.enc_key, num, span[2]), data)
+        return sdict, data
+
+    def get_stream(self, num: int) -> bytes:
+        """Decoded stream bytes for object `num`."""
+        sdict, data = self._stream_raw(num)
         filt = self.resolve(sdict.get("Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(sdict.get("DecodeParms", sdict.get("DP")))
@@ -796,8 +803,9 @@ class _ContentInterp:
             self.cur_pt = None
         elif op == "Do":
             a, _b, _c, d, e, f = self.cm
+            xname = stack[-1] if stack and isinstance(stack[-1], str) else ""
             self.figs.append(
-                _FigItem(self.page, _mu(e), _mu(f + abs(d)), self.seq)
+                _FigItem(self.page, _mu(e), _mu(f + abs(d)), self.seq, xname)
             )
             self.seq += 1
         # all other operators (color, line width, fonts resources): no-op
@@ -989,8 +997,29 @@ def _page_blocks(interp: _ContentInterp, cfg: ExtractConfig) -> list[Block]:
 from .html_extract import ExtractResult  # same result shape for both legs
 
 
+def _image_xobject_bytes(doc: _PdfDoc, num: int) -> bytes | None:
+    """Payload bytes for an /Subtype /Image XObject: decoded pixels
+    for the filterless/Flate/predictor chain; the RAW (decrypted)
+    stream for entropy-coded images (DCT/JPX — the bytes ARE a
+    JPEG/JP2 file, the standard extract-as-is move; reference writes
+    these to output/images, services/document_service.py:290-304).
+    None for non-images or undecodable streams — an image failure
+    never fails the document."""
+    try:
+        sdict, data = doc._stream_raw(num)
+        if doc.resolve(sdict.get("Subtype")) != "Image":
+            return None
+        filt = doc.resolve(sdict.get("Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        if any(f in ("DCTDecode", "JPXDecode") for f in filters):
+            return data
+        return doc.get_stream(num)
+    except (PdfError, ValueError):
+        return None
+
+
 def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
-    """bytes → (text_md, spans) for a PDF payload. Never raises."""
+    """bytes → (text_md, spans, images) for a PDF payload. Never raises."""
     try:
         # spec-mandated trailer: a payload without %%EOF is truncated.
         # Checked up front so every truncation classifies the same way
@@ -1014,6 +1043,7 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
             doc.setup_decryption()
         pages = doc.pages()
         blocks: list[Block] = []
+        images: list[dict] = []
         seq_base = 0
         for pidx, pdict in enumerate(pages):
             contents = doc.resolve(pdict.get("Contents"))
@@ -1034,8 +1064,25 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
                 interp.run(d)
             seq_base = interp.seq
             blocks.extend(_page_blocks(interp, cfg))
+            # embedded-image payloads, named to match the figure
+            # placeholder blocks (same sort + enumerate as
+            # _page_blocks): ![](pageP-figI) ↔ images[{name, data}]
+            res_dict = doc.resolve(pdict.get("Resources"))
+            xobjs = (doc.resolve(res_dict.get("XObject"))
+                     if isinstance(res_dict, dict) else None)
+            if isinstance(xobjs, dict):
+                for i, fg in enumerate(sorted(
+                        interp.figs, key=lambda f: (-f.y, f.x, f.seq))):
+                    ref = xobjs.get(fg.xname)
+                    if not isinstance(ref, _Ref):
+                        continue
+                    data = _image_xobject_bytes(doc, ref.num)
+                    if data is not None:
+                        images.append(
+                            {"name": f"page{pidx}-fig{i}", "data": data})
         text_md, spans = render(blocks)
-        return ExtractResult(True, text_md, spans)
+        return ExtractResult(True, text_md, spans, images=tuple(
+            (im["name"], im["data"]) for im in images))
     except PdfError as e:
         return ExtractResult(False, "", [], e.kind, str(e)[:200])
     except Exception as e:  # noqa: BLE001 — row-level capture (M12 semantics)

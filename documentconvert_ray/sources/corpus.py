@@ -626,6 +626,33 @@ def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes) -> None:
                        + body[eidx:])
 
 
+def _pdf_image_xobject(doc_id: int) -> bytes:
+    """The page's /Image XObject body, cycling the three wire forms an
+    extractor must handle: raw (filterless) gray raster, FlateDecode
+    raster, and an entropy-coded DCTDecode image whose stream bytes
+    ARE a JPEG file (extract-as-is). Deterministic from doc_id."""
+    import hashlib
+
+    w = 2 + doc_id % 7
+    h = 2 + (doc_id * 3) % 5
+    fill = hashlib.md5(f"xobj-{doc_id}".encode()).digest()
+    raster = (fill * (w * h // len(fill) + 1))[: w * h]
+    sel = doc_id % 3
+    if sel == 0:
+        data, extra = raster, b""
+    elif sel == 1:
+        data, extra = zlib.compress(raster), b" /Filter /FlateDecode"
+    else:
+        data, extra = synth_image("jpeg", w, h, b""), b" /Filter /DCTDecode"
+    return (
+        b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /ColorSpace /DeviceGray /BitsPerComponent 8" + extra
+        + b" /Length " + str(len(data)).encode() + b" >>\nstream\n"
+        + data + b"\nendstream"
+    )
+
+
 def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     """Return (payload_bytes, naive_text, lang) for a PDF doc.
 
@@ -743,11 +770,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         pages_num: b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count "
         + str(n).encode() + b" >>",
         font_num: font_body,
-        xobj_num: (
-            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
-            b"stream\n\x00\nendstream"
-        ),
+        xobj_num: _pdf_image_xobject(doc_id),
     }
     if cid:
         bodies[tu_num] = (

@@ -50,6 +50,21 @@ SPAN_TYPE = pa.list_(
     )
 )
 
+# embedded-image payloads (PDF XObjects; reference parity: the
+# reference moves extracted images to output/images,
+# services/document_service.py:290-304). Names match the markdown
+# figure placeholders ![](pageP-figI) so a consumer can join payloads
+# back to their anchors. The column rides ONLY in the output rows —
+# never through a shuffle (the extraction pipeline has none).
+IMAGE_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("name", pa.string()),
+            pa.field("data", pa.binary()),
+        ]
+    )
+)
+
 # Output schema of the full extraction pipeline (SURVEY.md §7.0).
 OUTPUT_SCHEMA = pa.schema(
     [
@@ -62,6 +77,7 @@ OUTPUT_SCHEMA = pa.schema(
         pa.field("error", pa.string()),
         pa.field("text_md", pa.string()),
         pa.field("spans", SPAN_TYPE),
+        pa.field("images", IMAGE_TYPE),
         pa.field("text_sha256", pa.string()),
         pa.field("n_bytes", pa.int64()),
         pa.field("n_md_bytes", pa.int64()),
@@ -92,6 +108,7 @@ def _result_columns(n: int):
         "error": [""] * n,
         "text_md": [""] * n,
         "spans": [[] for _ in range(n)],
+        "images": [[] for _ in range(n)],
         "text_sha256": [""] * n,
     }
 
@@ -170,6 +187,7 @@ class SniffAndExtractHtml:
             "error": pa.array(cols["error"], pa.string()),
             "text_md": pa.array(cols["text_md"], pa.string()),
             "spans": pa.array(cols["spans"], SPAN_TYPE),
+            "images": pa.array(cols["images"], IMAGE_TYPE),
             "text_sha256": pa.array(cols["text_sha256"], pa.string()),
             "n_bytes": n_bytes,
             # utf-8 byte length of text_md, denormalized so the manifest
@@ -224,6 +242,7 @@ class PdfExtractor:
         error = batch.column("error").to_pylist()
         text_md = batch.column("text_md").to_pylist()
         spans = batch.column("spans").to_pylist()
+        images = batch.column("images").to_pylist()
         sha = batch.column("text_sha256").to_pylist()
 
         for i, raw in enumerate(payloads):
@@ -235,12 +254,13 @@ class PdfExtractor:
             error[i] = res.error
             text_md[i] = res.text_md
             spans[i] = res.spans
+            images[i] = [{"name": nm, "data": d} for nm, d in res.images]
             sha[i] = _sha256(res.text_md)
             payloads[i] = None
 
         out = batch.drop_columns(
             [_PDF_PAYLOAD_COL, "ok", "error_kind", "error", "text_md", "spans",
-             "text_sha256", "n_md_bytes"]
+             "images", "text_sha256", "n_md_bytes"]
         )
         md_arr = pa.array(text_md, pa.string())
         for name, arr in (
@@ -249,6 +269,7 @@ class PdfExtractor:
             ("error", pa.array(error, pa.string())),
             ("text_md", md_arr),
             ("spans", pa.array(spans, SPAN_TYPE)),
+            ("images", pa.array(images, IMAGE_TYPE)),
             ("text_sha256", pa.array(sha, pa.string())),
             ("n_md_bytes", pc.binary_length(md_arr).cast(pa.int64())),
         ):

@@ -44,12 +44,13 @@ def expected_table():
 def expected_by_url(expected_table):
     t = expected_table
     return {
-        u: (ok, kind, md, sha)
-        for u, ok, kind, md, sha in zip(
+        u: (ok, kind, md, sha, imgs)
+        for u, ok, kind, md, sha, imgs in zip(
             t.column("url").to_pylist(),
             t.column("ok").to_pylist(),
             t.column("error_kind").to_pylist(),
             t.column("text_md").to_pylist(),
             t.column("text_sha256").to_pylist(),
+            t.column("images").to_pylist(),
         )
     }

@@ -477,3 +477,36 @@ def test_encrypted_pdf_classification():
     assert not res.ok and res.error_kind == "truncated_pdf"
     # sanity: the plain doc still extracts
     assert extract_pdf(pdf).ok
+
+
+def test_embedded_image_payloads():
+    """PDF image XObjects surface as (name, bytes) payloads matched to
+    their ![](pageP-figI) placeholders: decoded raster for raw/Flate
+    streams, the raw JPEG file for DCTDecode (extract-as-is)."""
+    import hashlib
+
+    from documentconvert_ray.functions.image_codec import decode_image
+    from documentconvert_ray.sources.corpus import make_pdf
+
+    seen = {0: 0, 1: 0, 2: 0}
+    for doc_id in range(0, 2000):
+        payload, _naive, _lang = make_pdf(doc_id)
+        res = extract_pdf(payload)
+        if not res.ok or not res.images:
+            continue
+        w = 2 + doc_id % 7
+        h = 2 + (doc_id * 3) % 5
+        fill = hashlib.md5(f"xobj-{doc_id}".encode()).digest()
+        raster = (fill * (w * h // len(fill) + 1))[: w * h]
+        sel = doc_id % 3
+        for name, data in res.images:
+            assert name in res.text_md, (doc_id, name)  # placeholder link
+            if sel == 2:
+                info = decode_image(data)  # the bytes ARE a JPEG file
+                assert (info.width, info.height) == (w, h), doc_id
+            else:
+                assert data == raster, (doc_id, sel)
+        seen[sel] += 1
+        if all(v >= 3 for v in seen.values()):
+            break
+    assert all(v >= 3 for v in seen.values()), seen

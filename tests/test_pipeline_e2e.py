@@ -29,12 +29,13 @@ def corpus_files():
 
 def _check_against_fixtures(rows: dict, expected_by_url: dict):
     assert set(rows) == set(expected_by_url), "row conservation violated"
-    for url, (ok, kind, md, sha) in expected_by_url.items():
+    for url, (ok, kind, md, sha, imgs) in expected_by_url.items():
         got = rows[url]
         assert got["ok"] == ok, (url, got["error_kind"], kind)
         assert got["error_kind"] == kind, (url, got["error_kind"], kind)
         assert got["text_sha256"] == sha, f"digest mismatch for {url}"
         assert got["text_md"] == md, f"byte mismatch for {url}"
+        assert got["images"] == imgs, f"image payload mismatch for {url}"
 
 
 def _collect(ds) -> dict:
@@ -48,6 +49,7 @@ def _collect(ds) -> dict:
                 "text_md": batch.column("text_md")[i].as_py(),
                 "text_sha256": batch.column("text_sha256")[i].as_py(),
                 "spans": batch.column("spans")[i].as_py(),
+                "images": batch.column("images")[i].as_py(),
             }
     return out
 
@@ -126,16 +128,19 @@ def test_job_resume_partial_manifest(ray_session, expected_by_url, tmp_path):
 
     # final output matches fixtures exactly
     t = pads.dataset(os.path.join(out_dir, "data"), partitioning="hive").to_table(
-        columns=["url", "ok", "error_kind", "text_md", "text_sha256"]
+        columns=["url", "ok", "error_kind", "text_md", "text_sha256",
+                 "images"]
     )
     rows = {
-        u: {"ok": ok, "error_kind": k, "text_md": md, "text_sha256": sha}
-        for u, ok, k, md, sha in zip(
+        u: {"ok": ok, "error_kind": k, "text_md": md, "text_sha256": sha,
+            "images": imgs}
+        for u, ok, k, md, sha, imgs in zip(
             t.column("url").to_pylist(),
             t.column("ok").to_pylist(),
             t.column("error_kind").to_pylist(),
             t.column("text_md").to_pylist(),
             t.column("text_sha256").to_pylist(),
+            t.column("images").to_pylist(),
         )
     }
     _check_against_fixtures(rows, expected_by_url)

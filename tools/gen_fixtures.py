@@ -30,7 +30,7 @@ from documentconvert_ray.functions.sniff import (
     sniff_doc_type,
 )
 from documentconvert_ray.sources.corpus import write_corpus
-from documentconvert_ray.stages.extract import SPAN_TYPE
+from documentconvert_ray.stages.extract import IMAGE_TYPE, SPAN_TYPE
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 # 1500 = smallest corpus in which every classification class AND every
@@ -81,6 +81,8 @@ def main() -> None:
                     "error_kind": res.error_kind,
                     "text_md": res.text_md,
                     "spans": res.spans,
+                    "images": [{"name": nm, "data": d}
+                               for nm, d in getattr(res, "images", ())],
                     "text_sha256": hashlib.sha256(
                         res.text_md.encode()).hexdigest(),
                 }
@@ -94,6 +96,7 @@ def main() -> None:
             pa.field("error_kind", pa.string()),
             pa.field("text_md", pa.string()),
             pa.field("spans", SPAN_TYPE),
+            pa.field("images", IMAGE_TYPE),
             pa.field("text_sha256", pa.string()),
         ]
     )
