@@ -23,7 +23,12 @@ from dataclasses import dataclass
 
 BLOCK_SEP = "\n\n"
 
-KINDS = ("heading", "para", "list_item", "table", "code", "figure")
+# "formula" is reserved for a math-region leg (reference parity:
+# MinerU formula_enable, services/document_service.py:240-246);
+# detection is a declared non-goal in this environment — see the
+# pdf_extract module docstring
+KINDS = ("heading", "para", "list_item", "table", "code", "figure",
+         "formula")
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,21 @@ Object resolution is scan-based (every ``N G obj``), so damaged xref
 tables are recoverable by construction (FIXTURES.md §3 adversarial
 variant "bad xref offsets").
 
+Block kinds emitted: heading / para / table / figure (placeholders
+``![](pageP-figI)`` with the matching image payloads surfaced in the
+``images`` output column). Reference parity note — ``formula``: the
+reference enables MinerU's formula leg (``formula_enable=True``,
+services/document_service.py:240-246), which runs an ML layout model
+to find math regions and a recognition model to LaTeX them. A
+``formula`` block kind is reserved in the markdown renderer's
+vocabulary for that leg, but DETECTION IS A DECLARED NON-GOAL here:
+untagged PDFs carry no structural marker distinguishing math from
+text (the glyph stream is just positioned text), so any non-ML
+heuristic would be noise, and the model is unavailable in this
+environment. A future real leg plugs in as a _page_blocks post-pass
+emitting Block("formula", latex, page) + a payload entry, exactly
+like the figure machinery.
+
 Determinism: geometry is converted to integer milli-units immediately
 after parse; all clustering/sorting uses integer comparisons with
 stable tie-breaks (page, -y, x, stream order).
