@@ -3286,6 +3286,258 @@ def q_frame_sample(sf_dir: str):
     )
 
 
+# --------------------------------------------- round-4 operators T73-T76
+
+FUZZY_PREFIX_LEN = 16
+
+
+def _ed_le1(a: str, b: str) -> int | None:
+    """Exact edit distance when ≤ 1, else None (two-pointer check —
+    no DP table for the bounded case)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:  # one substitution?
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else None
+    if la > lb:
+        a, b = b, a
+        la, lb = lb, la
+    # one deletion from b?
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def q_fuzzy_prefix_dups(sf_dir: str):
+    """Fuzzy near-duplicate JOIN at edit distance ≤ 1 over the
+    16-char text prefix — the deletion-neighborhood (FastSS/SymSpell)
+    scheme: ed(a,b) ≤ 1 ⟺ ({a} ∪ deletions₁(a)) ∩ ({b} ∪
+    deletions₁(b)) ≠ ∅, so each doc emits ≤ L+1 md5-hashed variant
+    keys and ONLY variant-key int64s shuffle; candidate pairs form
+    inside each variant group and are verified with the exact bounded
+    edit-distance check, then distinct-ed by a pair-key bucketed
+    reduce (a pair can share several variants). Per-variant fan-in is
+    bounded by the docs sharing a 16-char near-prefix — the fuzzy
+    analogue of exact_dedup's hash groups. Oracle: DuckDB
+    ``levenshtein`` over the (bounded) self-join at sf gate scale."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    n_vb = dd.derive_buckets(n_docs, rows_per_doc=FUZZY_PREFIX_LEN + 1)
+
+    def variants(b: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        vh_out: list[int] = []
+        pfx_out: list[str] = []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            p = t[:FUZZY_PREFIX_LEN]
+            vs = {p}
+            vs.update(p[:j] + p[j + 1:] for j in range(len(p)))
+            for v in sorted(vs):
+                ids_out.append(i)
+                vh_out.append(_md5_u64(v.encode("utf-8")))
+                pfx_out.append(p)
+        vh = np.array(vh_out, np.uint64)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "vh": pa.array(vh.view(np.int64)),
+             "pfx": pa.array(pfx_out, pa.string()),
+             "bucket": pa.array((vh % np.uint64(n_vb)).astype(np.int32))})
+
+    def candidate_pairs(g):
+        a_out: list[int] = []
+        b_out: list[int] = []
+        d_out: list[int] = []
+        for _vh, grp in g.groupby("vh", sort=True):
+            if len(grp) < 2:
+                continue
+            rows = sorted(zip(grp["doc_id"].to_numpy(np.int64),
+                              grp["pfx"].to_numpy()))
+            # drop same-doc repeats (a doc can emit one variant twice
+            # only via distinct deletions colliding — vs is a set, so
+            # repeats here are cross-doc only)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    ia, pa_ = rows[i]
+                    ib, pb = rows[j]
+                    if ia == ib:
+                        continue
+                    d = _ed_le1(pa_, pb)
+                    if d is not None:
+                        a_out.append(ia)
+                        b_out.append(ib)
+                        d_out.append(d)
+        return pd.DataFrame({
+            "doc_id_a": np.array(a_out, np.int64),
+            "doc_id_b": np.array(b_out, np.int64),
+            "edit_dist": np.array(d_out, np.int64)})
+
+    n_pb = dd.derive_buckets(n_docs)
+
+    def pair_bucket(df):
+        return df.assign(
+            bucket=(df["doc_id_a"] % n_pb).astype("int32"))
+
+    def pair_distinct(g):
+        return g.drop_duplicates(
+            subset=["doc_id_a", "doc_id_b"]
+        )[["doc_id_a", "doc_id_b", "edit_dist"]]
+
+    return (
+        docs.map_batches(variants, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_distinct, batch_format="pandas")
+    )
+
+
+SAMPLE_PER_LANG_K = 20
+
+
+def q_sample_k_per_lang(sf_dir: str):
+    """Exact k-per-STRATUM sample (per-group reservoir made
+    deterministic): each language keeps its k smallest Knuth-hash
+    docs. Per-batch partial top-k PER GROUP bounds every block's
+    output at k rows per stratum present in it — the min-k combiner is
+    mergeable, so membership is partitioning-independent; the final
+    per-lang reduce orders ≤ k·n_blocks rows. The missing shape
+    between q_sample_exact_k (global k) and q_stratified_sample
+    (per-group RATES)."""
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(df):
+        df = df.assign(h=_knuth32(df["doc_id"].to_numpy(np.int64)))
+        return (df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+                .groupby("lang", as_index=False, sort=False)
+                .head(SAMPLE_PER_LANG_K))
+
+    def final(g):
+        return (g.sort_values(["h", "doc_id"], kind="mergesort")
+                .head(SAMPLE_PER_LANG_K)
+                [["doc_id", "lang", "n_chars", "h"]])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+WINDOW_DEDUP_US = 3_600_000_000  # 1 hour
+
+
+def q_window_dedup(sf_dir: str):
+    """Streaming burst suppression (windowed dedup): drop an event
+    when the same (user, event_type) fired within the preceding hour
+    — the click-storm hygiene filter a training-data event pipeline
+    runs before sessionization. EXISTS semantics (a dropped row still
+    suppresses its successors), which reduces to one lag-gap test per
+    row after a per-user-key sort: an earlier same-key row within the
+    window exists iff the IMMEDIATE predecessor is within it. Events
+    co-partition by user hash; each bucket sorts once, the gap test is
+    vectorized; no global sort."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def bucketize(df):
+        return df.assign(
+            bucket=(df["user_id"] % n_buckets).astype("int32"))
+
+    def suppress(g):
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        new_key = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_key[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = WINDOW_DEDUP_US + 1
+        if len(g) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        keep = new_key | (gap > WINDOW_DEDUP_US)
+        out = g[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].to_numpy(),
+            "ts": out["ts"],
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(suppress, batch_format="pandas")
+    )
+
+
+MIX_K = 200
+
+
+def q_dataset_mix(sf_dir: str):
+    """Weighted SOURCE INTERLEAVE — the data-mixing order a training
+    run consumes multi-source corpora in: each source s gets weight
+    w(s) = 1 + (numeric suffix % 5); doc r-th in its source's
+    deterministic shuffle order (Knuth hash) is scheduled at
+    mix_pos = r·10⁶ // w, and the first MIX_K positions form the mix
+    slice (heavier sources appear proportionally more often — the
+    standard weighted round-robin). Distributed shape: the global
+    top-MIX_K of mix_pos can only contain each source's first MIX_K
+    docs, so a per-source min-k combiner (≤ k rows per block per
+    source) + per-source reduce bounds the driver set at
+    MIX_K·n_sources rows; ranks, positions and the final slice are
+    computed there. No global sort, no full shuffle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df):
+        df = df.assign(h=_knuth32(df["doc_id"].to_numpy(np.int64)))
+        return (df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False)
+                .head(MIX_K))
+
+    def per_source(g):
+        return (g.sort_values(["h", "doc_id"], kind="mergesort")
+                .head(MIX_K)[["doc_id", "source", "h"]])
+
+    small = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+        .to_pandas()  # ≤ MIX_K · n_sources rows by construction
+    )
+    if small.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+            "rank_in_source": pd.Series([], dtype=np.int64),
+            "mix_pos": pd.Series([], dtype=np.int64)})
+    small = small.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    small["rank_in_source"] = small.groupby("source").cumcount() + 1
+    w = 1 + small["source"].str.extract(r"(\d+)$")[0].astype(np.int64) % 5
+    small["mix_pos"] = (small["rank_in_source"].to_numpy(np.int64)
+                        * 1_000_000) // w.to_numpy(np.int64)
+    out = small.sort_values(["mix_pos", "source", "doc_id"],
+                            kind="mergesort").head(MIX_K)
+    return out[["doc_id", "source", "rank_in_source",
+                "mix_pos"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -3316,7 +3568,11 @@ def queries() -> dict:
         "distinct_users_hll": q_distinct_users_hll,
         "label_centroids": q_label_centroids,
         "vector_stats": q_vector_stats,
-        # -- (2) implementation changed this round ------------------
+        # -- (2) NEW this round (T73-T76) + implementation changed ---
+        "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
+        "sample_k_per_lang": q_sample_k_per_lang,
+        "window_dedup": q_window_dedup,
+        "dataset_mix": q_dataset_mix,
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
         "dup_gram_mass": q_dup_gram_mass,
@@ -4486,6 +4742,54 @@ ORACLES: dict[str, str] = {
                CAST(unnest(range(0, 1 + octet_length(encode(text)) % 300, 10))
                     AS BIGINT) AS frame_idx
         FROM documents
+    """,
+    # T73: deletion-neighborhood result == the exact ed≤1 self-join
+    "fuzzy_prefix_dups": f"""
+        WITH p AS (
+          SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_LEN}) AS pfx
+          FROM documents)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 1
+    """,
+    "sample_k_per_lang": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                    AS BIGINT) AS h
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id
+        ) <= {SAMPLE_PER_LANG_K}
+    """,
+    # T75: EXISTS-based burst suppression (a dropped row still
+    # suppresses its successors — mirrors the lag-gap reduction)
+    "window_dedup": f"""
+        SELECT event_id, user_id, event_type, ts
+        FROM events e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = e.event_type
+            AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+            AND epoch_us(e.ts) - epoch_us(p.ts) <= {WINDOW_DEDUP_US})
+    """,
+    "dataset_mix": f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                            doc_id) AS rk,
+                 1 + CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 5
+                     AS w
+          FROM documents)
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source,
+               CAST(rk * 1000000 // w AS BIGINT) AS mix_pos
+        FROM r
+        ORDER BY mix_pos, source, doc_id
+        LIMIT {MIX_K}
     """,
 }
 
