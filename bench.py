@@ -68,6 +68,10 @@ QUERY_NAMES = [
     "filter_regex",
     "knn_cosine",
     "ann_ivf",
+    "fuzzy_prefix_dups",
+    "sample_k_per_lang",
+    "window_dedup",
+    "dataset_mix",
 ]
 
 

@@ -676,6 +676,10 @@ TFIDF_TOPK = 3
 # a term present in > 9/10 of all docs is "hot": excluded from scoring
 # (near-zero idf) and from the exchange (hot-key skew removal)
 TFIDF_HOT_NUM, TFIDF_HOT_DEN = 9, 10
+# vocabulary ≤ this many terms → broadcast the (term → rarity) map and
+# score map-side instead of a token-level hash join (~tens of MB at
+# the gate; the join path stays for open web-scale vocabularies)
+TFIDF_BCAST_MAX_VOCAB = 2_000_000
 
 
 def q_tfidf_top_terms(sf_dir: str):
@@ -736,40 +740,66 @@ def q_tfidf_top_terms(sf_dir: str):
         hot = b.column("df").to_numpy() * TFIDF_HOT_DEN > TFIDF_HOT_NUM * n_docs
         return b.filter(pa.array(hot)).select(["term"])
 
-    # repartition to guaranteed-NONEMPTY blocks: Ray's hash-shuffle
-    # join emits no shard for an empty input block, so a join
-    # partition whose build rows all hashed elsewhere would otherwise
-    # arrive schema-less and crash pyarrow's join ("No match for key
-    # field term_r"). Block count is size-derived from the vocabulary
-    # (kept terms ≫ block count by the Zipf hot-set bound).
     n_vocab = df_tbl.count()
-    build = df_tbl.map_batches(build_side, batch_format="pyarrow").repartition(
-        max(1, min(64, -(-n_vocab // 50_000))))
-    hot = frozenset(
-        r["term"]
-        for r in df_tbl.map_batches(hot_terms,
-                                    batch_format="pyarrow").take_all()
-    )
-    hot_ref = ray.put(hot)
-
-    def probe_rows(b: pa.Table) -> pa.Table:
-        hs = sim.resolve_broadcast(hot_ref, key="tfidf-hot")
-        t = tx.tf_rows_batch(b)
-        if hs:
-            mask = [w not in hs for w in t.column("term").to_pylist()]
-            t = t.filter(pa.array(mask))
-        return t
-
-    probe = docs.map_batches(probe_rows, batch_format="pyarrow")
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
-                        cpus // 2))
-    joined = probe.join(
-        build, "inner", n_part, on=("term",), right_on=("term_r",),
-        aggregator_ray_remote_args=_join_remote_args(n_part),
-    )
-
     n_db = dd.derive_buckets(n_docs)
+
+    if n_vocab <= TFIDF_BCAST_MAX_VOCAB:
+        # SMALL-VOCABULARY fast path (size-gated, the
+        # embedding_near_dups precedent): the whole (term → rarity)
+        # map broadcasts once — hot terms simply absent — and scoring
+        # is a map-side pandas .map; no token-level hash join, no
+        # join-actor ramp. The gate keeps the broadcast ≪ worker heap;
+        # a web-scale open vocabulary takes the join path below.
+        rar_tbl = (df_tbl.map_batches(build_side, batch_format="pyarrow")
+                   .to_pandas())
+        rar_ref = ray.put(dict(zip(rar_tbl["term_r"], rar_tbl["rarity"])))
+
+        def score_map_side(b: pa.Table):
+            import pandas as pd
+
+            rar = sim.resolve_broadcast(rar_ref, key="tfidf-rarity")
+            t = tx.tf_rows_batch(b)
+            df = t.to_pandas()
+            df["rarity"] = df["term"].map(rar)
+            df = df[df["rarity"].notna()]
+            df["rarity"] = df["rarity"].astype(np.int64)
+            return df
+
+        joined = docs.map_batches(score_map_side, batch_format="pyarrow")
+    else:
+        # repartition to guaranteed-NONEMPTY blocks: Ray's hash-shuffle
+        # join emits no shard for an empty input block, so a join
+        # partition whose build rows all hashed elsewhere would
+        # otherwise arrive schema-less and crash pyarrow's join ("No
+        # match for key field term_r"). Block count is size-derived
+        # from the vocabulary (kept terms ≫ block count by the Zipf
+        # hot-set bound).
+        build = df_tbl.map_batches(
+            build_side, batch_format="pyarrow").repartition(
+            max(1, min(64, -(-n_vocab // 50_000))))
+        hot = frozenset(
+            r["term"]
+            for r in df_tbl.map_batches(hot_terms,
+                                        batch_format="pyarrow").take_all()
+        )
+        hot_ref = ray.put(hot)
+
+        def probe_rows(b: pa.Table) -> pa.Table:
+            hs = sim.resolve_broadcast(hot_ref, key="tfidf-hot")
+            t = tx.tf_rows_batch(b)
+            if hs:
+                mask = [w not in hs for w in t.column("term").to_pylist()]
+                t = t.filter(pa.array(mask))
+            return t
+
+        probe = docs.map_batches(probe_rows, batch_format="pyarrow")
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
+                            cpus // 2))
+        joined = probe.join(
+            build, "inner", n_part, on=("term",), right_on=("term_r",),
+            aggregator_ray_remote_args=_join_remote_args(n_part),
+        )
 
     def partial_top(df):
         score = df["tf"].to_numpy(np.int64) * df["rarity"].to_numpy(np.int64)
