@@ -3568,6 +3568,586 @@ def q_dataset_mix(sf_dir: str):
                 "mix_pos"]].reset_index(drop=True)
 
 
+PMI_MIN_PAIRS = 5  # bigram support floor — the PMI scale lever
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (the classic phrase-detection signal a training-data
+    pipeline runs to pick merge-worthy token pairs). PMI ranking is
+    monotone in c_xy·N_uni² / (N_bi·c_x·c_y), so the score is computed
+    as exact-integer micro-units (Python bigints engine-side, HUGEINT
+    in the oracle) — no libm, order-independent.
+
+    Shape: ONE corpus pass emits unigram AND bigram count partials
+    (unigram rows ride the same exchange with a ''-sentinel second
+    word); a crc-bucketed vectorized reduce collapses them (vocabulary
+    keys — the native per-key aggregate is the measured 30× pitfall);
+    the support floor ``c ≥ PMI_MIN_PAIRS`` prunes the Zipf tail
+    BEFORE the two native hash joins that attach c_x and c_y, so join
+    input is the candidate set, not the bigram domain. Scoring is a
+    per-candidate bigint loop (bounded by the support floor), then a
+    per-batch partial top-20 → tiny global sort. The corpus is read
+    once; only (word, word, count) rows ever shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions import textstats as ts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n_docs = ds.count()
+    nb = dd.derive_buckets(n_docs, rows_per_doc=32)
+
+    def partials(df):
+        from collections import Counter
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in df["text"]:
+            tk = ts.tokens(text.lower())
+            uni.update(tk)
+            bi.update(zip(tk[:-1], tk[1:]))
+        w1 = [w for w in uni] + [p[0] for p in bi]
+        w2 = [""] * len(uni) + [p[1] for p in bi]
+        c = [uni[w] for w in uni] + [bi[p] for p in bi]
+        return pd.DataFrame({"w1": w1, "w2": w2,
+                             "c": np.asarray(c, np.int64)})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("w1"), t.column("w2"), "\x00")
+        return _crc_bucket_col(t.append_column("k", key), "k", nb)
+
+    def reduce_counts(g):
+        s = g.groupby(["w1", "w2"], as_index=False).agg(c=("c", "sum"))
+        return s.astype({"c": "int64"})
+
+    counts = (
+        ds.map_batches(partials, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .drop_columns(["k"])
+        .groupby("bucket")
+        .map_groups(reduce_counts, batch_format="pandas")
+        .materialize()  # vocabulary-sized (Heaps-law bounded); reused
+        #                 as unigram build side ×2 + bigram probe + totals
+    )
+    uni = counts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("w2"), "")).select(["w1", "c"]),
+        batch_format="pyarrow",
+    )
+    bi_all = counts.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("w2"), "")).select(
+            ["w1", "w2", "c"]),
+        batch_format="pyarrow",
+    )
+    n_uni = int(uni.sum("c"))
+    n_bi = int(bi_all.sum("c") or 0)
+
+    cand = bi_all.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("c"), PMI_MIN_PAIRS)
+        ).rename_columns(["w1", "w2", "n_pairs"]),
+        batch_format="pyarrow",
+    )
+    u1 = uni.map_batches(
+        lambda t: t.rename_columns(["w1", "cx"]), batch_format="pyarrow")
+    u2 = uni.map_batches(
+        lambda t: t.rename_columns(["w2", "cy"]), batch_format="pyarrow")
+    n_vocab = max(8, uni.count())
+    np_j = max(2, min(dd.derive_buckets(n_vocab),
+                      int(ray.cluster_resources().get("CPU", 8)) // 4))
+    joined = cand.join(
+        u1, "inner", np_j, on=("w1",), right_on=("w1",),
+        aggregator_ray_remote_args=_join_remote_args(np_j),
+    ).join(
+        u2, "inner", np_j, on=("w2",), right_on=("w2",),
+        aggregator_ray_remote_args=_join_remote_args(np_j),
+    )
+
+    def score(df):
+        # exact bigint PMI micro-score on the support-floored candidate
+        # set only (the per-row Python cost IS the work: the values
+        # exceed int64 by construction — c·Nu²·10⁶)
+        pmi = [
+            int(c) * n_uni * n_uni * 1_000_000
+            // (n_bi * int(cx) * int(cy))
+            for c, cx, cy in zip(df["n_pairs"], df["cx"], df["cy"])
+        ]
+        out = pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"],
+            "n_pairs": df["n_pairs"].to_numpy(np.int64),
+            "pmi_micro": np.asarray(pmi, np.int64),
+        })
+        return out.sort_values(
+            ["pmi_micro", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort").head(20)
+
+    return (
+        joined.map_batches(score, batch_format="pandas")
+        .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+_SQ_SPLIT = 1 << 30  # hi/lo split base for exact Σx² / Σxy partials
+
+
+def _split_sq_sums(sq: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Exact big-sum partials: each per-row product (≤ 2^40 here) is
+    split into (hi = q >> 30, lo = q & (2^30−1)) int64 columns whose
+    independent sums stay in int64 for ≥ 2^23·corpus rows; the final
+    tiny reduce reassembles Σ = Σhi·2^30 + Σlo in Python bigints. This
+    is how an exact second moment survives 100 TB without a 128-bit
+    Arrow type."""
+    return sq >> 30, sq & (_SQ_SPLIT - 1)
+
+
+def q_value_variance(sf_dir: str):
+    """Exact grouped population variance of event value (the
+    statistical-aggregate family: one pass, mergeable partials). Per
+    batch: n, Σx, and the hi/lo-split Σx² per event_type in integer
+    milli-units; a native 5-key groupby sums partials; the final
+    var = (n·Σx² − (Σx)²) // n² is Python-bigint exact (HUGEINT in
+    the oracle). No shuffle beyond ≤ n_types partial rows per batch."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        x = np.floor(df["value"].to_numpy(np.float64) * 1000 + 0.5).astype(
+            np.int64)
+        hi, lo = _split_sq_sums(x * x)
+        out = pd.DataFrame({"event_type": df["event_type"], "x": x,
+                            "hi": hi, "lo": lo})
+        g = out.groupby("event_type", as_index=False).agg(
+            n_events=("x", "size"), s1=("x", "sum"),
+            s2_hi=("hi", "sum"), s2_lo=("lo", "sum"))
+        return g.astype({"n_events": "int64", "s1": "int64",
+                         "s2_hi": "int64", "s2_lo": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("s1", alias_name="s1"),
+                   Sum("s2_hi", alias_name="s2_hi"),
+                   Sum("s2_lo", alias_name="s2_lo"))
+        .to_pandas()  # n_event_types rows: tiny
+    )
+    var = [
+        (int(n) * (int(hi) * _SQ_SPLIT + int(lo)) - int(s1) * int(s1))
+        // (int(n) * int(n))
+        for n, s1, hi, lo in zip(agg["n_events"], agg["s1"],
+                                 agg["s2_hi"], agg["s2_lo"])
+    ]
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_events": agg["n_events"].to_numpy(np.int64),
+        "var_milli2": np.asarray(var, np.int64),
+    })
+    return out.sort_values("event_type", kind="mergesort").reset_index(
+        drop=True)
+
+
+def q_price_date_cov(sf_dir: str):
+    """Exact grouped population covariance (two-column co-moment —
+    price drift over order date per priority class). Same mergeable-
+    partial shape as q_value_variance with the cross-product Σxy
+    hi/lo-split: x = totalprice cents, y = epoch days; cov =
+    (n·Σxy − Σx·Σy) // n² in cents·days, bigint-exact both sides."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_totalprice", "o_orderdate"])
+
+    def partial(df):
+        x = _cents_col(df["o_totalprice"])
+        y = (df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+             // 86_400_000_000)
+        hi, lo = _split_sq_sums(x * y)
+        out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                            "x": x, "y": y, "hi": hi, "lo": lo})
+        g = out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy_hi=("hi", "sum"), sxy_lo=("lo", "sum"))
+        return g.astype({c: "int64" for c in
+                         ("n_orders", "sx", "sy", "sxy_hi", "sxy_lo")})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxy_hi", alias_name="sxy_hi"),
+                   Sum("sxy_lo", alias_name="sxy_lo"))
+        .to_pandas()  # n_priorities rows: tiny
+    )
+    cov = [
+        (int(n) * (int(hi) * _SQ_SPLIT + int(lo)) - int(sx) * int(sy))
+        // (int(n) * int(n))
+        for n, sx, sy, hi, lo in zip(agg["n_orders"], agg["sx"], agg["sy"],
+                                     agg["sxy_hi"], agg["sxy_lo"])
+    ]
+    out = pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "n_orders": agg["n_orders"].to_numpy(np.int64),
+        "cov_cents_days": np.asarray(cov, np.int64),
+    })
+    return out.sort_values("o_orderpriority", kind="mergesort").reset_index(
+        drop=True)
+
+
+def q_lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets of (lang, source) in ONE
+    corpus pass (completes the grouping-sets family next to
+    lang_source_rollup's three): the per-batch combiner additionally
+    emits the (ALL, source) level, so the shuffle still carries only
+    tiny partial rows and the table is read once instead of four
+    times."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(df):
+        base = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        by_lang = base.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        by_lang["source"] = ROLLUP_ALL
+        by_source = base.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        by_source["lang"] = ROLLUP_ALL
+        total = pd.DataFrame({
+            "lang": [ROLLUP_ALL], "source": [ROLLUP_ALL],
+            "n_docs": [base["n_docs"].sum()],
+            "sum_chars": [base["sum_chars"].sum()],
+        })
+        out = pd.concat([base, by_lang, by_source, total],
+                        ignore_index=True)
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
+NTILE_K = 10
+
+
+def q_ntile_deciles(sf_dir: str):
+    """Equal-frequency bucketing (NTILE(10) over (n_chars, doc_id) —
+    the quantile-binning step of score calibration) without a global
+    sort: phase 1 builds the value-domain histogram (combiner; only
+    distinct (value, count) rows shuffle) whose driver cumsum gives
+    every value's global rank offset AND exact NTILE boundaries
+    (first N mod k buckets take ⌈N/k⌉ rows — duckdb semantics);
+    phase 2 groups by value, ranks ties by doc_id inside each
+    (bounded) tie group, maps ranks to tiles vectorized, and emits
+    per-tile partials. Per-value tie groups are assumed block-sized
+    (documented; a doc_id-range sub-split with a second offset pass
+    is the escape hatch at pathological tie mass)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist(df):
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # value-domain-sized: tiny
+        .sort_values("v")
+    )
+    n_total = int(h["c"].sum())
+    vals = h["v"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], h["c"].cumsum().to_numpy(np.int64)[:-1]])
+    off_ref = ray.put({int(v): int(o) for v, o in zip(vals, offsets)})
+    base, rem = divmod(n_total, NTILE_K)
+    cut = rem * (base + 1)
+
+    def tile_group(g):
+        v = int(g["n_chars"].iloc[0])
+        off = sim.resolve_broadcast(off_ref, key="ntile-offsets")[v]
+        ids = np.sort(g["doc_id"].to_numpy(np.int64), kind="stable")
+        rank = off + np.arange(1, len(ids) + 1, dtype=np.int64)
+        if base == 0:
+            tile = rank
+        else:
+            tile = np.where(
+                rank <= cut,
+                (rank - 1) // (base + 1),
+                rem + (rank - 1 - cut) // max(base, 1),
+            ) + 1
+        out = pd.DataFrame({"decile": tile.astype(np.int64),
+                            "n_chars": np.full(len(ids), v, np.int64)})
+        return out.groupby("decile", as_index=False).agg(
+            n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max")).astype(
+                {"n_docs": "int64", "min_chars": "int64",
+                 "max_chars": "int64"})
+
+    return (
+        ds.groupby("n_chars")
+        .map_groups(tile_group, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Min("min_chars", alias_name="min_chars"),
+                   Max("max_chars", alias_name="max_chars"))
+    )
+
+
+GAP_SENTINEL_US = -1
+
+
+def q_next_event_gap(sf_dir: str):
+    """lead() window gap — microseconds from each event to the same
+    user's NEXT event (the inter-arrival signal behind session-gap
+    tuning), −1 for a user's last event. User-hash co-partition (a
+    timeline never splits), one sort + vectorized shifted diff per
+    bucket, per-event output; deterministic (ts, event_id) tie order
+    mirrors the oracle's window ORDER BY."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    nb = dd.derive_buckets(ds.count())
+
+    def bucketize(df):
+        return df.assign(bucket=(df["user_id"] % nb).astype("int32"))
+
+    def gaps(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        gap = np.full(len(g), GAP_SENTINEL_US, dtype=np.int64)
+        if len(g) > 1:
+            same = uid[:-1] == uid[1:]
+            gap[:-1] = np.where(same, ts[1:] - ts[:-1], GAP_SENTINEL_US)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "gap_us": gap,
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+SALT_FANOUT = 8
+# hot iff count · SALT_HOT_DEN · n_users > SALT_HOT_NUM · n_events,
+# i.e. count > (NUM/DEN)·mean — a plan-split tunable (results are
+# oracle-identical on either path; tests pin both)
+SALT_HOT_NUM = 5
+SALT_HOT_DEN = 4
+
+
+def q_salted_user_join(sf_dir: str):
+    """Skew-salted hash join (per-event customer enrichment — the
+    shape where pre-aggregation can't rescue a hot probe key because
+    the output is per-row): keys whose measured event count exceeds
+    5/4 of the mean take the SALTED path — their build rows replicate
+    across SALT_FANOUT composite keys (user, salt) and their probe
+    rows pick salt = event_id % SALT_FANOUT, spreading one hot user
+    over SALT_FANOUT join partitions — while cold keys flow through a
+    plain native hash join. The hot set is measured by a count
+    combiner and is bounded by n_events/threshold BY CONSTRUCTION
+    (Σ counts = n_events), so the broadcast is always safe. The split
+    is plan-only: results are byte-identical to the unsalted join
+    (one oracle, no salt leakage in the output)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    n_events = ev.count()
+
+    def count_partial(df):
+        g = df.groupby("user_id", as_index=False).agg(
+            c=("user_id", "size"))
+        return g.astype({"c": "int64"})
+
+    per_user = (
+        ev.map_batches(count_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: ≤ distinct users; only counts, no payload
+    )
+    n_users = max(1, len(per_user))
+    # the hot-set size is ≤ n_events/threshold BY CONSTRUCTION
+    # (Σ counts = n_events) regardless of the user-id domain
+    hot = per_user[per_user["c"].to_numpy(np.int64) * SALT_HOT_DEN * n_users
+                   > SALT_HOT_NUM * n_events]["user_id"].to_numpy(np.int64)
+    hot_ref = ray.put(frozenset(int(u) for u in hot))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    np_j = max(2, min(dd.derive_buckets(n_events), cpus // 4))
+
+    # explicit schemas so an EMPTY split (all-hot or all-cold plans)
+    # still feeds the hash join a typed side
+    _ev_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("value_micro", pa.int64())])
+    _ev_salt_schema = _ev_schema.append(pa.field("salt", pa.int64()))
+
+    def split_events(df, want_hot: bool):
+        hs = sim.resolve_broadcast(hot_ref, key="salt-hot-users")
+        mask = df["user_id"].isin(hs)
+        part = df[mask] if want_hot else df[~mask]
+        cols = {
+            "event_id": part["event_id"].to_numpy(np.int64),
+            "user_id": part["user_id"].to_numpy(np.int64),
+            "value_micro": _micro_int_col(part["value"]),
+        }
+        if want_hot:
+            cols["salt"] = cols["event_id"] % SALT_FANOUT
+            return pa.Table.from_pydict(cols, schema=_ev_salt_schema)
+        return pa.Table.from_pydict(cols, schema=_ev_schema)
+
+    # the driver already knows both key sets (per_user is the measured
+    # count table), so a leg whose key set is empty is SKIPPED rather
+    # than fed to the hash join as a schema-less empty side
+    have_hot = len(hot) > 0
+    have_cold = len(per_user) > len(hot)
+
+    cold_join = None
+    if have_cold:
+        cold_join = ev.map_batches(
+            lambda df: split_events(df, False), batch_format="pandas"
+        ).join(
+            cust, "inner", np_j,
+            on=("user_id",), right_on=("c_custkey",),
+            aggregator_ray_remote_args=_join_remote_args(np_j),
+        ).select_columns(["event_id", "user_id", "value_micro", "c_name"])
+
+    _build_schema = pa.schema([("c_custkey", pa.int64()),
+                               ("salt", pa.int64()),
+                               ("c_name", pa.string())])
+
+    def replicate_hot_build(df):
+        hs = sim.resolve_broadcast(hot_ref, key="salt-hot-users")
+        part = df[df["c_custkey"].isin(hs)]
+        n = len(part)
+        rep = part.loc[part.index.repeat(SALT_FANOUT)].reset_index(drop=True)
+        return pa.Table.from_pydict({
+            "c_custkey": rep["c_custkey"].to_numpy(np.int64),
+            "salt": np.tile(np.arange(SALT_FANOUT, dtype=np.int64), n),
+            "c_name": rep["c_name"].to_numpy(object),
+        }, schema=_build_schema)
+
+    hot_join = None
+    if have_hot:
+        hot_join = ev.map_batches(
+            lambda df: split_events(df, True), batch_format="pandas"
+        ).join(
+            cust.map_batches(replicate_hot_build, batch_format="pandas"),
+            "inner", np_j,
+            on=("user_id", "salt"), right_on=("c_custkey", "salt"),
+            aggregator_ray_remote_args=_join_remote_args(np_j),
+        ).select_columns(["event_id", "user_id", "value_micro", "c_name"])
+
+    if cold_join is None:
+        return hot_join
+    if hot_join is None:
+        return cold_join
+    return cold_join.union(hot_join)
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Normalization-blind exact dedup (dedup up to boilerplate): the
+    content key is md5 over the doc's token stream WITH STOPWORDS
+    REMOVED and whitespace collapsed — catching copies that differ
+    only in glue words, the cheap middle ground between exact and
+    MinHash dedup. Same scale contract as exact_dedup: only 32-byte
+    keys shuffle through crc-bucketed min-id reduces; the token pass
+    is map-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions import textstats as ts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = dd.derive_buckets(ds.count())
+    sw = frozenset(ts.STOPWORDS)
+
+    def keyed(df):
+        hs = [
+            hashlib.md5(" ".join(
+                t for t in ts.tokens(x.lower()) if t not in sw
+            ).encode()).hexdigest()
+            for x in df["text"]
+        ]
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "norm_md5": hs})
+        return out
+
+    def reduce_bucket(g):
+        s = g.groupby("norm_md5", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return s.astype({"rep_doc_id": "int64", "n_copies": "int64"})
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .map_batches(lambda t: _crc_bucket_col(t, "norm_md5", nb),
+                     batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type
+    pair, how many users performed BOTH (the association-support
+    matrix behind behavioral cohorting) — without a self-join. Per
+    batch: distinct (user, type) flag rows (bounded by users×types,
+    not events); user-hash bucketed reduce dedups across batches and
+    emits each user's sorted type-pairs map-side (≤ C(n_types,2) rows
+    per user); a tiny pair groupby finishes."""
+    import itertools
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def distinct_pairs(df):
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        out = pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "event_type": d["event_type"].to_numpy(),
+        })
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def user_pairs(g):
+        rows_a, rows_b = [], []
+        for _, grp in g.drop_duplicates(
+                ["user_id", "event_type"]).groupby("user_id"):
+            for a, b in itertools.combinations(
+                    sorted(grp["event_type"]), 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        out = pd.DataFrame({"type_a": rows_a, "type_b": rows_b})
+        s = out.groupby(["type_a", "type_b"], as_index=False).agg(
+            n_users=("type_a", "size"))
+        return s.astype({"n_users": "int64"})
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(user_pairs, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -3598,7 +4178,16 @@ def queries() -> dict:
         "distinct_users_hll": q_distinct_users_hll,
         "label_centroids": q_label_centroids,
         "vector_stats": q_vector_stats,
-        # -- (2) NEW this round (T73-T76) + implementation changed ---
+        # -- (2) NEW this round (T73-T85) + implementation changed ---
+        "bigram_pmi": q_bigram_pmi,
+        "value_variance": q_value_variance,
+        "price_date_cov": q_price_date_cov,
+        "lang_source_cube": q_lang_source_cube,
+        "ntile_deciles": q_ntile_deciles,
+        "next_event_gap": q_next_event_gap,
+        "salted_user_join": q_salted_user_join,
+        "normalized_dedup": q_normalized_dedup,
+        "event_cooccurrence": q_event_cooccurrence,
         "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
         "sample_k_per_lang": q_sample_k_per_lang,
         "window_dedup": q_window_dedup,
@@ -4820,6 +5409,125 @@ ORACLES: dict[str, str] = {
         FROM r
         ORDER BY mix_pos, source, doc_id
         LIMIT {MIX_K}
+    """,
+    "bigram_pmi": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        uni AS (
+          SELECT tk[i] AS w, count(*)::HUGEINT AS c
+          FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+          GROUP BY w),
+        bi AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, count(*)::HUGEINT AS c
+          FROM toks, unnest(range(1, len(tk))) AS t(i)
+          WHERE len(tk) >= 2
+          GROUP BY w1, w2),
+        tot AS (SELECT (SELECT sum(c) FROM uni) AS nu,
+                       (SELECT sum(c) FROM bi) AS nb)
+        SELECT w1, w2, CAST(bi.c AS BIGINT) AS n_pairs,
+               CAST(bi.c * nu * nu * 1000000
+                    // (nb * u1.c * u2.c) AS BIGINT) AS pmi_micro
+        FROM bi
+        CROSS JOIN tot
+        JOIN uni u1 ON bi.w1 = u1.w
+        JOIN uni u2 ON bi.w2 = u2.w
+        WHERE bi.c >= {PMI_MIN_PAIRS}
+        ORDER BY pmi_micro DESC, w1, w2
+        LIMIT 20
+    """,
+    "value_variance": """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000 + 0.5) AS HUGEINT) AS v
+          FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST((count(*)::HUGEINT * sum(v * v)
+                     - sum(v) * sum(v))
+                    // (count(*)::HUGEINT * count(*)::HUGEINT)
+                    AS BIGINT) AS var_milli2
+        FROM x GROUP BY event_type
+    """,
+    "price_date_cov": """
+        WITH x AS (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS px,
+                 CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT)
+                     AS dy
+          FROM orders),
+        m AS (
+          -- DuckDB // truncates toward zero; the engine's Python //
+          -- floors, so spell out floor semantics with a nonnegative
+          -- mod (the covariance numerator CAN be negative)
+          SELECT o_orderpriority,
+                 count(*)::HUGEINT AS n,
+                 count(*)::HUGEINT * sum(px * dy) - sum(px) * sum(dy)
+                     AS num
+          FROM x GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST((num - (((num % (n * n)) + n * n) % (n * n)))
+                    // (n * n) AS BIGINT) AS cov_cents_days
+        FROM m
+    """,
+    "lang_source_cube": f"""
+        SELECT COALESCE(lang, '{ROLLUP_ALL}') AS lang,
+               COALESCE(source, '{ROLLUP_ALL}') AS source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)
+    """,
+    "ntile_deciles": f"""
+        WITH t AS (
+          SELECT n_chars,
+                 ntile({NTILE_K}) OVER (ORDER BY n_chars, doc_id)
+                     AS decile
+          FROM documents)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM t GROUP BY decile
+    """,
+    "next_event_gap": f"""
+        SELECT event_id, user_id,
+               COALESCE(
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts), {GAP_SENTINEL_US}) AS gap_us
+        FROM events
+    """,
+    "salted_user_join": """
+        SELECT e.event_id, e.user_id,
+               CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)
+                   AS value_micro,
+               c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "normalized_dedup": f"""
+        WITH n AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '' AND x NOT IN {_STOP_SQL}),
+                   ' ')) AS norm_md5
+          FROM documents)
+        SELECT norm_md5,
+               CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+               count(*) AS n_copies
+        FROM n GROUP BY norm_md5
+    """,
+    "event_cooccurrence": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
     """,
 }
 
