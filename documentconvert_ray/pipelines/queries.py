@@ -4148,6 +4148,162 @@ def q_event_cooccurrence(sf_dir: str):
     )
 
 
+PAGE_LIMIT = 100
+PAGE_OFFSET = 100
+
+
+def q_orders_page(sf_dir: str):
+    """OFFSET/LIMIT pagination (reference O1's exact shape — ORDER BY
+    created_at DESC + OFFSET/LIMIT task listing,
+    database/database_manager.py:244-245 with the ≤100 limit guard at
+    database/models.py:178-179): page 2 of orders by (o_orderdate
+    DESC, o_orderkey ASC). Distributed form: every batch keeps only
+    its own top-(offset+limit) (a page deep in the corpus still only
+    ships offset+limit rows per block), the global sort orders
+    ≤ (offset+limit)·n_blocks rows, and the driver slices the page —
+    OFFSET never scans, it just deepens the per-batch partial k."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+    k = PAGE_OFFSET + PAGE_LIMIT
+
+    def partial_top(df):
+        df = df.assign(
+            neg_key=-df["o_orderkey"].to_numpy(dtype=np.int64),
+            price_c=_cents_col(df["o_totalprice"]),
+        )
+        df = df.sort_values(["o_orderdate", "neg_key"],
+                            ascending=False, kind="mergesort").head(k)
+        return df[["o_orderkey", "o_orderdate", "neg_key", "price_c"]]
+
+    page = (
+        ds.map_batches(partial_top, batch_format="pandas")
+        .sort(["o_orderdate", "neg_key"], descending=True)
+        .limit(k)
+        .to_pandas()  # ≤ offset+limit rows by construction
+        .iloc[PAGE_OFFSET:]
+        .reset_index(drop=True)
+    )
+    return page[["o_orderkey", "o_orderdate", "price_c"]]
+
+
+def q_dense_order_grid(sf_dir: str):
+    """Zero-filled reporting grid (CROSS JOIN + LEFT JOIN COALESCE —
+    the dense-dimension shape dashboards need so missing (nation,
+    year) cells read 0 instead of vanishing): orders attribute to
+    nations through a native orders⋈customer hash join on projected
+    columns, a per-(nationkey, year) combiner reduces map-side, and
+    the dense grid — nations × observed years, both tiny by
+    definition — is assembled driver-side and left-merged with the
+    rollup. Only (custkey, year, cents) rows ever shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "o_custkey": b.column("o_custkey"),
+            "order_year": pc.year(b.column("o_orderdate")),
+            "price_c": pa.array(_cents_col(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    np_j = max(2, min(dd.derive_buckets(n_orders), cpus // 2))
+
+    def rollup(df):
+        g = df.groupby(["c_nationkey", "order_year"], as_index=False).agg(
+            n_orders=("price_c", "size"), sum_cents=("price_c", "sum"))
+        return g.astype({"c_nationkey": "int64", "order_year": "int64",
+                         "n_orders": "int64", "sum_cents": "int64"})
+
+    cnt = (
+        orders.join(
+            cust, "inner", np_j,
+            on=("o_custkey",), right_on=("c_custkey",),
+            aggregator_ray_remote_args=_join_remote_args(np_j),
+        )
+        .map_batches(rollup, batch_format="pandas")
+        .groupby(["c_nationkey", "order_year"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()  # ≤ nations × years rows: tiny
+    )
+    nations = _read(sf_dir, "nation",
+                    ["n_nationkey", "n_name"]).to_pandas()
+    years = pd.DataFrame(
+        {"order_year": np.sort(cnt["order_year"].unique())})
+    grid = nations.merge(years, how="cross").merge(
+        cnt, how="left",
+        left_on=["n_nationkey", "order_year"],
+        right_on=["c_nationkey", "order_year"])
+    return pd.DataFrame({
+        "n_name": grid["n_name"],
+        "order_year": grid["order_year"].to_numpy(np.int64),
+        "n_orders": grid["n_orders"].fillna(0).to_numpy(np.int64),
+        "sum_cents": grid["sum_cents"].fillna(0).to_numpy(np.int64),
+    })
+
+
+def q_label_pair_sim(sf_dir: str):
+    """Exact mean pairwise similarity per label WITHOUT the O(n²)
+    pair sweep (the intra-cluster cohesion signal behind SemDeDup-
+    style cluster pruning): mean pairwise dot over a label's vectors
+    equals (‖Σv‖² − Σ‖v‖²) / (n(n−1)) — three mergeable partials (a
+    per-dim component sum, a squared-norm sum, a count), so vectors
+    NEVER cross an exchange and the shuffle is labels × (dims + 2)
+    int64 rows per batch. Components quantize to floor(x·10³) ints
+    first, making both sides bigint-exact (q² ≤ 2^20·dims per vector
+    → int64 partials survive ≥ 2^40 rows); negative numerators use
+    floor-division (nonneg-mod mirror in the oracle)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partials(df):
+        rows_l, rows_d, rows_s = [], [], []
+        for lab, grp in df.groupby("label"):
+            mat = np.floor(
+                np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                * 1000
+            ).astype(np.int64)
+            dims = mat.shape[1]
+            sd = mat.sum(axis=0)
+            rows_l.extend([int(lab)] * (dims + 2))
+            rows_d.extend(list(range(dims)) + [-1, -2])
+            rows_s.extend(list(sd) + [int((mat * mat).sum()), len(grp)])
+        return pd.DataFrame({
+            "label": np.asarray(rows_l, np.int64),
+            "dim": np.asarray(rows_d, np.int64),
+            "s": np.asarray(rows_s, np.int64),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # labels × (dims + 2) rows: tiny
+    )
+    out_rows = []
+    for lab, grp in agg.groupby("label"):
+        sd = grp[grp["dim"] >= 0]["s"].to_numpy(np.int64)
+        qq = int(grp[grp["dim"] == -1]["s"].iloc[0])
+        n = int(grp[grp["dim"] == -2]["s"].iloc[0])
+        if n < 2:
+            continue
+        num = int(sum(int(v) * int(v) for v in sd)) - qq
+        den = n * (n - 1)
+        out_rows.append((int(lab), n, num // den))
+    out = pd.DataFrame(
+        out_rows, columns=["label", "n_vecs", "mean_pair_dot_micro"])
+    return out.astype({"label": "int64", "n_vecs": "int64",
+                       "mean_pair_dot_micro": "int64"}).sort_values(
+        "label").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4188,6 +4344,9 @@ def queries() -> dict:
         "salted_user_join": q_salted_user_join,
         "normalized_dedup": q_normalized_dedup,
         "event_cooccurrence": q_event_cooccurrence,
+        "orders_page": q_orders_page,
+        "dense_order_grid": q_dense_order_grid,
+        "label_pair_sim": q_label_pair_sim,
         "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
         "sample_k_per_lang": q_sample_k_per_lang,
         "window_dedup": q_window_dedup,
@@ -5528,6 +5687,50 @@ ORACLES: dict[str, str] = {
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY type_a, type_b
+    """,
+    "orders_page": f"""
+        SELECT o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT {PAGE_LIMIT} OFFSET {PAGE_OFFSET}
+    """,
+    "dense_order_grid": """
+        WITH cnt AS (
+          SELECT c_nationkey AS nk, year(o_orderdate) AS y,
+                 count(*) AS c,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY nk, y),
+        years AS (SELECT DISTINCT y FROM cnt)
+        SELECT n.n_name, CAST(years.y AS BIGINT) AS order_year,
+               COALESCE(cnt.c, 0) AS n_orders,
+               CAST(COALESCE(cnt.s, 0) AS BIGINT) AS sum_cents
+        FROM nation n CROSS JOIN years
+        LEFT JOIN cnt ON cnt.nk = n.n_nationkey AND cnt.y = years.y
+    """,
+    "label_pair_sim": """
+        WITH q AS (
+          SELECT label, vec_id, r.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000)
+                      AS HUGEINT) AS v
+          FROM embeddings,
+               unnest(range(1, len(embedding) + 1)) AS r(i)),
+        s AS (
+          SELECT label, dim, sum(v) AS sd, sum(v * v) AS qd
+          FROM q GROUP BY label, dim),
+        l AS (
+          SELECT label, sum(sd * sd) - sum(qd) AS num
+          FROM s GROUP BY label),
+        n AS (SELECT label, count(*)::HUGEINT AS n FROM embeddings
+              GROUP BY label)
+        SELECT CAST(l.label AS BIGINT) AS label,
+               CAST(n.n AS BIGINT) AS n_vecs,
+               CAST((num - (((num % (n * (n - 1))) + n * (n - 1))
+                            % (n * (n - 1))))
+                    // (n * (n - 1)) AS BIGINT) AS mean_pair_dot_micro
+        FROM l JOIN n ON l.label = n.label
+        WHERE n.n >= 2
     """,
 }
 

@@ -177,3 +177,105 @@ def test_normalized_dedup_collapses_stopword_variants(ray_session,
     assert len(out) == 2
     grp = out.set_index("rep_doc_id")["n_copies"]
     assert grp[0] == 3 and grp[3] == 1
+
+
+def test_label_pair_sim_identity_vs_bruteforce(ray_session, tmp_path):
+    """(‖Σv‖² − Σ‖v‖²)/(n(n−1)) equals the brute-force mean pairwise
+    dot over the quantized vectors, including a single-vector label
+    (skipped) and negative components (floor-div sign class)."""
+    from documentconvert_ray.pipelines.queries import q_label_pair_sim
+
+    rng = np.random.default_rng(23)
+    vecs = rng.uniform(-0.6, 0.6, size=(9, 8)).astype(np.float32)
+    labels = np.asarray([0, 0, 0, 0, 1, 1, 1, 1, 2], np.int32)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": np.arange(9, dtype=np.int64),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": labels,
+        }),
+        d / "embeddings.parquet",
+    )
+    out = q_label_pair_sim(str(d)).set_index("label")
+    q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    for lab in (0, 1):
+        idx = np.where(labels == lab)[0]
+        dots = [int(q[i] @ q[j]) for k, i in enumerate(idx)
+                for j in idx[k + 1:]]
+        n = len(idx)
+        want = sum(dots) * 2 // (n * (n - 1))  # mean with floor
+        # floor of the mean == floor((num)/(den)) with num=2·Σdots
+        assert out.loc[lab, "mean_pair_dot_micro"] == want
+    assert 2 not in out.index  # single-vector label has no pairs
+
+
+def test_orders_page_matches_duckdb_with_ties(ray_session, tmp_path):
+    """Page slicing across a heavy tie block (every order on one of
+    two dates) matches the oracle's OFFSET/LIMIT row-for-row."""
+    import duckdb
+
+    from documentconvert_ray.pipelines.queries import q_orders_page
+
+    n = 400
+    dates = np.where(np.arange(n) % 2 == 0, "2000-01-01", "2000-01-02")
+    tbl = pa.Table.from_pydict({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": np.zeros(n, dtype=np.int64),
+        "o_orderstatus": ["O"] * n,
+        "o_totalprice": np.linspace(1, 2, n),
+        "o_orderdate": pa.array(dates.astype("datetime64[us]")),
+        "o_orderpriority": ["1-URGENT"] * n,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "orders.parquet")
+    got = q_orders_page(str(d)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("orders", tbl)
+    want = con.sql("""
+        SELECT o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT 100 OFFSET 100
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dense_grid_zero_fill(ray_session, tmp_path):
+    """A (nation, year) cell with no orders appears with zeros; a
+    nation with no customers appears in every year with zeros."""
+    from documentconvert_ray.pipelines.queries import q_dense_order_grid
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pydict({
+        "n_nationkey": np.asarray([0, 1], np.int64),
+        "n_name": ["ALPHA", "BETA"],
+        "n_regionkey": np.asarray([0, 0], np.int32),
+    }), d / "nation.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "c_custkey": np.asarray([10, 20], np.int64),
+        "c_name": ["a", "b"],
+        "c_nationkey": np.asarray([0, 0], np.int32),
+        "c_acctbal": [0.0, 0.0],
+        "c_mktsegment": ["BUILDING"] * 2,
+    }), d / "customer.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "o_orderkey": np.asarray([1, 2], np.int64),
+        "o_custkey": np.asarray([10, 10], np.int64),
+        "o_orderstatus": ["O"] * 2,
+        "o_totalprice": [10.0, 20.0],
+        "o_orderdate": pa.array(
+            np.asarray(["1995-03-01", "1997-07-01"],
+                       dtype="datetime64[us]")),
+        "o_orderpriority": ["1-URGENT"] * 2,
+    }), d / "orders.parquet")
+    out = q_dense_order_grid(str(d))
+    assert len(out) == 4  # 2 nations x 2 observed years
+    beta = out[out["n_name"] == "BETA"]
+    assert (beta["n_orders"] == 0).all() and (beta["sum_cents"] == 0).all()
+    a95 = out[(out["n_name"] == "ALPHA") & (out["order_year"] == 1995)]
+    assert int(a95["sum_cents"].iloc[0]) == 1000
