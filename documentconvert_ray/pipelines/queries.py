@@ -3569,6 +3569,7 @@ def q_dataset_mix(sf_dir: str):
 
 
 PMI_MIN_PAIRS = 5  # bigram support floor — the PMI scale lever
+PMI_BCAST_MAX_VOCAB = 2_000_000  # unigram-map broadcast gate (tfidf precedent)
 
 
 def q_bigram_pmi(sf_dir: str):
@@ -3649,21 +3650,6 @@ def q_bigram_pmi(sf_dir: str):
         ).rename_columns(["w1", "w2", "n_pairs"]),
         batch_format="pyarrow",
     )
-    u1 = uni.map_batches(
-        lambda t: t.rename_columns(["w1", "cx"]), batch_format="pyarrow")
-    u2 = uni.map_batches(
-        lambda t: t.rename_columns(["w2", "cy"]), batch_format="pyarrow")
-    n_vocab = max(8, uni.count())
-    np_j = max(2, min(dd.derive_buckets(n_vocab),
-                      int(ray.cluster_resources().get("CPU", 8)) // 4))
-    joined = cand.join(
-        u1, "inner", np_j, on=("w1",), right_on=("w1",),
-        aggregator_ray_remote_args=_join_remote_args(np_j),
-    ).join(
-        u2, "inner", np_j, on=("w2",), right_on=("w2",),
-        aggregator_ray_remote_args=_join_remote_args(np_j),
-    )
-
     def score(df):
         # exact bigint PMI micro-score on the support-floored candidate
         # set only (the per-row Python cost IS the work: the values
@@ -3682,8 +3668,47 @@ def q_bigram_pmi(sf_dir: str):
             ["pmi_micro", "w1", "w2"], ascending=[False, True, True],
             kind="mergesort").head(20)
 
+    n_vocab = max(1, uni.count())
+    if n_vocab <= PMI_BCAST_MAX_VOCAB:
+        # SMALL-VOCABULARY fast path (the tfidf size-gated precedent):
+        # the (word → count) map broadcasts once and c_x/c_y attach
+        # map-side — no hash-join actor ramp for a Heaps-law-bounded
+        # natural-language vocabulary. An open vocabulary (urls,
+        # ids …) exceeds the gate and takes the join path below.
+        uni_pd = uni.to_pandas()
+        uni_ref = ray.put(dict(zip(uni_pd["w1"], uni_pd["c"])))
+
+        def score_bcast(df):
+            m = sim.resolve_broadcast(uni_ref, key="pmi-uni")
+            df = df.assign(cx=df["w1"].map(m).astype(np.int64),
+                           cy=df["w2"].map(m).astype(np.int64))
+            return score(df)
+
+        scored = cand.map_batches(score_bcast, batch_format="pandas")
+    else:
+        # repartition to guaranteed-nonempty build blocks (the tfidf
+        # join-path hazard: an all-empty build partition arrives
+        # schema-less at pyarrow's hash join)
+        n_blk = max(1, min(64, -(-n_vocab // 50_000)))
+        u1 = uni.map_batches(
+            lambda t: t.rename_columns(["w1", "cx"]),
+            batch_format="pyarrow").repartition(n_blk)
+        u2 = uni.map_batches(
+            lambda t: t.rename_columns(["w2", "cy"]),
+            batch_format="pyarrow").repartition(n_blk)
+        np_j = max(2, min(dd.derive_buckets(n_vocab),
+                          int(ray.cluster_resources().get("CPU", 8)) // 4))
+        joined = cand.join(
+            u1, "inner", np_j, on=("w1",), right_on=("w1",),
+            aggregator_ray_remote_args=_join_remote_args(np_j),
+        ).join(
+            u2, "inner", np_j, on=("w2",), right_on=("w2",),
+            aggregator_ray_remote_args=_join_remote_args(np_j),
+        )
+        scored = joined.map_batches(score, batch_format="pandas")
+
     return (
-        joined.map_batches(score, batch_format="pandas")
+        scored
         .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
         .limit(20)
     )
@@ -4199,24 +4224,36 @@ def q_dense_order_grid(sf_dir: str):
     import pyarrow.compute as pc
 
     n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
-    orders = _read(sf_dir, "orders",
-                   ["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
-        lambda b: pa.Table.from_pydict({
+
+    def pre_rollup(b: pa.Table) -> pa.Table:
+        # pre-aggregate per (custkey, year) BEFORE the join: the probe
+        # side shrinks from one row per order to one partial per
+        # (batch, customer, year) — the join exchange carries rollups,
+        # not orders
+        df = pa.Table.from_pydict({
             "o_custkey": b.column("o_custkey"),
             "order_year": pc.year(b.column("o_orderdate")),
             "price_c": pa.array(_cents_col(
                 b.column("o_totalprice").to_numpy(zero_copy_only=False)),
                 pa.int64()),
-        }),
-        batch_format="pyarrow",
-    )
+        }).to_pandas()
+        g = df.groupby(["o_custkey", "order_year"], as_index=False).agg(
+            n_part=("price_c", "size"), s_part=("price_c", "sum"))
+        return pa.Table.from_pandas(
+            g.astype({"o_custkey": "int64", "order_year": "int64",
+                      "n_part": "int64", "s_part": "int64"}),
+            preserve_index=False)
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(pre_rollup, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cpus = int(ray.cluster_resources().get("CPU", 8))
     np_j = max(2, min(dd.derive_buckets(n_orders), cpus // 2))
 
     def rollup(df):
         g = df.groupby(["c_nationkey", "order_year"], as_index=False).agg(
-            n_orders=("price_c", "size"), sum_cents=("price_c", "sum"))
+            n_orders=("n_part", "sum"), sum_cents=("s_part", "sum"))
         return g.astype({"c_nationkey": "int64", "order_year": "int64",
                          "n_orders": "int64", "sum_cents": "int64"})
 
