@@ -72,6 +72,14 @@ QUERY_NAMES = [
     "sample_k_per_lang",
     "window_dedup",
     "dataset_mix",
+    "bigram_pmi",
+    "value_variance",
+    "ntile_deciles",
+    "salted_user_join",
+    "normalized_dedup",
+    "event_cooccurrence",
+    "dense_order_grid",
+    "label_pair_sim",
 ]
 
 

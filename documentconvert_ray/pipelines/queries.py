@@ -4371,7 +4371,7 @@ def queries() -> dict:
         "distinct_users_hll": q_distinct_users_hll,
         "label_centroids": q_label_centroids,
         "vector_stats": q_vector_stats,
-        # -- (2) NEW this round (T73-T85) + implementation changed ---
+        # -- (2) NEW this round (T73-T88) + implementation changed ---
         "bigram_pmi": q_bigram_pmi,
         "value_variance": q_value_variance,
         "price_date_cov": q_price_date_cov,
