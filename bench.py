@@ -80,6 +80,15 @@ QUERY_NAMES = [
     "event_cooccurrence",
     "dense_order_grid",
     "label_pair_sim",
+    "nation_revenue",
+    "lang_median_chars",
+    "rare_token_score",
+    "active_streaks",
+    "cohort_retention",
+    "promo_revenue",
+    "kmeans_embeddings",
+    "latest_order_per_customer",
+    "revenue_mom",
 ]
 
 

@@ -6,12 +6,12 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 4 queries without an oracle entry are genuinely
+The 5 queries without an oracle entry are genuinely
 non-SQL-expressible (the two approximate IVF paths, the mergeable
-quantile sketch whose result is partitioning-dependent, and the
-HyperLogLog estimate); those are covered by the pytest
-determinism/recall/rank-bound/error-bound suites instead and get the
-driver's rows-only check.
+quantile sketch whose result is partitioning-dependent, the
+HyperLogLog estimate, and iterative k-means); those are covered by
+the pytest determinism/recall/rank-bound/error-bound suites instead
+and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -4341,6 +4341,544 @@ def q_label_pair_sim(sf_dir: str):
         "label").reset_index(drop=True)
 
 
+# --- T89: multi-way dimensional join (TPC-H Q5 shape) ---------------
+
+# order-date slice for the nation-revenue rollup (one calendar year)
+NATION_REV_LO = "1996-01-01"
+NATION_REV_HI = "1997-01-01"
+
+
+def q_nation_revenue(sf_dir: str):
+    """FIVE-table star join (TPC-H Q5 shape — the reference's result
+    tables never exceed one join, so this is the beyond-reference
+    multi-way leg): revenue by region/nation for orders placed in one
+    calendar year, lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Scale shape: the two BIG sides meet in native hash joins on
+    pruned projections only — orders is date-filtered and projected
+    to (orderkey, custkey) BEFORE its join; lineitem collapses to
+    per-batch (orderkey, revenue-micro) partials before its join (≈4
+    lineitems/order combine map-side). nation/region are FIXED tiny
+    relations (25/5 rows at every sf) — they never join at all: the
+    25-key revenue rollup leaves the pipeline first, then the names
+    attach on the driver. Revenue in exact integer micro per lineitem
+    (int64-safe per order), folded to cents on the 25-row result."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    lo = pd.Timestamp(NATION_REV_LO)
+    hi = pd.Timestamp(NATION_REV_HI)
+
+    def ord_filter(df):
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    ofil = orders.map_batches(ord_filter, batch_format="pandas")
+
+    def li_partial(df):
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * 1_000_000 + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "rev_micro": rev})
+        return out.groupby("l_orderkey", as_index=False).agg(
+            rev_micro=("rev_micro", "sum"))
+
+    lrev = li.map_batches(li_partial, batch_format="pandas")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(orders.count()), cpus // 2))
+    j1 = ofil.join(
+        cust, "inner", n_part,
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+    j2 = lrev.join(
+        j1, "inner", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def nat_partial(df):
+        out = pd.DataFrame(
+            {"nationkey": df["c_nationkey"].to_numpy(np.int64),
+             "rev_micro": df["rev_micro"].to_numpy(np.int64)})
+        return out.groupby("nationkey", as_index=False).agg(
+            rev_micro=("rev_micro", "sum"))
+
+    small = (
+        j2.map_batches(nat_partial, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+        .to_pandas()  # ≤ 25 rows
+    )
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    names = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    out = small.merge(names, left_on="nationkey", right_on="n_nationkey")
+    out["revenue_micro"] = out["rev_micro"].astype("int64")
+    return (out[["r_name", "n_name", "revenue_micro"]]
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+# --- T90: grouped exact median / discrete quantiles ------------------
+
+
+def q_lang_median_chars(sf_dir: str):
+    """GROUPED EXACT MEDIAN + p90 (quantile_disc semantics: sorted
+    0-based index ceil(n·q)−1) of document length per language —
+    the exact per-group order statistic T26's global quantiles and
+    T34's sketch don't give.
+
+    No global sort and no per-group value materialization: per-batch
+    (lang, n_chars) histogram partials → value-hash bucketed exact
+    histogram reduce (rows bounded by langs × |value domain|,
+    independent of corpus size) → per-lang rank-select against the
+    cumulative histogram. A 100 TB corpus with a bounded length
+    domain exchanges the same few thousand rows as sf0.001."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    nb = dd.derive_buckets(docs.count(), rows_per_doc=1, floor=16)
+
+    def partial(df):
+        g = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size"))
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = (g["n_chars"].to_numpy(np.int64) % nb).astype("int32")
+        return g
+
+    def hist_reduce(g):
+        return (g.groupby(["lang", "n_chars"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    def lang_quantiles(g):
+        g = g.sort_values("n_chars")
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def pick(num: int, den: int) -> int:
+            # 0-based rank ceil(n·num/den) − 1, exact integer math
+            rank = -((-n * num) // den) - 1
+            return int(v[np.searchsorted(cum, rank + 1)])
+
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "median_chars": np.array([pick(1, 2)], np.int64),
+            "p90_chars": np.array([pick(9, 10)], np.int64),
+            "n_docs": np.array([n], np.int64),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(hist_reduce, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(lang_quantiles, batch_format="pandas")
+    )
+
+
+# --- T91: unigram-LM rarity scoring (CCNet-style quality signal) -----
+
+RARITY_TOP_K = 50
+
+
+def q_rare_token_score(sf_dir: str):
+    """Unigram-LM RARITY scoring (the integer-exact stand-in for
+    CCNet-style perplexity filtering, Wenzek et al. 2020,
+    arXiv:1911.00359): score(doc) = Σ over token occurrences of
+    (TOTAL // count(token)) — hapax-heavy gibberish scores high,
+    boilerplate scores low; top-RARITY_TOP_K docs returned.
+
+    Shape (mirrors dup_gram_mass's exchange economics): token-hash
+    (th, cnt) combiner partials → crc-bucketed vectorized count
+    reduce, MATERIALIZED once (vocabulary-sized, corpus-independent)
+    so TOTAL is a cheap aggregate over it instead of a second text
+    pass; probe rows are per-(doc, distinct token) int64 triples —
+    8-byte md5 hashes, never strings; native hash join → per-doc
+    bucketed sum → per-block partial top-k → tiny final sort.
+    Overflow margin: score ≤ n_tokens(doc) · TOTAL ≈ 2^62 at 10^13
+    corpus tokens × 2^9-token docs — documented int64 edge; the
+    oracle computes in HUGEINT and casts."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    n_gb = dd.derive_buckets(n_docs, rows_per_doc=32)
+
+    def count_bucketize(b: pa.Table) -> pa.Table:
+        t = tx.token_count_partial(b)
+        th = t.column("th").to_numpy().view(np.uint64)
+        bk = (th % np.uint64(n_gb)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bk))
+
+    def count_reduce(g):
+        s = g.groupby("th", as_index=False).agg(cnt=("cnt", "sum"))
+        s = s.astype({"th": "int64", "cnt": "int64"}).rename(
+            columns={"th": "th_r"})
+        return pa.Table.from_pandas(
+            s, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (
+        docs.map_batches(count_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_reduce, batch_format="pandas")
+        .materialize()  # vocabulary-sized; reused for TOTAL + join
+    )
+    total = int(counts.sum("cnt"))
+
+    probe = docs.map_batches(tx.rare_token_rows, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
+                        cpus // 2))
+    joined = probe.join(
+        counts, "inner", n_part, on=("th",), right_on=("th_r",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    n_db = dd.derive_buckets(n_docs)
+
+    def score_partial(df):
+        sc = (df["occ"].to_numpy(np.int64)
+              * (total // df["cnt"].to_numpy(np.int64)))
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "rarity_score": sc})
+        out = out.groupby("doc_id", as_index=False).agg(
+            rarity_score=("rarity_score", "sum"))
+        return out.assign(bucket=(out["doc_id"].to_numpy(np.int64)
+                                  % n_db).astype("int32"))
+
+    def doc_reduce(g):
+        s = g.groupby("doc_id", as_index=False).agg(
+            rarity_score=("rarity_score", "sum"))
+        s["neg_id"] = -s["doc_id"].to_numpy(np.int64)
+        return s.sort_values(["rarity_score", "neg_id"],
+                             ascending=False).head(RARITY_TOP_K)
+
+    out = (
+        joined.map_batches(score_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pandas")
+        .sort(["rarity_score", "neg_id"], descending=True)
+        .limit(RARITY_TOP_K)
+    )
+    return out.select_columns(["doc_id", "rarity_score"])
+
+
+# --- T92: k-means clustering (iterative; no SQL oracle) --------------
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (see
+    stages/similarity.kmeans_fit for the exact-integer iteration
+    contract). Iterative and therefore non-SQL — correctness is
+    bounded by the pytest suite: partitioning invariance (identical
+    centroids/sizes/trace at different block counts), size
+    conservation, and inertia descent."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, sizes, trace = sim.kmeans_fit(ds)
+    return pd.DataFrame({
+        "cluster_id": np.arange(len(sizes), dtype=np.int64),
+        "n_vecs": sizes.astype(np.int64),
+        "centroid_q0": cent[:, 0].astype(np.int64),
+        "final_inertia": np.full(len(sizes), float(trace[-1])),
+    })
+
+
+# --- T93: gaps-and-islands (longest consecutive-day streak) ----------
+
+
+def q_active_streaks(sf_dir: str):
+    """GAPS-AND-ISLANDS: longest run of consecutive active days per
+    user (the classic row_number-difference pattern — a window shape
+    none of T42/T48/T68 cover). Batch-distinct (user, day) flag
+    partials shuffle (bounded by users × days, never events) →
+    user-hash bucketed reduce does ONE sort per bucket and detects
+    island boundaries vectorized (day − within-user rank is constant
+    inside an island)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        day = df["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "day": day}).drop_duplicates()
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        n = len(g)
+        run_first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        start = np.repeat(run_first, np.diff(np.r_[run_first, n]))
+        rank = np.arange(n) - start  # 0-based rank within user
+        grp = day - rank  # constant within a consecutive-day island
+        s = pd.DataFrame({"user_id": uid, "grp": grp})
+        lens = s.groupby(["user_id", "grp"], as_index=False).agg(
+            ln=("grp", "size"))
+        out = lens.groupby("user_id", as_index=False).agg(
+            max_streak=("ln", "max"), n_active_days=("ln", "sum"))
+        return out.astype({"user_id": "int64", "max_streak": "int64",
+                           "n_active_days": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+# --- T94: cohort retention matrix ------------------------------------
+
+
+def q_cohort_retention(sf_dir: str):
+    """WEEKLY COHORT RETENTION matrix (cohort week = user's first
+    active ISO-epoch week; cell = distinct users from that cohort
+    active `week_offset` weeks later) — the triangular dashboard
+    behind every retention analysis, and a two-level dependence
+    (per-user min, then per-(cohort, offset) distinct count) a single
+    groupby can't express.
+
+    Batch-distinct (user, week) partials → user-hash bucketed reduce
+    computes each user's cohort AND emits pre-counted (cohort,
+    offset, n) partials map-side (a user's weeks all live in one
+    bucket) → tiny (cohort × offset) groupby sum."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        day = df["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "wk": day // 7}).drop_duplicates()
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].transform("min")
+        s = pd.DataFrame({"cohort_week": cohort.to_numpy(np.int64),
+                          "week_offset": g["wk"].to_numpy(np.int64)
+                          - cohort.to_numpy(np.int64)})
+        out = s.groupby(["cohort_week", "week_offset"],
+                        as_index=False).agg(n_users=("week_offset", "size"))
+        return out.astype({"cohort_week": "int64", "week_offset": "int64",
+                           "n_users": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+# --- T95: broadcast dimension classify join (TPC-H Q14 shape) --------
+
+# above this the (promo partkey set) broadcast stops being small-side
+PART_BROADCAST_MAX = 2_000_000
+
+
+def q_promo_revenue(sf_dir: str):
+    """PROMO revenue share per ship month (TPC-H Q14 shape): lineitem
+    ⋈ part classify join, monthly promo/total revenue in exact cents
+    + share in ppm.
+
+    Size-gated broadcast: when part fits the gate, only the SORTED
+    PROMO PARTKEY ARRAY broadcasts (ray.put once, np.isin per batch —
+    the classify join costs no shuffle at all and the month rollup is
+    a pure combiner). Above the gate, a native hash join on pruned
+    (l_partkey, month, rev) × (p_partkey, is_promo) projections takes
+    over — plan-only split, identical results. Cents (not micro) keep
+    per-month int64 partials safe at 100 TB; the ppm division happens
+    on the ≤ n_months-row result with Python ints."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    n_parts = part.count()
+
+    def month_rev(df):
+        ts = pd.DatetimeIndex(df["l_shipdate"])
+        month = (ts.year.to_numpy() * 100 + ts.month.to_numpy()).astype(
+            np.int64)
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * 100 + 0.5
+        ).astype(np.int64)
+        return month, rev
+
+    if n_parts <= PART_BROADCAST_MAX:
+        pdf = part.to_pandas()
+        promo = np.sort(
+            pdf.loc[pdf["p_type"] == "PROMO", "p_partkey"]
+            .to_numpy(np.int64))
+        ref = ray.put(promo)
+
+        def partial(df):
+            pk = sim.resolve_broadcast(ref, key="promo-parts")
+            month, rev = month_rev(df)
+            isp = np.isin(df["l_partkey"].to_numpy(np.int64), pk)
+            out = pd.DataFrame({
+                "ship_month": month,
+                "promo_c": np.where(isp, rev, 0),
+                "total_c": rev,
+            })
+            return out.groupby("ship_month", as_index=False).agg(
+                promo_c=("promo_c", "sum"), total_c=("total_c", "sum"))
+
+        small = li.map_batches(partial, batch_format="pandas")
+    else:  # hash-join leg: projections only, then the same combiner
+        def li_proj(df):
+            month, rev = month_rev(df)
+            return pd.DataFrame(
+                {"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                 "ship_month": month, "rev_c": rev})
+
+        def part_proj(df):
+            return pd.DataFrame(
+                {"p_partkey": df["p_partkey"].to_numpy(np.int64),
+                 "isp": (df["p_type"] == "PROMO").to_numpy(bool)})
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_part_j = max(8, min(dd.derive_buckets(n_parts), cpus // 2))
+        j = li.map_batches(li_proj, batch_format="pandas").join(
+            part.map_batches(part_proj, batch_format="pandas"),
+            "inner", n_part_j,
+            on=("l_partkey",), right_on=("p_partkey",),
+            aggregator_ray_remote_args=_join_remote_args(n_part_j),
+        )
+
+        def partial(df):
+            rev = df["rev_c"].to_numpy(np.int64)
+            out = pd.DataFrame({
+                "ship_month": df["ship_month"].to_numpy(np.int64),
+                "promo_c": np.where(df["isp"].to_numpy(bool), rev, 0),
+                "total_c": rev,
+            })
+            return out.groupby("ship_month", as_index=False).agg(
+                promo_c=("promo_c", "sum"), total_c=("total_c", "sum"))
+
+        small = j.map_batches(partial, batch_format="pandas")
+
+    agg = (
+        small.groupby("ship_month")
+        .aggregate(Sum("promo_c", alias_name="promo_c"),
+                   Sum("total_c", alias_name="total_c"))
+        .to_pandas()  # ≤ n_months rows
+    )
+    agg["promo_ppm"] = np.array(
+        [int(p) * 1_000_000 // int(t)
+         for p, t in zip(agg["promo_c"], agg["total_c"])], np.int64)
+    for c in ("ship_month", "promo_c", "total_c"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("ship_month").reset_index(drop=True)
+
+
+# --- T96: greatest-n-per-group join-back ------------------------------
+
+
+def q_latest_order_per_customer(sf_dir: str):
+    """GREATEST-N-PER-GROUP at group cardinality that scales with the
+    data (every customer's single most recent order) — the per-group
+    argmax T17's global top-100 and T23's per-lang top-5 (5 fixed
+    groups) don't cover. SQL shape: row_number() OVER (PARTITION BY
+    custkey ORDER BY date DESC, key ASC) = 1.
+
+    Pure combiner + bucketed reduce — no join, no global sort: each
+    batch keeps ONE candidate row per custkey it sees (vectorized
+    sort + drop_duplicates), the custkey-hash bucket reduce repeats
+    the same argmax over ≤ n_blocks candidates per customer. Exchange
+    is O(customers · blocks-containing-them), independent of the
+    order count per customer."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    nb = dd.derive_buckets(ds.count())
+
+    def argmax_rows(df):
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("o_custkey", keep="first")
+
+    def partial(df):
+        out = argmax_rows(pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": df["o_orderdate"],
+            "price_c": _cents_col(df["o_totalprice"]),
+        }))
+        return out.assign(bucket=(out["o_custkey"].to_numpy(np.int64)
+                                  % nb).astype("int32"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(lambda g: argmax_rows(g).drop(columns=["bucket"]),
+                    batch_format="pandas")
+    )
+
+
+# --- T97: LAG over an aggregated series (month-over-month ratio) ------
+
+
+def q_revenue_mom(sf_dir: str):
+    """MONTH-OVER-MONTH revenue ratio — a window function (LAG) over
+    an AGGREGATED series, not over base rows like T82's lead(): cents
+    combiner → per-month groupby (bounded by the calendar, tiny) →
+    one driver pass computes ratio_ppm = cur·10⁶ // prev with Python
+    ints (nonnegative, so floor == DuckDB's truncating //; the first
+    month takes the 0 sentinel, mirrored by coalesce in the
+    oracle)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df):
+        ts = pd.DatetimeIndex(df["o_orderdate"])
+        month = (ts.year.to_numpy() * 100 + ts.month.to_numpy()).astype(
+            np.int64)
+        out = pd.DataFrame({"order_month": month,
+                            "revenue_c": _cents_col(df["o_totalprice"])})
+        return out.groupby("order_month", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("order_month")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()  # ≤ one row per calendar month
+    ).sort_values("order_month").reset_index(drop=True)
+    rev = [int(v) for v in agg["revenue_c"]]
+    ratio = [0] + [c * 1_000_000 // p for c, p in zip(rev[1:], rev[:-1])]
+    agg["revenue_c"] = agg["revenue_c"].astype("int64")
+    agg["ratio_ppm"] = np.array(ratio, np.int64)
+    return agg
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4371,7 +4909,16 @@ def queries() -> dict:
         "distinct_users_hll": q_distinct_users_hll,
         "label_centroids": q_label_centroids,
         "vector_stats": q_vector_stats,
-        # -- (2) NEW this round (T73-T88) + implementation changed ---
+        # -- (2) NEW this round (T73-T95) + implementation changed ---
+        "nation_revenue": q_nation_revenue,
+        "lang_median_chars": q_lang_median_chars,
+        "rare_token_score": q_rare_token_score,
+        "active_streaks": q_active_streaks,
+        "cohort_retention": q_cohort_retention,
+        "promo_revenue": q_promo_revenue,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "revenue_mom": q_revenue_mom,
         "bigram_pmi": q_bigram_pmi,
         "value_variance": q_value_variance,
         "price_date_cov": q_price_date_cov,
@@ -4560,6 +5107,121 @@ _FP_TERMS_SQL = " + ".join(
     for j in range(8))
 
 ORACLES: dict[str, str] = {
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey ASC) = 1
+    """,
+    "revenue_mom": """
+        WITH m AS (
+          SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                      AS BIGINT) AS order_month,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS revenue_c
+          FROM orders GROUP BY 1)
+        SELECT order_month, revenue_c,
+               CAST(coalesce(
+                 CAST(revenue_c AS HUGEINT) * 1000000
+                   // lag(revenue_c) OVER (ORDER BY order_month),
+                 0) AS BIGINT) AS ratio_ppm
+        FROM m ORDER BY order_month
+    """,
+    "nation_revenue": """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_micro
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '{lo} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{hi} 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """.format(lo=NATION_REV_LO, hi=NATION_REV_HI),
+    "lang_median_chars": """
+        SELECT lang,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "rare_token_score": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        occ AS (
+          SELECT doc_id, md5_number_upper(t.x) AS th,
+                 count(*) AS occ
+          FROM toks, unnest(tk) AS t(x) GROUP BY 1, 2),
+        cnt AS (SELECT th, sum(occ) AS cnt FROM occ GROUP BY th),
+        tot AS (SELECT sum(cnt) AS total FROM cnt),
+        sc AS (
+          SELECT doc_id,
+                 sum(occ * (total // cnt)) AS rarity
+          FROM occ JOIN cnt USING (th) CROSS JOIN tot
+          GROUP BY doc_id)
+        SELECT doc_id, CAST(rarity AS BIGINT) AS rarity_score
+        FROM sc
+        ORDER BY rarity_score DESC, doc_id ASC
+        LIMIT {k}
+    """.format(k=RARITY_TOP_K),
+    "active_streaks": """
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 CAST(ts AS DATE) - DATE '1970-01-01' AS day
+          FROM events),
+        r AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM days),
+        s AS (SELECT user_id, count(*) AS ln
+              FROM r GROUP BY user_id, grp)
+        SELECT user_id, CAST(max(ln) AS BIGINT) AS max_streak,
+               CAST(sum(ln) AS BIGINT) AS n_active_days
+        FROM s GROUP BY user_id
+    """,
+    "cohort_retention": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+                 (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+          FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort FROM weeks
+              GROUP BY user_id)
+        SELECT CAST(cohort AS BIGINT) AS cohort_week,
+               CAST(wk - cohort AS BIGINT) AS week_offset,
+               count(*) AS n_users
+        FROM weeks JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "promo_revenue": """
+        WITH g AS (
+          SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                      AS BIGINT) AS ship_month,
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(floor(l_extendedprice
+                                          * (1.0 - l_discount)
+                                          * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS promo_c,
+                 CAST(sum(CAST(floor(l_extendedprice
+                                     * (1.0 - l_discount)
+                                     * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1)
+        SELECT ship_month, promo_c, total_c,
+               CAST(CAST(promo_c AS HUGEINT) * 1000000 // total_c
+                    AS BIGINT) AS promo_ppm
+        FROM g ORDER BY ship_month
+    """,
     # fingerprint: bit_xor of the h%16==0 window hashes; 0/NULL (no
     # sampled window, <8 bytes ⇒ no windows, or NON-ASCII text — SQL
     # addresses characters, the engine rolls UTF-8 bytes, so both

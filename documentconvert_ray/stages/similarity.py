@@ -355,3 +355,120 @@ def dedup_vec_pairs(group):
     from .dedup import dedup_pairs
 
     return dedup_pairs(group, a="vec_id_a", b="vec_id_b")
+
+
+# ------------------------------------------------ k-means (T92/T96)
+
+KMEANS_K = 8
+KMEANS_MAX_ITERS = 15
+KMEANS_Q = 1 << 20  # fixed-point quantization scale
+
+
+def _quant_batch(batch: pa.Table) -> pa.Table:
+    """Quantize embeddings to int64 fixed point (floor(x · 2^20)) ONCE
+    at the read. Every downstream sum/distance is integer and
+    therefore partitioning-order independent — the float-summation
+    nondeterminism that plagues distributed k-means is gone by
+    construction. |x| ≤ ~1 ⇒ coords ≤ 2^20; squared distances sum to
+    ≤ d·2^42 per pair (d=64 ⇒ 2^48), int64-safe."""
+    m = _mat(batch.column("embedding"))
+    q = np.floor(m * KMEANS_Q).astype(np.int64)
+    flat = pa.array(q.ravel(), pa.int64())
+    return pa.Table.from_pydict({
+        "vec_id": batch.column("vec_id"),
+        "q": pa.FixedSizeListArray.from_arrays(flat, q.shape[1]),
+    })
+
+
+def _qmat(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+
+
+def kmeans_fit(ds, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS):
+    """Lloyd's k-means over an embeddings Dataset, exact-integer and
+    deterministic (custom ITERATIVE operator — Ray Data has no native
+    clustering; cf. the IVF trainer above, which is a sampled float
+    variant for index building).
+
+    Shape per iteration: broadcast the (k, d) int64 centroid matrix
+    (ray.put once, resolved per worker) → map_batches emits ONE
+    (k, d+2) partial per block (counts, coordinate sums, inertia) →
+    driver folds the tiny partials with Python ints and floor-divides
+    the new centroids. Vectors never shuffle; the only driver
+    materialization is k·n_blocks partial rows. The quantized
+    projection is materialized once up front — the one legitimate
+    mid-pipeline materialize, because an iterative algorithm re-reads
+    its input max_iters times.
+
+    Init: the k vectors with the smallest vec_ids (partial per-batch
+    min-k combiner, never a global sort). Ties in the assignment step
+    break to the lowest cluster id; empty clusters keep their previous
+    centroid. Stops when centroids are a fixpoint or after max_iters.
+
+    Returns (centroids (k,d) int64, sizes (k,) int64, inertia_trace
+    list[int] — one exact Σ min-dist per iteration)."""
+    import pandas as pd
+
+    qds = ds.map_batches(_quant_batch, batch_format="pyarrow").materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(np.sort(keep)))
+
+    seed = (qds.map_batches(seed_partial, batch_format="pyarrow")
+            .sort("vec_id").limit(k).take_all())
+    cent = np.stack([np.asarray(r["q"], np.int64) for r in seed])
+    d = cent.shape[1]
+
+    sizes = np.zeros(k, np.int64)
+    trace: list[int] = []
+    for _ in range(max_iters):
+        ref = ray.put(cent)
+
+        def assign_partial(b: pa.Table) -> pa.Table:
+            C = resolve_broadcast(ref, key="kmeans-cent")
+            X = _qmat(b.column("q"))
+            xx = np.einsum("ij,ij->i", X, X)
+            cc = np.einsum("ij,ij->i", C, C)
+            dist = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
+            a = np.argmin(dist, axis=1)
+            best = dist[np.arange(len(X)), a]
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, X)
+            inertia = np.zeros(k, np.int64)
+            np.add.at(inertia, a, best)
+            flat = pa.array(sums.ravel(), pa.int64())
+            return pa.Table.from_pydict({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "inertia": pa.array(inertia),
+                "sums": pa.FixedSizeListArray.from_arrays(flat, d),
+            })
+
+        parts = qds.map_batches(assign_partial,
+                                batch_format="pyarrow").take_all()
+        cnt = np.zeros(k, np.int64)
+        # int64 fold: Σ coords ≤ n_vecs · 2^20, safe below ~2^43 vecs
+        sums = np.zeros((k, d), np.int64)
+        inertia = 0  # Python int — unbounded
+        for r in parts:
+            c = int(r["cluster"])
+            cnt[c] += int(r["cnt"])
+            inertia += int(r["inertia"])
+            sums[c] += np.asarray(r["sums"], np.int64)
+        trace.append(inertia)
+        new_cent = cent.copy()
+        for c in range(k):
+            if cnt[c] > 0:
+                new_cent[c] = np.array(
+                    [int(s) // int(cnt[c]) for s in sums[c]], np.int64)
+        sizes = cnt
+        if np.array_equal(new_cent, cent):
+            break
+        cent = new_cent
+    return cent, sizes, trace

@@ -503,3 +503,55 @@ class PackScanStage:
         out["block_start"] = block_start.astype("int64")
         out["block_end"] = block_end.astype("int64")
         return out.reset_index(drop=True)
+
+
+# ------------------------------------------------- token rarity (T91)
+
+
+def token_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial token OCCURRENCE counts (token hash → number
+    of occurrences across the batch's docs) — the combiner before the
+    vocabulary reduce behind unigram-LM rarity scoring. Ships 16-byte
+    (th, cnt) rows, never token strings (same md5_number_upper keying
+    as the dup-gram exchange, so the SQL oracle shares collision
+    semantics exactly)."""
+    import numpy as np
+
+    c: dict = {}
+    for t in batch.column("text").to_pylist():
+        for w in tokens(t):
+            c[w] = c.get(w, 0) + 1
+    words = sorted(c)
+    return pa.Table.from_pydict(
+        {"th": pa.array(_gram_hashes_i64(words), pa.int64()),
+         "cnt": pa.array(np.fromiter((c[w] for w in words), np.int64,
+                                     len(words)))}
+    )
+
+
+def rare_token_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, th, occ) per distinct (doc, token) — the join probe of
+    the rarity score. Token-level row volume is inherent (same as the
+    TF-IDF tf relation); the count join and the per-doc top-k
+    combiner shrink everything downstream."""
+    import numpy as np
+
+    ids: list[int] = []
+    ths_all: list = []
+    occ: list[int] = []
+    for i, t in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist()):
+        c: dict = {}
+        for w in tokens(t):
+            c[w] = c.get(w, 0) + 1
+        words = sorted(c)
+        ids.extend([i] * len(words))
+        ths_all.append(_gram_hashes_i64(words))
+        occ.extend(c[w] for w in words)
+    ths = (np.concatenate(ths_all) if ths_all
+           else np.empty(0, np.int64))
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "th": pa.array(ths, pa.int64()),
+         "occ": pa.array(occ, pa.int64())}
+    )
