@@ -4343,6 +4343,9 @@ def q_label_pair_sim(sf_dir: str):
 
 # --- T89: multi-way dimensional join (TPC-H Q5 shape) ---------------
 
+# above this the custkey→nationkey broadcast stops being small-side
+CUST_BROADCAST_MAX = 2_000_000
+
 # order-date slice for the nation-revenue rollup (one calendar year)
 NATION_REV_LO = "1996-01-01"
 NATION_REV_HI = "1997-01-01"
@@ -4373,9 +4376,30 @@ def q_nation_revenue(sf_dir: str):
     lo = pd.Timestamp(NATION_REV_LO)
     hi = pd.Timestamp(NATION_REV_HI)
 
+    # size-gated dimension broadcast (same plan split as T95): below
+    # the gate the custkey→nationkey map ships once via ray.put and
+    # join 1 disappears; above it, the native hash join below takes
+    # over — identical results either way
+    n_cust = cust.count()
+    if n_cust <= CUST_BROADCAST_MAX:
+        cdf = cust.to_pandas()
+        order_ck = np.argsort(cdf["c_custkey"].to_numpy(np.int64))
+        ck = cdf["c_custkey"].to_numpy(np.int64)[order_ck]
+        nk = cdf["c_nationkey"].to_numpy(np.int64)[order_ck]
+        cref = ray.put((ck, nk))
+    else:
+        cref = None
+
     def ord_filter(df):
         m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
-        return df.loc[m, ["o_orderkey", "o_custkey"]]
+        df = df.loc[m, ["o_orderkey", "o_custkey"]]
+        if cref is not None:
+            ck_b, nk_b = sim.resolve_broadcast(cref, key="nrev-cust")
+            idx = np.searchsorted(ck_b, df["o_custkey"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                 "c_nationkey": nk_b[idx]})
+        return df
 
     ofil = orders.map_batches(ord_filter, batch_format="pandas")
 
@@ -4395,7 +4419,7 @@ def q_nation_revenue(sf_dir: str):
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_part = max(8, min(dd.derive_buckets(orders.count()), cpus // 2))
-    j1 = ofil.join(
+    j1 = ofil if cref is not None else ofil.join(
         cust, "inner", n_part,
         on=("o_custkey",), right_on=("c_custkey",),
         aggregator_ray_remote_args=_join_remote_args(n_part),
@@ -4533,6 +4557,9 @@ def q_rare_token_score(sf_dir: str):
         docs.map_batches(count_bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(count_reduce, batch_format="pandas")
+        # consolidate: an all-empty bucket otherwise emits a
+        # zero-schema block that poisons the join's right side
+        .repartition(max(1, min(32, -(-n_docs // 25_000))))
         .materialize()  # vocabulary-sized; reused for TOTAL + join
     )
     total = int(counts.sum("cnt"))

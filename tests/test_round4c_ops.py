@@ -169,3 +169,14 @@ def test_latest_order_tiebreak_lowest_key(ray_session, tmp_path):
     assert len(got) == 1
     assert int(got["o_orderkey"].iloc[0]) == 5
     assert int(got["price_c"].iloc[0]) == 2000
+
+
+def test_nation_revenue_paths_identical(ray_session, monkeypatch):
+    """Customer-broadcast and native-join legs of the star join return
+    identical rows (the size gate is plan-only)."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    broadcast = Q.q_nation_revenue(SF)
+    monkeypatch.setattr(Q, "CUST_BROADCAST_MAX", 0)  # force join leg
+    joined = Q.q_nation_revenue(SF)
+    pd.testing.assert_frame_equal(broadcast, joined)
