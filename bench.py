@@ -150,6 +150,33 @@ def warm_page_cache(paths: list[str]) -> None:
                 pass
 
 
+def run_only_query(name: str) -> dict:
+    """Time ONE query pipeline (used by the query-scaling subprocess
+    legs; ray.init/import overhead stays outside the timed window)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from documentconvert_ray.pipelines.queries import queries
+
+    fn = queries()[name]
+    runs = []
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "1"))):
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        runs.append(round(time.monotonic() - t0, 3))
+    ray.shutdown()
+    return {"metric": "query_sec", "unit": "sec", "query": name,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS,
+            "value": min(runs), "runs": runs}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -283,7 +310,7 @@ def _scaling_pairs() -> dict:
         hi_tp.append(r_hi["docs_per_sec"])
     best_lo, best_hi = min(lo_secs), min(hi_secs)
     eff = (best_lo / best_hi) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "unit": "ratio",
         "sf": SF_DIR,
@@ -297,6 +324,76 @@ def _scaling_pairs() -> dict:
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
     }
+
+    # query-side scaling: the same interleaved 8/32 protocol over one
+    # shuffle-heavy query pipeline, so the two-cluster-size evidence
+    # covers the QUERY engine, not just the extraction job. Input is a
+    # deterministic ×N sharded expansion of the sf documents table:
+    # at the raw sf sizes every all-to-all's FIXED barrier latency
+    # dominates and efficiency reads ~0.45 regardless of the query; at
+    # ~1M docs the barriers amortize (measured 0.96 for simhash 8→32).
+    qname = os.environ.get("SCALING_QUERY", "simhash_near_dups")
+    if qname != "0":
+        qdir = _query_scaling_corpus()
+        q_pairs = int(os.environ.get("SCALING_QUERY_PAIRS", "2"))
+
+        def one_q(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_SF_DIR=qdir, BENCH_ONLY_QUERY=qname,
+                       BENCH_REPEATS="1")
+            o = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(o.strip().splitlines()[-1])
+
+        ql, qh = [], []
+        for _ in range(q_pairs):
+            ql.append(one_q(lo)["value"])
+            qh.append(one_q(hi)["value"])
+        q_eff = (min(ql) / min(qh)) / (hi / lo)
+        out["query_scaling"] = {
+            "query": qname,
+            "input": qdir,
+            f"sec_{lo}": min(ql), f"sec_{hi}": min(qh),
+            f"sec_{lo}_runs": ql, f"sec_{hi}_runs": qh,
+            "scaling_efficiency": round(q_eff, 3),
+        }
+    return out
+
+
+def _query_scaling_corpus() -> str:
+    """Deterministic ×N sharded expansion of the sf documents table
+    (per-replica suffix token so replicas are near- not exact dups —
+    an exact-duplicate corpus makes pair-emitting dedup quadratic).
+    Sharded one file per replica: a single fat file is a 1-task
+    serial read that gates every downstream stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = int(os.environ.get("SCALING_QUERY_X", "200"))
+    root = f"/tmp/documentconvert_ray/qscale-x{n}-{os.path.basename(SF_DIR)}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "documents.parquet")
+    os.makedirs(d)
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    did = src.schema.get_field_index("doc_id")
+    tid = src.schema.get_field_index("text")
+    ids = src.column("doc_id").to_numpy()
+    for i in range(n):
+        import pyarrow as _pa
+
+        t = src.set_column(did, "doc_id", _pa.array(ids + i * 10_000_000))
+        t = t.set_column(tid, "text", pc.binary_join_element_wise(
+            t.column("text"), f"rep{i}", " "))
+        pq.write_table(t, os.path.join(d, f"shard-{i:04d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
 
 
 def run_scaling() -> dict:
@@ -312,7 +409,10 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("BENCH_ONLY_QUERY"):
+        print(json.dumps(run_only_query(os.environ["BENCH_ONLY_QUERY"]),
+                         sort_keys=True))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(), sort_keys=True))
     else:
         print(json.dumps(run_bench(), sort_keys=True))

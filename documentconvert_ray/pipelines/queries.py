@@ -68,11 +68,21 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     unhashable, which defeats Ray Data's block-schema dedup and spams
     'Failed to hash the schemas' warnings in every shuffle (VERDICT
     r2 #5). Passing the stripped schema fixes every query at the
-    source; one driver-side footer read, no extra stage."""
+    source; one driver-side footer read, no extra stage.
+
+    `{name}.parquet` may be a single file OR a directory of shard
+    files (the 100 TB layout — one read task per shard, so the read
+    itself parallelizes; a single fat file is a 1-task serial read
+    that gates every downstream stage's ramp)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    full = pq.read_schema(path).remove_metadata()
+    schema_src = path
+    if os.path.isdir(path):
+        shards = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet"))
+        schema_src = os.path.join(path, shards[0])
+    full = pq.read_schema(schema_src).remove_metadata()
     if columns is not None:
         schema = pa.schema([full.field(c).remove_metadata() for c in columns])
     else:
@@ -1961,8 +1971,9 @@ def q_dup_gram_mass(sf_dir: str):
     probe = docs.map_batches(tx.dupgram_doc_rows, batch_format="pyarrow")
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
-                        cpus // 2))
+    # the post-join combiner's task width == num_partitions (measured:
+    # cpus//2 left the 125-cpu-s combiner 16-wide on 32 cpus)
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64), cpus))
     joined = probe.join(
         build, "left_outer", n_part, on=("gh",), right_on=("gh_r",),
         aggregator_ray_remote_args=_join_remote_args(n_part),
@@ -1971,18 +1982,22 @@ def q_dup_gram_mass(sf_dir: str):
     n_db = dd.derive_buckets(n_docs)
 
     def partial(df):
+        # np.unique + bincount: measured 15× over the pandas groupby
+        # at the join's 800k-row block size
         occ = df["n_occ"].to_numpy(np.int64)
         is_tot = df["is_tot"].to_numpy(bool)
-        is_dup = df["dup"].fillna(0).to_numpy(np.int64) == 1
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_pos": np.where(is_tot, occ, 0),
-            "n_dup": np.where(is_dup & ~is_tot, occ, 0),
+        is_dup = ~np.isnan(df["dup"].to_numpy(np.float64))
+        u, inv = np.unique(df["doc_id"].to_numpy(np.int64),
+                           return_inverse=True)
+        n_pos = np.bincount(inv, weights=np.where(is_tot, occ, 0),
+                            minlength=len(u)).astype(np.int64)
+        n_dup = np.bincount(inv, weights=np.where(is_dup & ~is_tot,
+                                                  occ, 0),
+                            minlength=len(u)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": u, "n_pos": n_pos, "n_dup": n_dup,
+            "bucket": (u % n_db).astype("int32"),
         })
-        out = out.groupby("doc_id", as_index=False).agg(
-            n_pos=("n_pos", "sum"), n_dup=("n_dup", "sum"))
-        return out.assign(bucket=(out["doc_id"].to_numpy(np.int64)
-                                  % n_db).astype("int32"))
 
     def doc_reduce(g):
         s = g.groupby("doc_id", as_index=False).agg(
@@ -4566,8 +4581,8 @@ def q_rare_token_score(sf_dir: str):
 
     probe = docs.map_batches(tx.rare_token_rows, batch_format="pyarrow")
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64),
-                        cpus // 2))
+    # post-join combiner width == num_partitions (see dup_gram_mass)
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64), cpus))
     joined = probe.join(
         counts, "inner", n_part, on=("th",), right_on=("th_r",),
         aggregator_ray_remote_args=_join_remote_args(n_part),
@@ -4576,14 +4591,18 @@ def q_rare_token_score(sf_dir: str):
     n_db = dd.derive_buckets(n_docs)
 
     def score_partial(df):
+        # int64-exact per-doc fold (np.add.at, not float bincount —
+        # rarity terms can exceed 2^53 at corpus scale)
         sc = (df["occ"].to_numpy(np.int64)
               * (total // df["cnt"].to_numpy(np.int64)))
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                            "rarity_score": sc})
-        out = out.groupby("doc_id", as_index=False).agg(
-            rarity_score=("rarity_score", "sum"))
-        return out.assign(bucket=(out["doc_id"].to_numpy(np.int64)
-                                  % n_db).astype("int32"))
+        u, inv = np.unique(df["doc_id"].to_numpy(np.int64),
+                           return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, sc)
+        return pd.DataFrame({
+            "doc_id": u, "rarity_score": sums,
+            "bucket": (u % n_db).astype("int32"),
+        })
 
     def doc_reduce(g):
         s = g.groupby("doc_id", as_index=False).agg(
