@@ -1447,6 +1447,96 @@ def q_purchase_attribution(sf_dir: str):
     )
 
 
+def q_asof_last_order(sf_dir: str):
+    """CROSS-TABLE AS-OF **LEFT** JOIN (point-in-time enrichment —
+    the null-preserving asof shape purchase_attribution's inner
+    same-table variant lacks): attach to every event the same user's
+    most recent order at-or-before the event timestamp, where the
+    order dimension is PARTIAL (even custkeys only — the
+    user_customer_outer incomplete-dimension stand-in), so unmatched
+    events survive with typed sentinels (COALESCE mirrored in the
+    oracle's ASOF LEFT JOIN).
+
+    Shape: both tables project map-side to (bucket, user_id, ts, rid,
+    is_order) — 5 fixed-width columns, no payloads — co-partition by
+    user-id hash (size-derived bucket count from the BIG side), one
+    per-bucket vectorized sorted merge (pandas merge_asof, backward).
+    Deterministic tie-break at equal order date: max o_orderkey
+    (orders sorted (ts, rid) ascending — merge_asof takes the last
+    match), mirrored by the oracle's max() pre-aggregate per
+    (custkey, date). Exchange is O(events + orders) fixed-width rows;
+    skew bounded by per-user row counts, same contract as
+    purchase_attribution."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n_buckets = dd.derive_buckets(ev.count())
+
+    def ev_project(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        return pa.Table.from_pydict(
+            {"bucket": pa.array((uid % n_buckets).astype(np.int32)),
+             "user_id": b.column("user_id"),
+             "ts": b.column("ts"),
+             "rid": b.column("event_id"),
+             "is_order": pa.array(np.zeros(len(uid), bool))})
+
+    def ord_project(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        b = b.filter(pa.array(ck % 2 == 0))  # partial dimension
+        ck = b.column("o_custkey").to_numpy()
+        return pa.Table.from_pydict(
+            {"bucket": pa.array((ck % n_buckets).astype(np.int32)),
+             "user_id": pa.array(ck.astype(np.int64)),
+             "ts": b.column("o_orderdate"),
+             "rid": b.column("o_orderkey"),
+             "is_order": pa.array(np.ones(len(ck), bool))})
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_project, batch_format="pyarrow")
+    events = ev.map_batches(ev_project, batch_format="pyarrow")
+
+    EPOCH = pd.Timestamp("1970-01-01")
+
+    def asof_bucket(df):
+        e = df[~df["is_order"]]
+        if not len(e):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "last_orderkey": pd.Series(dtype="int64"),
+                 "last_orderdate": pd.Series(dtype="datetime64[us]")})
+        o = df[df["is_order"]]
+        e = e.sort_values(["ts", "rid"], kind="mergesort")
+        if len(o):
+            o = o.sort_values(["ts", "rid"], kind="mergesort")
+            m = pd.merge_asof(
+                e[["ts", "user_id", "rid"]],
+                o[["ts", "user_id", "rid"]]
+                .rename(columns={"rid": "last_orderkey"})
+                .assign(last_orderdate=lambda d: d["ts"]),
+                on="ts", by="user_id", direction="backward",
+                allow_exact_matches=True)
+        else:
+            m = e[["ts", "user_id", "rid"]].assign(
+                last_orderkey=np.nan, last_orderdate=pd.NaT)
+        return pd.DataFrame(
+            {"event_id": m["rid"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "ts": m["ts"].astype("datetime64[us]"),
+             "last_orderkey": m["last_orderkey"].fillna(-1).astype("int64"),
+             "last_orderdate": m["last_orderdate"].fillna(EPOCH)
+             .astype("datetime64[us]")})
+
+    return (
+        events.union(orders)
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
 # band table for the range join: (name, lo, hi) in integer micro-units
 # — half-open [lo, hi); tiny side, broadcast not shuffled
 VALUE_BANDS = [
@@ -4935,6 +5025,8 @@ def queries() -> dict:
     # prior round, (2) queries whose implementation changed this round,
     # (3) least-recently driver-checked. Reorder each round.
     return {
+        # -- (0) new this session ------------------------------------
+        "asof_last_order": q_asof_last_order,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -5503,6 +5595,19 @@ ORACLES: dict[str, str] = {
                CAST(quantile_disc(v, 0.90) AS BIGINT) AS p90_micro,
                count(*) AS n_events
         FROM e GROUP BY event_type
+    """,
+    "asof_last_order": """
+        WITH ords AS (
+          SELECT o_custkey, o_orderdate,
+                 max(o_orderkey) AS o_orderkey
+          FROM orders WHERE o_custkey % 2 = 0
+          GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, e.user_id, e.ts,
+               COALESCE(o.o_orderkey, -1) AS last_orderkey,
+               COALESCE(o.o_orderdate, TIMESTAMP '1970-01-01')
+                   AS last_orderdate
+        FROM events e ASOF LEFT JOIN ords o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "purchase_attribution": """
         WITH p AS (

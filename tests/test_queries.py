@@ -14,6 +14,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 SQL_QUERIES = [
+    "asof_last_order",
     "extract_pipeline",
     "extract_error_stats",
     "domain_stats",
