@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "value_quantiles",
     "corpus_curation",
     "purchase_attribution",
+    "asof_last_order",
     "event_value_bands",
     "user_sessions",
     "user_running_total",
