@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "corpus_curation",
     "purchase_attribution",
     "asof_last_order",
+    "lineitem_unpivot",
     "event_value_bands",
     "user_sessions",
     "user_running_total",

@@ -1447,6 +1447,54 @@ def q_purchase_attribution(sf_dir: str):
     )
 
 
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+UNPIVOT_TOPK = 20
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt (wide→long reshaping — the inverse of
+    events_daily_pivot): the four lineitem measure columns become
+    (measure, value) long rows, keeping the top-20 per measure.
+    Scale shape: the melt is purely map-side (numpy column stack, no
+    row loop) and each block emits ONLY its per-measure partial
+    top-20 — ≤ 20·|measures| rows per block enter the exchange
+    regardless of corpus size; the final per-measure reduce sorts a
+    ≤ 20·blocks set. Deterministic tie-break (value_micro DESC,
+    l_orderkey ASC, l_linenumber ASC) mirrored by the oracle's
+    QUALIFY row_number ORDER BY."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber"] + UNPIVOT_MEASURES)
+
+    def melt_top(df):
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int64)
+        parts = []
+        for m in UNPIVOT_MEASURES:
+            p = pd.DataFrame(
+                {"measure": m, "l_orderkey": ok, "l_linenumber": ln,
+                 "value_micro": _micro_int_col(df[m])})
+            parts.append(
+                p.sort_values(
+                    ["value_micro", "l_orderkey", "l_linenumber"],
+                    ascending=[False, True, True], kind="mergesort",
+                ).head(UNPIVOT_TOPK))
+        return pd.concat(parts, ignore_index=True)
+
+    def final_top(g):
+        return g.sort_values(
+            ["value_micro", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(UNPIVOT_TOPK)
+
+    return (
+        ds.map_batches(melt_top, batch_format="pandas")
+        .groupby("measure")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
 def q_asof_last_order(sf_dir: str):
     """CROSS-TABLE AS-OF **LEFT** JOIN (point-in-time enrichment —
     the null-preserving asof shape purchase_attribution's inner
@@ -5027,6 +5075,7 @@ def queries() -> dict:
     return {
         # -- (0) new this session ------------------------------------
         "asof_last_order": q_asof_last_order,
+        "lineitem_unpivot": q_lineitem_unpivot,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -5595,6 +5644,29 @@ ORACLES: dict[str, str] = {
                CAST(quantile_disc(v, 0.90) AS BIGINT) AS p90_micro,
                count(*) AS n_events
         FROM e GROUP BY event_type
+    """,
+    "lineitem_unpivot": """
+        WITH long AS (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                 CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)
+                     AS value_micro FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                 CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount',
+                 CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax',
+                 CAST(floor(l_tax * 1000000 + 0.5) AS BIGINT)
+          FROM lineitem)
+        SELECT measure, l_orderkey, l_linenumber, value_micro
+        FROM long
+        QUALIFY row_number() OVER (
+            PARTITION BY measure
+            ORDER BY value_micro DESC, l_orderkey, l_linenumber) <= 20
     """,
     "asof_last_order": """
         WITH ords AS (

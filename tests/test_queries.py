@@ -15,6 +15,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 SQL_QUERIES = [
     "asof_last_order",
+    "lineitem_unpivot",
     "extract_pipeline",
     "extract_error_stats",
     "domain_stats",
