@@ -401,15 +401,18 @@ def q_minhash_dup_pairs(sf_dir: str):
     candidate docs (≪ corpus by LSH construction)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
-    n_band_buckets = dd.derive_buckets(n_docs, rows_per_doc=16)
+    n_band_buckets = max(dd.width_floor(),
+                         dd.derive_buckets(n_docs, rows_per_doc=16))
     bands = ds.map_batches(
         dd.MinHashStage(n_buckets=n_band_buckets),
         batch_format="pyarrow", batch_size=256,
     )
-    # bucketed candidate shuffle: size-derived group count, vectorized
-    # per-band pair emission inside (one Python call per band_key was
-    # 38 s on 5k docs; this shape is ~2 s)
-    n_pair_buckets = dd.derive_buckets(n_docs, rows_per_doc=2, floor=16)
+    # bucketed candidate shuffle: size-derived group count with a
+    # cluster-width floor (pair-emission fanout — dedup.width_floor),
+    # vectorized per-band pair emission inside (one Python call per
+    # band_key was 38 s on 5k docs; this shape is ~2 s)
+    n_pair_buckets = max(dd.width_floor(),
+                         dd.derive_buckets(n_docs, rows_per_doc=2, floor=16))
     cand = bands.groupby("bucket").map_groups(
         dd.band_bucket_pairs, batch_format="pandas"
     ).materialize()  # small: candidate pairs only (consumed twice)
@@ -556,8 +559,12 @@ def q_simhash_near_dups(sf_dir: str):
     16-bit band keys → MAX_BUCKET cap → hamming all mirror in SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
-    nb = dd.derive_buckets(n_docs, rows_per_doc=4)
-    npb = dd.derive_buckets(n_docs, rows_per_doc=2, floor=16)
+    # width floor: pair-emission fanout per group can dwarf the input-
+    # row estimate (see dedup.width_floor) — keep every core busy in
+    # the candidate/dedup stages
+    wf = dd.width_floor()
+    nb = max(wf, dd.derive_buckets(n_docs, rows_per_doc=4))
+    npb = max(wf, dd.derive_buckets(n_docs, rows_per_doc=2, floor=16))
     bands = ds.map_batches(
         dd.SimHashStage(n_buckets=nb),
         batch_format="pyarrow", batch_size=256,
@@ -581,9 +588,12 @@ def q_ngram_jaccard_dups(sf_dir: str):
     (scalability guard mirrored in the oracle's HAVING)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
-    # size-derived shuffle granularity (≈120 posting rows per doc)
-    n_buckets = dd.derive_buckets(n_docs, rows_per_doc=120)
-    n_pair_buckets = dd.derive_buckets(n_docs, rows_per_doc=8, floor=16)
+    # size-derived shuffle granularity (≈120 posting rows per doc),
+    # width-floored for pair-emission fanout (dedup.width_floor)
+    n_buckets = max(dd.width_floor(),
+                    dd.derive_buckets(n_docs, rows_per_doc=120))
+    n_pair_buckets = max(dd.width_floor(),
+                         dd.derive_buckets(n_docs, rows_per_doc=8, floor=16))
     rows = ds.map_batches(
         lambda b: dd.shingle_rows(b, n_buckets),
         batch_format="pyarrow", batch_size=256,
