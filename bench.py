@@ -364,18 +364,30 @@ def _scaling_pairs() -> dict:
     return out
 
 
+QSCALE_GEN_V = 2  # bump when the generator below changes: the corpus is
+# cached under a versioned dir so a code change can never be measured
+# against a stale on-disk corpus (the v1 suffix-only corpus was).
+
+
 def _query_scaling_corpus() -> str:
     """Deterministic ×N sharded expansion of the sf documents table
-    (per-replica suffix token so replicas are near- not exact dups —
-    an exact-duplicate corpus makes pair-emitting dedup quadratic).
+    with a REALISTIC web-dedup structure: ~17% of replicas sit in
+    4-doc near-dup clusters (shared mutation seed, tiny per-member
+    suffix); the rest are mutated apart (every 2nd word replaced with
+    a seed-derived positional token: measured min cross-seed simhash
+    hamming 6 > the ≤3 near-dup cutoff, while same-seed cluster
+    members differ by one token). The v1 suffix-only expansion made EVERY replica
+    of a base doc a near-dup of every other — 200-way cliques,
+    ~6.1M output pairs at ×200 — an adversarial corpus that measures
+    pair-emission fanout, not the realistic all-to-all band shuffle.
     Sharded one file per replica: a single fat file is a 1-task
     serial read that gates every downstream stage."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     n = int(os.environ.get("SCALING_QUERY_X", "200"))
-    root = f"/tmp/documentconvert_ray/qscale-x{n}-{os.path.basename(SF_DIR)}"
+    root = (f"/tmp/documentconvert_ray/qscale-v{QSCALE_GEN_V}-x{n}-"
+            f"{os.path.basename(SF_DIR)}")
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root
@@ -386,12 +398,25 @@ def _query_scaling_corpus() -> str:
     did = src.schema.get_field_index("doc_id")
     tid = src.schema.get_field_index("text")
     ids = src.column("doc_id").to_numpy()
-    for i in range(n):
-        import pyarrow as _pa
+    base_words = [t.split() for t in src.column("text").to_pylist()]
 
-        t = src.set_column(did, "doc_id", _pa.array(ids + i * 10_000_000))
-        t = t.set_column(tid, "text", pc.binary_join_element_wise(
-            t.column("text"), f"rep{i}", " "))
+    def mutate(seed: str, suffix: str) -> pa.Array:
+        out = []
+        for words in base_words:
+            w = list(words)
+            w[::2] = [f"{seed}w{j}" for j in range(len(w[::2]))]
+            w.append(suffix)
+            out.append(" ".join(w))
+        return pa.array(out)
+
+    for i in range(n):
+        cluster, member = divmod(i, 4)
+        if cluster % 6 == 0:  # 4-doc near-dup cluster (~17% of docs)
+            text = mutate(f"c{cluster}", f"m{member}")
+        else:  # unique replica: no shingle overlap with any other seed
+            text = mutate(f"r{i}", "m0")
+        t = src.set_column(did, "doc_id", pa.array(ids + i * 10_000_000))
+        t = t.set_column(tid, "text", text)
         pq.write_table(t, os.path.join(d, f"shard-{i:04d}.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
