@@ -22,7 +22,7 @@ import re
 import struct
 import zlib
 
-__all__ = ["decode_image", "decode_png_pixels", "ImageInfo"]
+__all__ = ["decode_image", "decode_pixels", "decode_png_pixels", "ImageInfo"]
 
 
 class ImageInfo:
@@ -198,6 +198,55 @@ def _decode_jpeg(payload: bytes) -> ImageInfo | None:
                 return None
             return ImageInfo(w, h, ncomp)
         i += 2 + seglen
+    return None
+
+
+def _pnm_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
+    m = _PNM_HEADER_RE.match(payload)
+    if not m:
+        return None
+    info = _decode_pnm(payload)
+    if info is None:
+        return None
+    start = m.end()
+    return info, payload[start:start + info.n_bytes]
+
+
+def _bmp_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
+    """24-bit BI_RGB raster: strip the 4-byte row padding and flip the
+    bottom-up row order to row-major top-down. Channel order stays the
+    wire BGR triplet — the feature kernel hashes raw decoded bytes."""
+    info = _decode_bmp(payload)
+    if info is None or info.channels != 3:
+        return None
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    h_signed = struct.unpack_from("<i", payload, 22)[0]
+    row = info.width * 3
+    stride = row + ((-row) % 4)
+    if len(payload) < offset + stride * info.height:
+        return None
+    rows = [payload[offset + r * stride:offset + r * stride + row]
+            for r in range(info.height)]
+    if h_signed > 0:  # bottom-up (the standard case)
+        rows.reverse()
+    return info, b"".join(rows)
+
+
+def decode_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
+    """Sniff-and-decode to PIXELS (row-major top-down byte buffer) for
+    the raster formats the stdlib path fully decodes: PPM/PGM, 24-bit
+    BMP, 8-bit gray/RGB/RGBA PNG. None for header-only formats
+    (GIF/JPEG — no LZW/entropy decoder in this environment) and
+    unrecognized payloads; the caller falls back to wire-byte
+    features."""
+    if not payload:
+        return None
+    if payload[:1] == b"P":
+        return _pnm_pixels(payload)
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[:4] == b"\x89PNG":
+        return decode_png_pixels(payload)
     return None
 
 

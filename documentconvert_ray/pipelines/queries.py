@@ -3458,13 +3458,17 @@ def q_multimodal_resize(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Feature-extraction stage (stub kernel: md5-prefix signature +
-    distinct-byte count; real shape: batched model inference emitting
-    compact feature rows)."""
+    """Feature-extraction stage over the image slice — a REAL kernel
+    for the fully-decodable rasters: PPM/BMP/PNG payloads are decoded
+    to pixels (incl. the PNG inflate+unfilter chain) and the feature
+    signature is the md5 of the DECODED buffer; header-only JPEG and
+    the raw slice fall back to wire-byte features (kind='wire'). The
+    oracle reconstructs the exact pixel/wire buffers in the hex domain
+    from the payload-generation rule and matches md5-for-md5."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     return (
-        ds.map_batches(_text_payload, batch_format="pyarrow")
+        ds.map_batches(_image_payload, batch_format="pyarrow")
         .map_batches(FeatureExtractStage(), batch_format="pyarrow",
                      batch_size=128)
     )
@@ -5083,9 +5087,10 @@ def queries() -> dict:
     # prior round, (2) queries whose implementation changed this round,
     # (3) least-recently driver-checked. Reorder each round.
     return {
-        # -- (0) new this session ------------------------------------
+        # -- (0) new / implementation changed this session -----------
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
+        "multimodal_features": q_multimodal_features,  # real-pixel kernel
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -5143,7 +5148,6 @@ def queries() -> dict:
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         # -- r3-checked; token path rerouted through textstats.tokens()
         "ngram_top20": q_ngram_top20,
@@ -6439,14 +6443,52 @@ ORACLES: dict[str, str] = {
                mx > 224 AS resized
         FROM m
     """,
+    # the real-pixel feature kernel reconstructed in the hex domain:
+    # every byte is exactly 2 hex chars, so tiling/row-repeat in hex
+    # equals tiling bytes; md5 runs over the UPPERCASE hex string on
+    # both sides (DuckDB md5() is VARCHAR-only — the kernel hashes
+    # buf.hex().upper() to match). PPM rasters tile the text bytes
+    # continuously; BMP/PNG rows each restart the tile (generator
+    # rule, sources/corpus.synth_image); JPEG is header-only (no
+    # entropy decoder) → wire bytes, rebuilt from the fixed marker
+    # stream around the big-endian dims; the raw slice is the utf-8
+    # text itself.
     "multimodal_features": """
-        SELECT doc_id,
-               substr(md5(text), 1, 16) AS feature_sig,
-               CAST(len(list_distinct(
-                      regexp_extract_all(hex(encode(text)), '..')))
-                    AS BIGINT) AS n_distinct_bytes
-        FROM documents
-    """,
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                      ELSE to_hex(encode(text)) END AS th,
+                 greatest(octet_length(encode(text)), 1) AS L,
+                 octet_length(encode(text)) AS L0
+          FROM documents),
+        dim AS (
+          SELECT doc_id, th, L, L0,
+                 4 + L0 % 60 AS w, 4 + (L0 * 3) % 60 AS h
+          FROM d),
+        buf AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN substr(repeat(th, (w*h*3) // L + 1),
+                                      1, 2*w*h*3)
+                   WHEN 1 THEN repeat(substr(repeat(th, (w*3) // L + 1),
+                                             1, 2*w*3), h)
+                   WHEN 2 THEN repeat(substr(repeat(th, w // L + 1),
+                                             1, 2*w), h)
+                   WHEN 3 THEN 'JPEG_PRE'
+                               || lpad(to_hex(h), 4, '0')
+                               || lpad(to_hex(w), 4, '0')
+                               || 'JPEG_POST'
+                   ELSE CASE WHEN L0 = 0 THEN '' ELSE th END
+                 END AS bh,
+                 CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 'pixels'
+                      ELSE 'wire' END AS kind
+          FROM dim)
+        SELECT doc_id, kind,
+               substr(md5(bh), 1, 16) AS feature_sig,
+               CAST(length(bh) // 2 AS BIGINT) AS n_units
+        FROM buf
+    """.replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
+       .replace("JPEG_POST", "03011100021100031100FFD9"),
     "frame_sample": """
         SELECT doc_id,
                CAST(unnest(range(0, 1 + octet_length(encode(text)) % 300, 10))

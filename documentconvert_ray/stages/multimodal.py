@@ -138,25 +138,42 @@ class ImageResizeStage:
 
 
 class FeatureExtractStage:
-    """'Feature extraction' stage: payload → compact feature row. The
-    kernel is a stub (md5-prefix signature + byte-histogram entropy
-    proxy in integer micro-units) — swap for a real embedding model;
-    the Ray shape (batched actor-pool inference, small output rows) is
-    the real thing."""
+    """Feature-extraction stage: payload → compact feature row. The
+    kernel is REAL for fully-decodable rasters (PPM/BMP/PNG via
+    functions/image_codec.decode_pixels): the signature is the md5 of
+    the DECODED pixel buffer (hashed via its uppercase-hex encoding so
+    a SQL oracle can reproduce it with md5(to_hex(...))) and n_units
+    is the decoded pixel-byte count. Header-only formats (JPEG — no
+    entropy decoder here) and unrecognized payloads fall back to the
+    same signature over the WIRE bytes, flagged kind='wire'. Swap-point
+    for a real embedding model stays the same __call__; the Ray shape
+    (batched actor-pool inference, small output rows) is unchanged."""
 
     def __init__(self) -> None:
         import hashlib
 
+        from ..functions.image_codec import decode_pixels
+
         self._md5 = hashlib.md5
+        self._pixels = decode_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds: list[str] = []
         sigs: list[str] = []
-        n_distinct: list[int] = []
+        n_units: list[int] = []
         for p in batch.column("payload").to_pylist():
             p = p or b""
-            sigs.append(self._md5(p).hexdigest()[:16])
-            n_distinct.append(len(set(p)))
+            px = self._pixels(p)
+            if px is not None:
+                buf = px[1]
+                kinds.append("pixels")
+            else:
+                buf = p
+                kinds.append("wire")
+            sigs.append(self._md5(buf.hex().upper().encode()).hexdigest()[:16])
+            n_units.append(len(buf))
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id"),
+             "kind": pa.array(kinds, pa.string()),
              "feature_sig": pa.array(sigs, pa.string()),
-             "n_distinct_bytes": pa.array(n_distinct, pa.int64())})
+             "n_units": pa.array(n_units, pa.int64())})

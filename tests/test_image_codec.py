@@ -71,3 +71,81 @@ def test_jpeg_progressive_sof2():
             + b"\x01\x01\x11\x00" + b"\xff\xd9")
     info = decode_image(sof2)
     assert (info.width, info.height, info.channels) == (44, 33, 1)
+
+
+def test_decode_pixels_ppm_bmp_png():
+    """decode_pixels returns the exact row-major raster for every
+    fully-decodable format; header-only formats return None."""
+    from documentconvert_ray.functions.image_codec import decode_pixels
+
+    fill = b"tiled pixel source bytes \x00\xff\x80"
+    for w, h in ((1, 1), (5, 9), (31, 4)):
+        # PPM: one continuous tile over the whole raster
+        info, px = decode_pixels(synth_image("ppm", w, h, fill))
+        n = w * h * 3
+        assert (info.width, info.height, info.channels) == (w, h, 3)
+        assert px == (fill * (n // len(fill) + 1))[:n]
+        # BMP: each row restarts the tile; padding stripped
+        info, px = decode_pixels(synth_image("bmp", w, h, fill))
+        row = (fill * (w * 3 // len(fill) + 1))[: w * 3]
+        assert (info.width, info.height, info.channels) == (w, h, 3)
+        assert px == row * h
+        # PNG grayscale: each row restarts the tile
+        info, px = decode_pixels(synth_image("png", w, h, fill))
+        grow = (fill * (w // len(fill) + 1))[:w]
+        assert (info.width, info.height, info.channels) == (w, h, 1)
+        assert px == grow * h
+    # header-only / unrecognized → None (wire fallback upstream)
+    assert decode_pixels(synth_image("jpeg", 8, 8, fill)) is None
+    assert decode_pixels(b"no image magic here") is None
+    assert decode_pixels(b"") is None
+
+
+def test_bmp_pixels_bottom_up_flip():
+    """A hand-built BMP with DISTINCT rows verifies the bottom-up →
+    top-down flip (synth_image's identical rows can't catch it)."""
+    import struct
+
+    from documentconvert_ray.functions.image_codec import decode_pixels
+
+    w, h = 2, 3
+    rows_topdown = [bytes([i] * 6) for i in (1, 2, 3)]
+    row_size = w * 3
+    pad = (-row_size) % 4
+    img = b"".join(r + b"\x00" * pad for r in reversed(rows_topdown))
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(img), 0, 0, 0, 0)
+    bmp = (b"BM" + (54 + len(img)).to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little") + info_hdr
+           + img)
+    info, px = decode_pixels(bmp)
+    assert (info.width, info.height) == (w, h)
+    assert px == b"".join(rows_topdown)
+
+
+def test_feature_stage_real_pixels():
+    """FeatureExtractStage hashes DECODED pixels for raster payloads
+    and wire bytes otherwise, with the hex-domain md5 the SQL oracle
+    mirrors."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from documentconvert_ray.stages.multimodal import FeatureExtractStage
+
+    fill = b"payload body 123"
+    ppm = synth_image("ppm", 4, 4, fill)
+    jpg = synth_image("jpeg", 4, 4, fill)
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "payload": pa.array([ppm, jpg], pa.binary())})
+    out = FeatureExtractStage()(batch)
+    kinds = out.column("kind").to_pylist()
+    sigs = out.column("feature_sig").to_pylist()
+    units = out.column("n_units").to_pylist()
+    assert kinds == ["pixels", "wire"]
+    raster = (fill * (48 // len(fill) + 1))[:48]
+    assert sigs[0] == hashlib.md5(
+        raster.hex().upper().encode()).hexdigest()[:16]
+    assert units == [48, len(jpg)]
+    assert sigs[1] == hashlib.md5(
+        jpg.hex().upper().encode()).hexdigest()[:16]
