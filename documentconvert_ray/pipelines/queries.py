@@ -5077,6 +5077,191 @@ def q_revenue_mom(sf_dir: str):
     return agg
 
 
+# --------------------------------------------- round-4 operators T98-T100
+
+CHUNK_TOKENS = 64    # tokens per training chunk
+CHUNK_OVERLAP = 16   # trailing tokens repeated in the next chunk
+
+
+def q_sentence_dedup(sf_dir: str):
+    """SENTENCE-granularity exact dedup (the C4/RefinedWeb line-level
+    dedup stage): explode docs to sentences with T67's exact split
+    rule, hash each sentence to an 8-byte md5 key, and keep the FIRST
+    occurrence (min (doc_id, sent_idx)) as the winner — every other
+    occurrence is flagged is_dup with a pointer at its winner.
+
+    Scale shape: the exchange carries (sentence-hash, doc_id,
+    sent_idx) int64 triples — never sentence text; hash-derived
+    buckets (size-derived count) + ONE vectorized pandas first-winner
+    transform per bucket, the repo's bucketed-reduce idiom. Collision
+    semantics are shared with the oracle (same md5_number_upper hash
+    on both sides)."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    nb = dd.derive_buckets(n_docs, rows_per_doc=8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_idx: list[int] = []
+        o_h: list[int] = []
+        from ..functions.textstats import _md5_u64
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            sents = [s for s in _SENT_RE.split(t) if s != ""]
+            o_id.extend([did] * len(sents))
+            o_idx.extend(range(len(sents)))
+            o_h.extend(_md5_u64(b"sd:" + s.encode()) for s in sents)
+        sh = np.array(o_h, dtype=np.uint64).view(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "sent_idx": pa.array(o_idx, pa.int64()),
+            "sh": pa.array(sh, pa.int64()),
+            "bucket": pa.array(
+                (sh.view(np.uint64) % np.uint64(nb)).astype(np.int32)),
+        })
+
+    def mark(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["sh", "doc_id", "sent_idx"], kind="mergesort")
+        win = g.groupby("sh")[["doc_id", "sent_idx"]].transform("first")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "sent_idx": g["sent_idx"].to_numpy(np.int64),
+            "is_dup": ((g["doc_id"].to_numpy() != win["doc_id"].to_numpy())
+                       | (g["sent_idx"].to_numpy()
+                          != win["sent_idx"].to_numpy())),
+            "winner_doc_id": win["doc_id"].to_numpy(np.int64),
+            "winner_sent_idx": win["sent_idx"].to_numpy(np.int64),
+        })
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-size TOKEN CHUNKING with overlap (the context-window
+    slicer every RAG / training-data pipeline needs): tokens via the
+    RE2-exact tokenizer, chunks of CHUNK_TOKENS starting every
+    CHUNK_TOKENS-CHUNK_OVERLAP tokens (trailing chunk may be short),
+    each chunk carrying its token span and an md5 content hash (hex,
+    same md5_number_upper convention as the dedup family so chunk-
+    level dedup chains directly). Pure map-side flat explode — zero
+    exchange; blocks re-size downstream via streaming re-blocking."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_id: list[int] = []
+        o_ci: list[int] = []
+        o_st: list[int] = []
+        o_nt: list[int] = []
+        o_hx: list[str] = []
+        from ..functions.textstats import _md5_u64, tokens
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = tokens(t)
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                chunk = toks[s:s + CHUNK_TOKENS]
+                o_id.append(did)
+                o_ci.append(ci)
+                o_st.append(s)
+                o_nt.append(len(chunk))
+                h = _md5_u64(b"ck:" + " ".join(chunk).encode())
+                o_hx.append(f"{h:016x}")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_ci, pa.int64()),
+            "start_tok": pa.array(o_st, pa.int64()),
+            "n_chunk_toks": pa.array(o_nt, pa.int64()),
+            "chunk_hash_hex": pa.array(o_hx, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+EMB_OUTLIER_K = 5  # per-label outliers reported
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Per-label embedding OUTLIERS (mislabel / contamination triage):
+    distance of every vector to its label centroid, top-K farthest per
+    label. Two phases, both exchange-light: (1) the label_centroids
+    integer-sum pipeline yields the tiny labels×dims table, floor-div
+    centroids broadcast once via ray.put; (2) a map-side vectorized
+    distance pass with a per-batch PARTIAL top-K per label (combiner),
+    then one tiny per-label reduce. Distances are exact integers —
+    components floor to micro units, centroid is floor-div, d2 =
+    Σ(x_micro − centroid_micro)² — so both engines agree bit-for-bit
+    (≤4·10¹² per dim × 64 dims ≪ int64)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial_sums(df):
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        labels = df["label"].to_numpy()
+        out = []
+        for lab in np.unique(labels):
+            rows = mat[labels == lab]
+            out.append(pd.DataFrame({
+                "label": np.int64(lab),
+                "dim": np.arange(mat.shape[1], dtype=np.int64),
+                "n_vecs": np.int64(len(rows)),
+                "sum_micro": rows.sum(axis=0, dtype=np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    cen = (
+        ds.map_batches(partial_sums, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("sum_micro", alias_name="sum_micro"))
+        .to_pandas()  # labels × dims — tiny by construction
+    )
+    cen = cen.sort_values(["label", "dim"], kind="mergesort")
+    cent: dict[int, np.ndarray] = {}
+    for lab, g in cen.groupby("label"):
+        s = g["sum_micro"].to_numpy(np.int64)
+        n = g["n_vecs"].to_numpy(np.int64)
+        cent[int(lab)] = s // n  # python-style floor division
+    cent_ref = ray.put(cent)
+
+    def partial_topk(df):
+        c = sim.resolve_broadcast(cent_ref, key="emb-outlier-centroids")
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        labels = df["label"].to_numpy(np.int64)
+        cm = np.stack([c[int(lab)] for lab in labels])
+        d = mat - cm
+        d2 = (d * d).sum(axis=1)
+        out = pd.DataFrame({"label": labels,
+                            "vec_id": df["vec_id"].to_numpy(np.int64),
+                            "d2_micro2": d2})
+        out = out.sort_values(["label", "d2_micro2", "vec_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby("label", as_index=False).head(EMB_OUTLIER_K)
+
+    def final_topk(g):
+        g = g.sort_values(["d2_micro2", "vec_id"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(EMB_OUTLIER_K)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("label")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5091,6 +5276,9 @@ def queries() -> dict:
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
+        "sentence_dedup": q_sentence_dedup,
+        "doc_chunks": q_doc_chunks,
+        "embedding_outliers": q_embedding_outliers,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -6016,6 +6204,92 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, r.i - 1 AS sent_idx, sents[r.i] AS sentence,
                CAST(length(sents[r.i]) AS BIGINT) AS n_chars_sent
         FROM l, unnest(range(1, len(sents) + 1)) AS r(i)
+    """,
+    # T98: same split rule as sentence_split; winner = first
+    # occurrence under (doc_id, sent_idx); hash collision semantics
+    # shared with the engine via the same md5_number_upper key
+    "sentence_dedup": """
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split_regex(text,
+                                      '[.!?]+[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '') AS sents
+          FROM documents),
+        e AS (
+          SELECT doc_id, r.i - 1 AS sent_idx,
+                 md5_number_upper('sd:' || sents[r.i]) AS sh
+          FROM l, unnest(range(1, len(sents) + 1)) AS r(i)),
+        w AS (
+          SELECT doc_id, sent_idx,
+                 first_value(doc_id) OVER win AS wd,
+                 first_value(sent_idx) OVER win AS wi
+          FROM e
+          WINDOW win AS (
+            PARTITION BY sh ORDER BY doc_id, sent_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sent_idx AS BIGINT) AS sent_idx,
+               (doc_id <> wd OR sent_idx <> wi) AS is_dup,
+               CAST(wd AS BIGINT) AS winner_doc_id,
+               CAST(wi AS BIGINT) AS winner_sent_idx
+        FROM w
+    """,
+    # T99: token chunks of CHUNK_TOKENS every CHUNK_TOKENS-OVERLAP;
+    # chunk hash = md5_number_upper('ck:' || chunk text), hex-lpad'd
+    "doc_chunks": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        starts AS (
+          SELECT doc_id, tk, len(tk) AS n,
+                 CAST(s.s AS BIGINT) AS start_tok,
+                 CAST(s.s // {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT)
+                     AS chunk_idx
+          FROM toks,
+               unnest(range(0, greatest(len(tk), 1),
+                            {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s(s)
+          WHERE s.s < len(tk))
+        SELECT doc_id, chunk_idx, start_tok,
+               CAST(least({CHUNK_TOKENS}, n - start_tok) AS BIGINT)
+                   AS n_chunk_toks,
+               lpad(lower(hex(md5_number_upper(
+                 'ck:' || array_to_string(
+                   tk[start_tok + 1 : start_tok + {CHUNK_TOKENS}],
+                   ' ')))), 16, '0') AS chunk_hash_hex
+        FROM starts
+    """,
+    # T100: exact-integer centroid distance, python floor-div emulated
+    "embedding_outliers": f"""
+        WITH x AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 r.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS xm
+          FROM embeddings,
+               unnest(range(1, len(embedding) + 1)) AS r(i)),
+        c AS (
+          SELECT label, dim, sum(xm) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY label, dim),
+        cm AS (
+          SELECT label, dim,
+                 CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS c
+          FROM c),
+        d AS (
+          SELECT x.vec_id, x.label,
+                 sum((x.xm - cm.c) * (x.xm - cm.c)) AS d2
+          FROM x JOIN cm ON x.label = cm.label AND x.dim = cm.dim
+          GROUP BY x.vec_id, x.label)
+        SELECT label, CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(d2 AS BIGINT) AS d2_micro2
+        FROM d
+        QUALIFY row_number() OVER (
+          PARTITION BY label ORDER BY d2 DESC, vec_id
+        ) <= {EMB_OUTLIER_K}
     """,
     "moving_sum": """
         SELECT event_id, user_id,

@@ -1,0 +1,92 @@
+"""Unit coverage for the session-4d operators (T100-T102) — the
+invariants the sf-corpus oracles can't isolate: partitioning
+invariance of the bucketed sentence-dedup winner pick, the chunk
+cover/overlap algebra, and outlier-distance exactness vs a local
+integer recomputation."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sentence_dedup_winner_semantics(ray_session):
+    """Every sentence row points at the FIRST occurrence of its text;
+    winners are never themselves dups; dup rows always point at a row
+    that exists and is a non-dup."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    df = Q.q_sentence_dedup(SF).to_pandas()
+    assert len(df) > 0
+    winners = df[~df["is_dup"]]
+    # a winner points at itself
+    assert (winners["winner_doc_id"] == winners["doc_id"]).all()
+    assert (winners["winner_sent_idx"] == winners["sent_idx"]).all()
+    # every dup's winner is a real non-dup row
+    wset = set(zip(winners["doc_id"], winners["sent_idx"]))
+    dups = df[df["is_dup"]]
+    for d, i in zip(dups["winner_doc_id"], dups["winner_sent_idx"]):
+        assert (d, i) in wset
+    # winner is minimal: no dup precedes its winner
+    order = dups["doc_id"] * 1_000_000 + dups["sent_idx"]
+    worder = dups["winner_doc_id"] * 1_000_000 + dups["winner_sent_idx"]
+    assert (worder < order).all()
+
+
+def test_doc_chunks_cover_and_overlap(ray_session):
+    """Chunks tile each doc's token stream: stride 48, width ≤ 64,
+    every token covered, consecutive chunks overlap by exactly 16
+    tokens (when the next chunk is full-width or the tail reaches)."""
+    from documentconvert_ray.functions.textstats import tokens
+    from documentconvert_ray.pipelines import queries as Q
+
+    df = Q.q_doc_chunks(SF).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert len(df) > 0
+    import duckdb
+
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall())
+    for doc_id, g in df.groupby("doc_id"):
+        n = len(tokens(texts[doc_id]))
+        starts = g["start_tok"].to_numpy()
+        widths = g["n_chunk_toks"].to_numpy()
+        assert list(starts) == list(range(0, n, 48))
+        assert (widths == np.minimum(64, n - starts)).all()
+        # full coverage: last chunk reaches the end
+        assert starts[-1] + widths[-1] == n
+    # docs with ≤ 48 tokens yield exactly one chunk
+    one = df.groupby("doc_id").size()
+    few = [d for d, t in texts.items() if 0 < len(tokens(t)) <= 48]
+    assert all(one[d] == 1 for d in few if d in one.index)
+
+
+def test_embedding_outliers_exact_distances(ray_session):
+    """The reported d2 equals a local integer recomputation from the
+    raw vectors (floor-micro components, floor-div centroid), and each
+    label's rows are its true top-5 by (d2 desc, vec_id asc)."""
+    import duckdb
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    out = Q.q_embedding_outliers(SF).to_pandas()
+    raw = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchdf()
+    mat = np.floor(
+        np.stack(raw["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    labels = raw["label"].to_numpy(np.int64)
+    vids = raw["vec_id"].to_numpy(np.int64)
+    for lab in np.unique(labels):
+        rows = mat[labels == lab]
+        cm = rows.sum(axis=0, dtype=np.int64) // len(rows)
+        d = rows - cm
+        d2 = (d * d).sum(axis=1)
+        v = vids[labels == lab]
+        order = np.lexsort((v, -d2))[:5]
+        expect = {(int(v[i]), int(d2[i])) for i in order}
+        got = out[out["label"] == lab]
+        assert len(got) == min(5, len(rows))
+        assert {(int(a), int(b)) for a, b in
+                zip(got["vec_id"], got["d2_micro2"])} == expect
