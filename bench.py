@@ -91,6 +91,10 @@ QUERY_NAMES = [
     "kmeans_embeddings",
     "latest_order_per_customer",
     "revenue_mom",
+    "multimodal_features",
+    "sentence_dedup",
+    "doc_chunks",
+    "embedding_outliers",
 ]
 
 
