@@ -37,7 +37,7 @@ from ..stages.multimodal import (
     FeatureExtractStage,
     FrameSampleStage,
     ImageDecodeStage,
-    ImageResizeStage,
+    ImageResampleStage,
 )
 from .extract import build_extract_ds, expand_input_files
 
@@ -3444,16 +3444,24 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+RESIZE_MAX_SIDE = 16  # small enough that the sf corpus images (≤63px)
+#                       actually exercise the resample path
+
+
 def q_multimodal_resize(sf_dir: str):
-    """Decode → resize chain over the real image slice: bounded
-    integer aspect-preserving rescale of the DECODED dims."""
+    """REAL thumbnailing over the image slice: PPM/BMP/PNG payloads
+    are decoded to pixels and NEAREST-NEIGHBOR resampled to an
+    aspect-preserving RESIZE_MAX_SIDE bound with integer index math
+    ((i·src)//dst); the signature is the md5 of the exact output
+    buffer, which the oracle rebuilds pixel-by-pixel in the hex
+    domain. Header-only JPEG keeps its real header dims (wire-byte
+    signature); the raw slice runs the declared stub dims."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     return (
         ds.map_batches(_image_payload, batch_format="pyarrow")
-        .map_batches(ImageDecodeStage(), batch_format="pyarrow",
-                     batch_size=128)
-        .map_batches(ImageResizeStage(224), batch_format="pyarrow")
+        .map_batches(ImageResampleStage(RESIZE_MAX_SIDE),
+                     batch_format="pyarrow", batch_size=128)
     )
 
 
@@ -5292,6 +5300,7 @@ def queries() -> dict:
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
+        "multimodal_resize": q_multimodal_resize,  # real NN resample
         "sentence_dedup": q_sentence_dedup,
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
@@ -5351,7 +5360,6 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
         # -- r3-checked; token path rerouted through textstats.tokens()
         "ngram_top20": q_ngram_top20,
@@ -6713,26 +6721,88 @@ ORACLES: dict[str, str] = {
                     ELSE w * h * c END AS BIGINT) AS n_bytes
         FROM dim
     """,
+    # real NN-resample oracle: the decoded buffers rebuild exactly as
+    # in multimodal_features, then the thumbnail is re-derived
+    # pixel-by-pixel — output cell (r,c) is the 2·ch hex chars at
+    # source pixel ((r·h)//nh)·w + ((c·w)//nw), concatenated in
+    # row-major order (string_agg ORDER BY r,c) — and md5'd. Wire
+    # rows (JPEG keeps its REAL header dims, raw keeps the stub dims)
+    # run the same resize arithmetic; their sig covers wire bytes.
     "multimodal_resize": """
         WITH d AS (
-          SELECT doc_id, octet_length(encode(text)) AS L
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                      ELSE to_hex(encode(text)) END AS th,
+                 greatest(octet_length(encode(text)), 1) AS L,
+                 octet_length(encode(text)) AS L0
           FROM documents),
         dim AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 5 = 4 THEN 64 + L % 512
-                      ELSE 4 + L % 60 END AS w,
-                 CASE WHEN doc_id % 5 = 4 THEN 64 + (L * 7) % 512
-                      ELSE 4 + (L * 3) % 60 END AS h
+          SELECT doc_id, th, L, L0,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + L0 % 512
+                      ELSE 4 + L0 % 60 END AS w,
+                 CASE WHEN doc_id % 5 = 4 THEN 64 + (L0 * 7) % 512
+                      ELSE 4 + (L0 * 3) % 60 END AS h,
+                 CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS ch
           FROM d),
-        m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM dim)
-        SELECT doc_id,
-               CAST(CASE WHEN mx > 224 THEN w * 224 // mx ELSE w END
-                    AS BIGINT) AS width,
-               CAST(CASE WHEN mx > 224 THEN h * 224 // mx ELSE h END
-                    AS BIGINT) AS height,
-               mx > 224 AS resized
-        FROM m
-    """,
+        buf AS (
+          SELECT doc_id, w, h, ch,
+                 CASE doc_id % 5
+                   WHEN 0 THEN substr(repeat(th, (w*h*3) // L + 1),
+                                      1, 2*w*h*3)
+                   WHEN 1 THEN repeat(substr(repeat(th, (w*3) // L + 1),
+                                             1, 2*w*3), h)
+                   WHEN 2 THEN repeat(substr(repeat(th, w // L + 1),
+                                             1, 2*w), h)
+                 END AS bh
+          FROM dim WHERE doc_id % 5 IN (0, 1, 2)),
+        geo AS (
+          SELECT doc_id, w, h, ch, bh, greatest(w, h) AS m,
+                 CASE WHEN greatest(w, h) > MAXS
+                      THEN w * MAXS // greatest(w, h) ELSE w END AS nw,
+                 CASE WHEN greatest(w, h) > MAXS
+                      THEN h * MAXS // greatest(w, h) ELSE h END AS nh
+          FROM buf),
+        rs AS (
+          SELECT g.doc_id,
+                 string_agg(substr(g.bh,
+                                   (((r.r * g.h) // g.nh) * g.w
+                                    + ((c.c * g.w) // g.nw))
+                                   * g.ch * 2 + 1,
+                                   g.ch * 2), '' ORDER BY r.r, c.c) AS rb
+          FROM geo g,
+               unnest(range(g.nh)) AS r(r),
+               unnest(range(g.nw)) AS c(c)
+          WHERE g.m > MAXS
+          GROUP BY g.doc_id),
+        pix AS (
+          SELECT g.doc_id, 'pixels' AS kind,
+                 CAST(g.nw AS BIGINT) AS width,
+                 CAST(g.nh AS BIGINT) AS height,
+                 g.m > MAXS AS resized,
+                 substr(md5(CASE WHEN g.m > MAXS THEN rs.rb
+                                 ELSE g.bh END), 1, 16) AS sig
+          FROM geo g LEFT JOIN rs ON g.doc_id = rs.doc_id),
+        wire AS (
+          SELECT doc_id, 'wire' AS kind,
+                 CAST(CASE WHEN greatest(w, h) > MAXS
+                      THEN w * MAXS // greatest(w, h) ELSE w END
+                      AS BIGINT) AS width,
+                 CAST(CASE WHEN greatest(w, h) > MAXS
+                      THEN h * MAXS // greatest(w, h) ELSE h END
+                      AS BIGINT) AS height,
+                 greatest(w, h) > MAXS AS resized,
+                 substr(md5(CASE WHEN doc_id % 5 = 3
+                            THEN 'JPEG_PRE'
+                                 || lpad(to_hex(h), 4, '0')
+                                 || lpad(to_hex(w), 4, '0')
+                                 || 'JPEG_POST'
+                            ELSE CASE WHEN L0 = 0 THEN '' ELSE th END
+                            END), 1, 16) AS sig
+          FROM dim WHERE doc_id % 5 IN (3, 4))
+        SELECT * FROM pix UNION ALL SELECT * FROM wire
+    """.replace("MAXS", str(RESIZE_MAX_SIDE))
+       .replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
+       .replace("JPEG_POST", "03011100021100031100FFD9"),
     # the real-pixel feature kernel reconstructed in the hex domain:
     # every byte is exactly 2 hex chars, so tiling/row-repeat in hex
     # equals tiling bytes; md5 runs over the UPPERCASE hex string on

@@ -112,29 +112,84 @@ class FrameSampleStage:
         )
 
 
-class ImageResizeStage:
-    """'Resize' stage: decoded dims → target-bounded dims preserving
-    aspect ratio with integer arithmetic (floor), the shape a real
-    thumbnailer has. Runs AFTER ImageDecodeStage on its metadata
-    columns; with real codecs the payload would flow through too."""
+class ImageResampleStage:
+    """REAL thumbnailer: decodes raster payloads to pixels
+    (functions/image_codec.decode_pixels) and NEAREST-NEIGHBOR
+    resamples them to an aspect-preserving max_side bound — integer
+    index math ((i·src)//dst), so a SQL oracle reproduces the exact
+    output buffer. The signature is the md5 of the (possibly
+    resampled) pixel buffer via its uppercase-hex encoding.
+
+    Payloads without a pixel decode keep their REAL header dims when
+    available (JPEG/GIF via decode_image — no entropy/LZW decoder
+    here) or the declared stub dims otherwise; their dims still run
+    the resize arithmetic (a thumbnail *plan*), the signature covers
+    the wire bytes, and the row is flagged kind='wire'."""
 
     def __init__(self, max_side: int = 224) -> None:
+        import hashlib
+
+        from ..functions.image_codec import decode_image, decode_pixels
+
         self.max_side = max_side
+        self._pixels = decode_pixels
+        self._dims = decode_image
+        self._md5 = hashlib.md5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        w = np.asarray(batch.column("width").to_pylist(), dtype=np.int64)
-        h = np.asarray(batch.column("height").to_pylist(), dtype=np.int64)
-        m = np.maximum(w, h)
-        scale_needed = m > self.max_side
-        # integer floor scaling: new = dim * max_side // longest
-        nw = np.where(scale_needed, w * self.max_side // m, w)
-        nh = np.where(scale_needed, h * self.max_side // m, h)
+        ms = self.max_side
+        kinds: list[str] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        rs: list[bool] = []
+        sigs: list[str] = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            px = self._pixels(p)
+            if px is not None:
+                info, buf = px
+                w, h, ch = info.width, info.height, info.channels
+                m = max(w, h)
+                if m > ms:
+                    nw, nh = w * ms // m, h * ms // m
+                    arr = np.frombuffer(buf, np.uint8).reshape(h, w, ch)
+                    ri = (np.arange(nh) * h) // nh
+                    ci = (np.arange(nw) * w) // nw
+                    buf = arr[ri][:, ci].tobytes()
+                else:
+                    nw, nh = w, h
+                kinds.append("pixels")
+                rs.append(m > ms)
+                ws.append(nw)
+                hs.append(nh)
+                sigs.append(
+                    self._md5(buf.hex().upper().encode()).hexdigest()[:16])
+            else:
+                info = self._dims(p)
+                if info is not None:
+                    w, h = info.width, info.height
+                else:
+                    w, h, _c = _fake_decode_dims(p)
+                m = max(w, h)
+                if m > ms:
+                    nw, nh = w * ms // m, h * ms // m
+                else:
+                    nw, nh = w, h
+                kinds.append("wire")
+                rs.append(m > ms)
+                ws.append(nw)
+                hs.append(nh)
+                sigs.append(
+                    self._md5(p.hex().upper().encode()).hexdigest()[:16])
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id"),
-             "width": pa.array(nw), "height": pa.array(nh),
-             "resized": pa.array(scale_needed)})
+             "kind": pa.array(kinds, pa.string()),
+             "width": pa.array(ws, pa.int64()),
+             "height": pa.array(hs, pa.int64()),
+             "resized": pa.array(rs, pa.bool_()),
+             "sig": pa.array(sigs, pa.string())})
 
 
 class FeatureExtractStage:

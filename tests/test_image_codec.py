@@ -149,3 +149,39 @@ def test_feature_stage_real_pixels():
     assert units == [48, len(jpg)]
     assert sigs[1] == hashlib.md5(
         jpg.hex().upper().encode()).hexdigest()[:16]
+
+
+def test_resample_stage_nearest_neighbor_exact():
+    """ImageResampleStage reproduces a hand-computed NN resample on an
+    image with DISTINCT pixels (synth_image's identical rows would
+    mask row-index errors)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from documentconvert_ray.stages.multimodal import ImageResampleStage
+
+    w, h = 8, 6
+    raster = bytes(range(w * h * 3))  # all-distinct pixel bytes
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + raster
+    stage = ImageResampleStage(4)
+    out = stage(pa.table({"doc_id": pa.array([7], pa.int64()),
+                          "payload": pa.array([ppm], pa.binary())}))
+    assert out.column("kind").to_pylist() == ["pixels"]
+    assert out.column("resized").to_pylist() == [True]
+    nw, nh = out.column("width")[0].as_py(), out.column("height")[0].as_py()
+    assert (nw, nh) == (8 * 4 // 8, 6 * 4 // 8)  # (4, 3)
+    arr = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+    ri = (np.arange(nh) * h) // nh
+    ci = (np.arange(nw) * w) // nw
+    expect = arr[ri][:, ci].tobytes()
+    assert out.column("sig").to_pylist() == [
+        hashlib.md5(expect.hex().upper().encode()).hexdigest()[:16]]
+    # below the bound: untouched buffer, resized=False
+    out2 = ImageResampleStage(64)(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([ppm], pa.binary())}))
+    assert out2.column("resized").to_pylist() == [False]
+    assert out2.column("sig").to_pylist() == [
+        hashlib.md5(raster.hex().upper().encode()).hexdigest()[:16]]
