@@ -92,6 +92,8 @@ QUERY_NAMES = [
     "latest_order_per_customer",
     "revenue_mom",
     "multimodal_features",
+    "multimodal_resize",
+    "frame_sample",
     "sentence_dedup",
     "doc_chunks",
     "embedding_outliers",

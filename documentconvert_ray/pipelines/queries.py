@@ -3482,10 +3482,39 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+GIF_MAX_FRAMES = 30  # synthetic animation length bound (1 + L % 30)
+
+
+def _video_payload(batch: pa.Table) -> pa.Table:
+    """documents → frame-sample payloads: even doc_ids carry REAL
+    animated GIF89a files (sources/corpus.synth_gif_anim) with
+    1 + L % GIF_MAX_FRAMES frames (L = utf-8 text bytes — the oracle
+    predicts the REAL block-walk counter's output from the rule); odd
+    doc_ids keep raw text bytes exercising the declared stub leg."""
+    from ..sources.corpus import synth_gif_anim
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i, t in zip(ids, batch.column("text").to_pylist()):
+        raw = t.encode("utf-8")
+        if i % 2 == 0:
+            payloads.append(
+                synth_gif_anim(8, 8, 1 + len(raw) % GIF_MAX_FRAMES, raw))
+        else:
+            payloads.append(raw)
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
 def q_frame_sample(sf_dir: str):
+    """Frame sampling with a REAL frame counter on the GIF slice
+    (gif_frame_count block walk — no LZW decode needed to count, as
+    in real tools); the raw slice runs the declared stub formula."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    ds = ds.map_batches(_text_payload, batch_format="pyarrow")
+    ds = ds.map_batches(_video_payload, batch_format="pyarrow")
     return ds.map_batches(
         FrameSampleStage(), batch_format="pyarrow", batch_size=128,
     )
@@ -5301,6 +5330,7 @@ def queries() -> dict:
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
         "multimodal_resize": q_multimodal_resize,  # real NN resample
+        "frame_sample": q_frame_sample,  # real GIF frame counter
         "sentence_dedup": q_sentence_dedup,
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
@@ -5360,7 +5390,6 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
         # -- r3-checked; token path rerouted through textstats.tokens()
         "ngram_top20": q_ngram_top20,
         "ngram_top20_mg": q_ngram_top20_mg,
@@ -6849,11 +6878,22 @@ ORACLES: dict[str, str] = {
         FROM buf
     """.replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
        .replace("JPEG_POST", "03011100021100031100FFD9"),
-    "frame_sample": """
-        SELECT doc_id,
-               CAST(unnest(range(0, 1 + octet_length(encode(text)) % 300, 10))
-                    AS BIGINT) AS frame_idx
-        FROM documents
+    # real GIF block-walk counter on even doc_ids (frame count from
+    # the generation rule), declared stub formula on the raw slice
+    "frame_sample": f"""
+        WITH n AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'stub' END
+                     AS kind,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN 1 + octet_length(encode(text))
+                               % {GIF_MAX_FRAMES}
+                      ELSE 1 + octet_length(encode(text)) % 300 END
+                     AS nf
+          FROM documents)
+        SELECT doc_id, kind,
+               CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx
+        FROM n
     """,
     # T73: deletion-neighborhood result == the exact ed≤1 self-join
     "fuzzy_prefix_dups": f"""

@@ -470,6 +470,35 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + zlib.crc32(tag + body).to_bytes(4, "big"))
 
 
+def synth_gif_anim(w: int, h: int, n_frames: int, fill: bytes) -> bytes:
+    """A structurally valid animated GIF89a with ``n_frames`` image
+    descriptors, each preceded by a graphic-control extension; pixel
+    sub-blocks carry tiled ``fill`` bytes (the block STRUCTURE is
+    real — walkable by any frame counter; the LZW content stays
+    opaque, exactly as for real tools that count frames without
+    decompressing)."""
+    fill = fill or b"\x00"
+
+    def tile(n: int) -> bytes:
+        return (fill * (n // len(fill) + 1))[:n]
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00\x00\x00"  # no global color table
+    data = tile(min(255, max(1, w * h // 8)))
+    for _ in range(n_frames):
+        # graphic control extension: introducer, label, size=4,
+        # flags/delay/transparent-idx, terminator
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += (b"\x2c" + b"\x00\x00\x00\x00"
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b"\x00")  # no local color table
+        out += b"\x02"  # LZW minimum code size
+        out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
     """A well-formed image file of ``fmt`` ∈ {ppm, bmp, png, jpeg}
     with the given dims; pixel content tiles ``fill``. PNG is 8-bit

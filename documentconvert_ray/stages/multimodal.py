@@ -88,25 +88,41 @@ class ImageDecodeStage:
 
 
 class FrameSampleStage:
-    """'Video' frame sampler: emits one row per sampled frame index —
-    the flat_map-shaped stage a real pipeline needs for frame-level
-    work. Frame count is stubbed as a deterministic function of size;
-    sampling is every `stride`-th frame."""
+    """Frame sampler: emits one row per sampled frame index — the
+    flat_map-shaped stage a real pipeline needs for frame-level work.
+    The frame count is REAL for animated GIFs
+    (functions/image_codec.gif_frame_count walks the published block
+    structure, counting image descriptors without LZW decompression —
+    how real tools count frames); payloads no counter recognizes
+    (true video containers need codec libraries absent here) fall
+    back to the declared deterministic stub. Sampling is every
+    ``stride``-th frame; rows are flagged kind='gif'/'stub'."""
 
     def __init__(self, stride: int = 10) -> None:
+        from ..functions.image_codec import gif_frame_count
+
         self.stride = stride
+        self._frames = gif_frame_count
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, frames = [], []
+        doc_ids, kinds, frames = [], [], []
         for doc_id, p in zip(batch.column("doc_id").to_pylist(),
                              batch.column("payload").to_pylist()):
-            n_frames = 1 + (len(p or b"") % 300)
-            for f in range(0, n_frames, self.stride):
+            p = p or b""
+            nf = self._frames(p)
+            if nf is not None:
+                kind = "gif"
+            else:
+                kind = "stub"
+                nf = 1 + (len(p) % 300)
+            for f in range(0, nf, self.stride):
                 doc_ids.append(doc_id)
+                kinds.append(kind)
                 frames.append(f)
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
                 "frame_idx": pa.array(frames, pa.int64()),
             }
         )

@@ -185,3 +185,45 @@ def test_resample_stage_nearest_neighbor_exact():
     assert out2.column("resized").to_pylist() == [False]
     assert out2.column("sig").to_pylist() == [
         hashlib.md5(raster.hex().upper().encode()).hexdigest()[:16]]
+
+
+def test_gif_frame_count_block_walk():
+    """gif_frame_count walks the real GIF89a block structure: counts
+    image descriptors through extensions, color tables and sub-block
+    chains; refuses broken streams."""
+    from documentconvert_ray.functions.image_codec import gif_frame_count
+    from documentconvert_ray.sources.corpus import synth_gif_anim
+
+    for nf in (1, 2, 7, 29):
+        assert gif_frame_count(synth_gif_anim(8, 8, nf, b"abc")) == nf
+    # global color table path: patch flags + insert a 6-byte GCT
+    g = bytearray(synth_gif_anim(4, 4, 3, b"xy"))
+    g[10] |= 0x80  # GCT present, depth 0 → 3*2 bytes
+    g2 = bytes(g[:13]) + b"\x01\x02\x03\x04\x05\x06" + bytes(g[13:])
+    assert gif_frame_count(g2) == 3
+    # truncated stream (no trailer) and non-GIF → None
+    full = synth_gif_anim(8, 8, 4, b"abc")
+    assert gif_frame_count(full[:-2]) is None
+    assert gif_frame_count(b"not a gif") is None
+    assert gif_frame_count(b"") is None
+
+
+def test_frame_sample_stage_real_gif():
+    """FrameSampleStage uses the REAL block-walk count for GIF
+    payloads and the declared stub for raw bytes."""
+    import pyarrow as pa
+
+    from documentconvert_ray.sources.corpus import synth_gif_anim
+    from documentconvert_ray.stages.multimodal import FrameSampleStage
+
+    gif = synth_gif_anim(8, 8, 25, b"abc")
+    raw = b"x" * 42
+    out = FrameSampleStage(stride=10)(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "payload": pa.array([gif, raw], pa.binary())}))
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("kind").to_pylist(),
+                    out.column("frame_idx").to_pylist()))
+    assert rows == [(0, "gif", 0), (0, "gif", 10), (0, "gif", 20),
+                    (1, "stub", 0), (1, "stub", 10), (1, "stub", 20),
+                    (1, "stub", 30), (1, "stub", 40)]
