@@ -5255,27 +5255,26 @@ def q_embedding_outliers(sf_dir: str):
             }))
         return pd.concat(out, ignore_index=True)
 
-    # BUCKETED (label,dim)-sum reduce, not a native aggregate — the
-    # repo's measured idiom (native sort-based aggregates pay per-key
-    # overhead; 8.0 s → ~1 s here at sf0.1). Partial rows per block
-    # are exactly labels×dims, so per-bucket volume is blocks-bounded.
+    # TWO-LEVEL map_batches tree reduce, no sort/groupby at all — a
+    # native aggregate pays per-key overhead (measured 8.0 s for this
+    # 640-key phase at sf0.1) and a sort-based map_groups emits
+    # schema-less empty partitions (executor warning spam). Partial
+    # rows per block are exactly labels×dims, so level 1 coalesces
+    # blocks×(labels×dims) rows into nb_c block-local sums and level 2
+    # folds nb_c×(labels×dims) rows in one tiny task.
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nb_c = max(4, min(16, cpus // 2))
 
-    def add_bucket(df):
-        out = partial_sums(df)
-        out["bucket"] = ((out["label"] * 997 + out["dim"])
-                         % nb_c).astype("int32")
-        return out
-
-    def sum_bucket(g):
-        return g.groupby(["label", "dim"], as_index=False).agg(
+    def sum_block(df):
+        return df.groupby(["label", "dim"], as_index=False).agg(
             n_vecs=("n_vecs", "sum"), sum_micro=("sum_micro", "sum"))
 
     cen = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(sum_bucket, batch_format="pandas")
+        ds.map_batches(partial_sums, batch_format="pandas")
+        .repartition(nb_c)
+        .map_batches(sum_block, batch_format="pandas")
+        .repartition(1)
+        .map_batches(sum_block, batch_format="pandas")
         .to_pandas()  # labels × dims — tiny by construction
     )
     cen = cen.sort_values(["label", "dim"], kind="mergesort")
@@ -5304,12 +5303,20 @@ def q_embedding_outliers(sf_dir: str):
         return out.groupby("label", as_index=False).head(EMB_OUTLIER_K)
 
     def final_topk(g):
+        if len(g) == 0:  # empty sort partition (few labels): return a
+            #              TYPED empty block so the schema stays stable
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "d2_micro2": pd.Series([], dtype="int64")})
         g = g.sort_values(["d2_micro2", "vec_id"],
                           ascending=[False, True], kind="mergesort")
         return g.head(EMB_OUTLIER_K)
 
     return (
         ds.map_batches(partial_topk, batch_format="pandas")
+        .repartition(4)  # ≤ 5·labels rows per block survive the
+        #                  partial top-k — same empty-partition guard
         .groupby("label")
         .map_groups(final_topk, batch_format="pandas")
     )
