@@ -1280,6 +1280,11 @@ def q_events_sliding(sf_dir: str):
     seconds so the oracle compares exactly (no tz coercion)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     HOP, WIN = 900, 3600
+    # distinct (type, window) keys grow with the corpus TIME SPAN
+    # (≈ 57k at sf0.1) — squarely in the native aggregate's measured
+    # per-key-overhead cliff, so the final reduce is the repo's
+    # window-hash BUCKETED idiom (14.2 s native → ~3 s bucketed)
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=1)
 
     def partials(df):
         import pandas as pd
@@ -1299,13 +1304,18 @@ def q_events_sliding(sf_dir: str):
              .agg(n_events=("v", "size"), sum_value_micro=("v", "sum")))
         g["n_events"] = g["n_events"].astype("int64")
         g["win_start_s"] = g["win_start_s"].astype("int64")
+        g["bucket"] = ((g["win_start_s"] // HOP) % nb).astype("int32")
         return g
+
+    def reduce_bucket(g):
+        return (g.groupby(["event_type", "win_start_s"], as_index=False)
+                .agg(n_events=("n_events", "sum"),
+                     sum_value_micro=("sum_value_micro", "sum")))
 
     return (
         ds.map_batches(partials, batch_format="pandas")
-        .groupby(["event_type", "win_start_s"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value_micro", alias_name="sum_value_micro"))
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
 
 
@@ -2030,10 +2040,19 @@ def q_length_outliers(sf_dir: str):
         return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
                              "c": vc.to_numpy(np.int64)})
 
+    # two-level map_batches tree reduce (no sort): per-block partial
+    # histograms are value-domain-bounded, so level 1 coalesces block
+    # partials and level 2 folds them in one tiny task — the native
+    # per-key aggregate pays measured per-key overhead here
+    def hist_fold(df):
+        return df.groupby("v", as_index=False).agg(c=("c", "sum"))
+
     h = (
         ds.map_batches(hist, batch_format="pandas")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
+        .repartition(8)
+        .map_batches(hist_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(hist_fold, batch_format="pandas")
         .to_pandas()  # value-domain-sized: tiny
         .sort_values("v")
     )
@@ -2293,10 +2312,19 @@ def q_percentile_rank(sf_dir: str):
         return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
                              "c": vc.to_numpy(np.int64)})
 
+    # two-level map_batches tree reduce (no sort): per-block partial
+    # histograms are value-domain-bounded, so level 1 coalesces block
+    # partials and level 2 folds them in one tiny task — the native
+    # per-key aggregate pays measured per-key overhead here
+    def hist_fold(df):
+        return df.groupby("v", as_index=False).agg(c=("c", "sum"))
+
     h = (
         ds.map_batches(hist, batch_format="pandas")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
+        .repartition(8)
+        .map_batches(hist_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(hist_fold, batch_format="pandas")
         .to_pandas()  # value-domain-sized: tiny
         .sort_values("v")
     )
@@ -4088,25 +4116,56 @@ def q_ntile_deciles(sf_dir: str):
         return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
                              "c": vc.to_numpy(np.int64)})
 
+    # two-level map_batches tree reduce (no sort): per-block partial
+    # histograms are value-domain-bounded, so level 1 coalesces block
+    # partials and level 2 folds them in one tiny task — the native
+    # per-key aggregate pays measured per-key overhead here
+    def hist_fold(df):
+        return df.groupby("v", as_index=False).agg(c=("c", "sum"))
+
     h = (
         ds.map_batches(hist, batch_format="pandas")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
+        .repartition(8)
+        .map_batches(hist_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(hist_fold, batch_format="pandas")
         .to_pandas()  # value-domain-sized: tiny
         .sort_values("v")
     )
     n_total = int(h["c"].sum())
     vals = h["v"].to_numpy(np.int64)
     offsets = np.concatenate([[0], h["c"].cumsum().to_numpy(np.int64)[:-1]])
-    off_ref = ray.put({int(v): int(o) for v, o in zip(vals, offsets)})
+    # parallel sorted arrays, not a dict: the per-bucket pass looks
+    # offsets up vectorized via searchsorted
+    off_ref = ray.put((vals, offsets))
     base, rem = divmod(n_total, NTILE_K)
     cut = rem * (base + 1)
 
-    def tile_group(g):
-        v = int(g["n_chars"].iloc[0])
-        off = sim.resolve_broadcast(off_ref, key="ntile-offsets")[v]
-        ids = np.sort(g["doc_id"].to_numpy(np.int64), kind="stable")
-        rank = off + np.arange(1, len(ids) + 1, dtype=np.int64)
+    # VALUE-hash buckets, ONE vectorized pass per bucket over all its
+    # value groups (a per-value map_groups invoked Python 523× at
+    # sf0.1 and cost 7.3 s; same-value rows still co-locate because
+    # the bucket key is a pure function of the value)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb_t = max(8, min(64, cpus * 2))
+
+    def add_bucket(df):
+        v = df["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": v,
+            "bucket": (v % nb_t).astype(np.int32),
+        })
+
+    def tile_bucket(g):
+        vs_b, off_b = sim.resolve_broadcast(off_ref, key="ntile-offsets")
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        v = g["n_chars"].to_numpy(np.int64)
+        n = len(v)
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.r_[0, np.flatnonzero(np.diff(v)) + 1]
+        counts = np.diff(np.r_[starts, n])
+        grp_start = np.repeat(starts, counts)
+        rank = off_b[np.searchsorted(vs_b, v)] + (idx - grp_start) + 1
         if base == 0:
             tile = rank
         else:
@@ -4115,8 +4174,7 @@ def q_ntile_deciles(sf_dir: str):
                 (rank - 1) // (base + 1),
                 rem + (rank - 1 - cut) // max(base, 1),
             ) + 1
-        out = pd.DataFrame({"decile": tile.astype(np.int64),
-                            "n_chars": np.full(len(ids), v, np.int64)})
+        out = pd.DataFrame({"decile": tile.astype(np.int64), "n_chars": v})
         return out.groupby("decile", as_index=False).agg(
             n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
             max_chars=("n_chars", "max")).astype(
@@ -4124,8 +4182,9 @@ def q_ntile_deciles(sf_dir: str):
                  "max_chars": "int64"})
 
     return (
-        ds.groupby("n_chars")
-        .map_groups(tile_group, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(tile_bucket, batch_format="pandas")
         .groupby("decile")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Min("min_chars", alias_name="min_chars"),
