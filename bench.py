@@ -97,6 +97,7 @@ QUERY_NAMES = [
     "sentence_dedup",
     "doc_chunks",
     "embedding_outliers",
+    "oov_rate",
 ]
 
 

@@ -5381,6 +5381,93 @@ def q_embedding_outliers(sf_dir: str):
     )
 
 
+VOCAB_K = 20  # top-K occurrence vocabulary for the OOV audit (the sf
+#              corpus vocabulary is ~31 tokens, so the K boundary and
+#              its (cnt DESC, th ASC) tie-break actually BIND)
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary COVERAGE audit (the OOV-rate gate a training
+    pipeline runs before freezing a tokenizer/vocab): phase 1 builds
+    the top-VOCAB_K occurrence vocabulary over md5 token hashes
+    (token_count_partial combiner → hash-bucketed count reduce with a
+    per-bucket PARTIAL top-K → driver merge of ≤ K·buckets rows);
+    phase 2 broadcasts the sorted vocab hash array ONCE and scores
+    every doc map-side (searchsorted membership, occurrence-weighted):
+    n_oov = token occurrences outside the vocab, oov_ppm =
+    n_oov·10⁶ // n_tokens. The K-boundary tie-break is
+    (cnt DESC, th ASC in UNSIGNED order) on both sides — th is the
+    same md5_number_upper key as the rest of the token family, so
+    collision semantics are shared with the oracle exactly."""
+    import pandas as pd
+
+    from ..functions.textstats import tokens as _tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    nb = dd.derive_buckets(n_docs, rows_per_doc=32)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = tx.token_count_partial(b)
+        th = t.column("th").to_numpy().view(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((th % np.uint64(nb)).astype(np.int32)))
+
+    def vocab_reduce(g):
+        s = g.groupby("th", as_index=False).agg(cnt=("cnt", "sum"))
+        thu = s["th"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((thu, -s["cnt"].to_numpy(np.int64)))[:VOCAB_K]
+        return pd.DataFrame({
+            "th": s["th"].to_numpy(np.int64)[order],
+            "cnt": s["cnt"].to_numpy(np.int64)[order]})
+
+    vk = (
+        docs.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(vocab_reduce, batch_format="pandas")
+        .to_pandas()  # ≤ VOCAB_K·n_buckets rows by the partial top-K
+    )
+    thu = vk["th"].to_numpy(np.int64).view(np.uint64)
+    order = np.lexsort((thu, -vk["cnt"].to_numpy(np.int64)))[:VOCAB_K]
+    vocab = np.sort(thu[order])  # sorted uint64 → searchsorted probes
+    vref = ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        from ..stages.text import _gram_hashes_i64
+
+        v = sim.resolve_broadcast(vref, key="oov-vocab")
+        ids, n_tok, n_oov = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            c: dict = {}
+            for w in _tokens(t):
+                c[w] = c.get(w, 0) + 1
+            words = sorted(c)
+            occ = np.fromiter((c[w] for w in words), np.int64, len(words))
+            hs = _gram_hashes_i64(words).view(np.uint64) if words else \
+                np.empty(0, np.uint64)
+            if len(v) and len(hs):
+                pos = np.minimum(np.searchsorted(v, hs), len(v) - 1)
+                hit = v[pos] == hs
+            else:
+                hit = np.zeros(len(hs), bool)
+            ids.append(i)
+            n_tok.append(int(occ.sum()))
+            n_oov.append(int(occ[~hit].sum()))
+        n_tok = np.array(n_tok, np.int64)
+        n_oov = np.array(n_oov, np.int64)
+        ppm = np.where(n_tok > 0, n_oov * 1_000_000 // np.maximum(n_tok, 1),
+                       0)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+            "oov_ppm": pa.array(ppm.astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5400,6 +5487,7 @@ def queries() -> dict:
         "sentence_dedup": q_sentence_dedup,
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
+        "oov_rate": q_oov_rate,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -5681,6 +5769,36 @@ ORACLES: dict[str, str] = {
         ORDER BY rarity_score DESC, doc_id ASC
         LIMIT {k}
     """.format(k=RARITY_TOP_K),
+    # T103: same md5_number_upper token keys; vocab tie-break
+    # (cnt DESC, th ASC) is unsigned on both sides (UBIGINT there,
+    # uint64 view here)
+    "oov_rate": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        occ AS (
+          SELECT doc_id, md5_number_upper(t.x) AS th,
+                 count(*) AS occ
+          FROM toks, unnest(tk) AS t(x) GROUP BY 1, 2),
+        cnt AS (SELECT th, sum(occ) AS cnt FROM occ GROUP BY th),
+        vocab AS (
+          SELECT th FROM cnt ORDER BY cnt DESC, th ASC LIMIT VOCABK),
+        per AS (
+          SELECT o.doc_id, sum(o.occ) AS n_tok,
+                 sum(CASE WHEN v.th IS NULL THEN o.occ ELSE 0 END)
+                     AS n_oov
+          FROM occ o LEFT JOIN vocab v ON o.th = v.th
+          GROUP BY o.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(CASE WHEN coalesce(p.n_tok, 0) = 0 THEN 0
+                    ELSE p.n_oov * 1000000 // p.n_tok END AS BIGINT)
+                   AS oov_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """.replace("VOCABK", str(VOCAB_K)),
     "active_streaks": """
         WITH days AS (
           SELECT DISTINCT user_id,

@@ -90,3 +90,21 @@ def test_embedding_outliers_exact_distances(ray_session):
         assert len(got) == min(5, len(rows))
         assert {(int(a), int(b)) for a, b in
                 zip(got["vec_id"], got["d2_micro2"])} == expect
+
+
+def test_oov_rate_partitioning_invariant(ray_session):
+    """The vocab top-K (and hence every OOV count) is identical
+    regardless of input block layout — the partial-top-K + driver
+    merge cannot depend on where block boundaries fall."""
+    import ray.data
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    ref = Q.q_oov_rate(SF).to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+    assert (ref["n_oov"] > 0).any()  # the K boundary binds
+    assert (ref["n_oov"] <= ref["n_tokens"]).all()
+    # ppm is exact floor division
+    nz = ref[ref["n_tokens"] > 0]
+    assert (nz["oov_ppm"]
+            == nz["n_oov"] * 1_000_000 // nz["n_tokens"]).all()
