@@ -5180,8 +5180,9 @@ CHUNK_OVERLAP = 16   # trailing tokens repeated in the next chunk
 
 
 def q_sentence_dedup(sf_dir: str):
-    """SENTENCE-granularity exact dedup (the C4/RefinedWeb line-level
-    dedup stage): explode docs to sentences with T67's exact split
+    """SENTENCE-granularity exact dedup (the C4 three-sentence /
+    RefinedWeb line-level dedup stage — Raffel et al. 2020,
+    arXiv:1910.10683 §2.2; Penedo et al. 2023, arXiv:2306.01116): explode docs to sentences with T67's exact split
     rule, hash each sentence to an 8-byte md5 key, and keep the FIRST
     occurrence (min (doc_id, sent_idx)) as the winner — every other
     occurrence is flagged is_dup with a pointer at its winner.
@@ -5240,7 +5241,9 @@ def q_sentence_dedup(sf_dir: str):
 
 def q_doc_chunks(sf_dir: str):
     """Fixed-size TOKEN CHUNKING with overlap (the context-window
-    slicer every RAG / training-data pipeline needs): tokens via the
+    slicer every RAG / training-data pipeline needs — the sliding
+    window of Lewis et al. 2020, arXiv:2005.11401-style retrieval
+    corpora and GPT-style packing preprocessors): tokens via the
     RE2-exact tokenizer, chunks of CHUNK_TOKENS starting every
     CHUNK_TOKENS-CHUNK_OVERLAP tokens (trailing chunk may be short),
     each chunk carrying its token span and an md5 content hash (hex,
@@ -5388,7 +5391,9 @@ VOCAB_K = 20  # top-K occurrence vocabulary for the OOV audit (the sf
 
 def q_oov_rate(sf_dir: str):
     """Vocabulary COVERAGE audit (the OOV-rate gate a training
-    pipeline runs before freezing a tokenizer/vocab): phase 1 builds
+    pipeline runs before freezing a tokenizer/vocab — the coverage
+    statistic of SentencePiece-style vocab selection, Kudo &
+    Richardson 2018, arXiv:1808.06226): phase 1 builds
     the top-VOCAB_K occurrence vocabulary over md5 token hashes
     (token_count_partial combiner → hash-bucketed count reduce with a
     per-bucket PARTIAL top-K → driver merge of ≤ K·buckets rows);
