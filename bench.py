@@ -98,6 +98,7 @@ QUERY_NAMES = [
     "doc_chunks",
     "embedding_outliers",
     "oov_rate",
+    "audio_decode",
 ]
 
 

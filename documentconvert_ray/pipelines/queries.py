@@ -34,6 +34,7 @@ from ..stages import similarity as sim
 from ..stages import text as tx
 from ..stages.extract import OUTPUT_SCHEMA  # noqa: F401 (re-export for tests)
 from ..stages.multimodal import (
+    AudioDecodeStage,
     FeatureExtractStage,
     FrameSampleStage,
     ImageDecodeStage,
@@ -3510,6 +3511,46 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def _audio_payload(batch: pa.Table) -> pa.Table:
+    """documents → audio payloads: doc_id % 3 ∈ {0,1} carry REAL
+    PCM16-mono WAV files (sources/corpus.synth_wav) with
+    rate = 8000 + 100·(L % 80), n_samples = 16 + L % 500 and PCM
+    tiling the text bytes (all SQL-derivable); every third doc keeps
+    raw text bytes exercising the declared wire fallback."""
+    from ..sources.corpus import synth_wav
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i, t in zip(ids, batch.column("text").to_pylist()):
+        raw = t.encode("utf-8")
+        if i % 3 == 2:
+            payloads.append(raw)
+        else:
+            n = len(raw)
+            payloads.append(
+                synth_wav(8000 + 100 * (n % 80), 16 + n % 500, raw))
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_audio_decode(sf_dir: str):
+    """Binary-column AUDIO decode — a REAL stdlib kernel
+    (functions/audio_codec.decode_wav: RIFF chunk walk → PCM fields +
+    payload) behind an actor-pool map_batches stage; the signature is
+    the md5 of the raw PCM bytes so the oracle checks the DECODED
+    payload, not just header fields. Non-RIFF payloads fall back to
+    the declared wire leg."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    return (
+        ds.map_batches(_audio_payload, batch_format="pyarrow")
+        .map_batches(AudioDecodeStage(), batch_format="pyarrow",
+                     batch_size=128)
+    )
+
+
 GIF_MAX_FRAMES = 30  # synthetic animation length bound (1 + L % 30)
 
 
@@ -5493,6 +5534,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
         "oov_rate": q_oov_rate,
+        "audio_decode": q_audio_decode,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -7067,6 +7109,38 @@ ORACLES: dict[str, str] = {
         FROM buf
     """.replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
        .replace("JPEG_POST", "03011100021100031100FFD9"),
+    # real WAV RIFF-walk decode: PCM fields + md5 of the exact PCM
+    # buffer (tiled text bytes, reconstructed in the hex domain)
+    "audio_decode": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                      ELSE to_hex(encode(text)) END AS th,
+                 greatest(octet_length(encode(text)), 1) AS L,
+                 octet_length(encode(text)) AS L0
+          FROM documents),
+        w AS (
+          SELECT doc_id, th, L, L0,
+                 8000 + 100 * (L0 % 80) AS rate,
+                 16 + L0 % 500 AS ns
+          FROM d)
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 2 THEN 'wire' ELSE 'wav' END
+                   AS kind,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE rate END
+                    AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END
+                    AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE ns END
+                    AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+                    ELSE ns * 1000 // rate END AS BIGINT) AS duration_ms,
+               substr(md5(CASE WHEN doc_id % 3 = 2
+                          THEN CASE WHEN L0 = 0 THEN '' ELSE th END
+                          ELSE substr(repeat(th, (2 * ns) // L + 1),
+                                      1, 4 * ns) END), 1, 16) AS sig
+        FROM w
+    """,
     # real GIF block-walk counter on even doc_ids (frame count from
     # the generation rule), declared stub formula on the raw slice
     "frame_sample": f"""

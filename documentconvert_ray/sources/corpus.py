@@ -18,6 +18,7 @@ from __future__ import annotations
 import datetime
 import random
 import re
+import struct
 import zlib
 
 import pyarrow as pa
@@ -468,6 +469,23 @@ def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     return (len(body).to_bytes(4, "big") + tag + body
             + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def synth_wav(sample_rate: int, n_samples: int, fill: bytes) -> bytes:
+    """A well-formed PCM16-mono WAV file: RIFF/WAVE header, 16-byte
+    fmt chunk, data chunk whose PCM payload tiles ``fill`` over
+    2·n_samples bytes (so a SQL oracle can reconstruct the exact
+    sample buffer from the generation rule)."""
+    fill = fill or b"\x00"
+    n_bytes = 2 * n_samples
+    pcm = (fill * (n_bytes // len(fill) + 1))[:n_bytes]
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synth_gif_anim(w: int, h: int, n_frames: int, fill: bytes) -> bytes:

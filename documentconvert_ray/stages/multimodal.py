@@ -208,6 +208,60 @@ class ImageResampleStage:
              "sig": pa.array(sigs, pa.string())})
 
 
+class AudioDecodeStage:
+    """Actor-pool audio decoder — the REAL kernel is a RIFF/WAV chunk
+    walk (functions/audio_codec.decode_wav): sample rate, channels,
+    bit depth, sample count and duration all come from the actual wire
+    layout, and the signature is the md5 of the raw PCM payload via
+    its uppercase-hex encoding (SQL-mirrorable, same convention as the
+    image kernels). Non-RIFF payloads (compressed codecs are genuinely
+    unavailable here) fall back to wire-byte metadata, flagged
+    kind='wire'."""
+
+    def __init__(self) -> None:
+        import hashlib
+
+        from ..functions.audio_codec import decode_wav
+
+        self._decode = decode_wav
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds: list[str] = []
+        rates: list[int] = []
+        chans: list[int] = []
+        nsamp: list[int] = []
+        durms: list[int] = []
+        sigs: list[str] = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            w = self._decode(p)
+            if w is not None:
+                kinds.append("wav")
+                rates.append(w.sample_rate)
+                chans.append(w.channels)
+                nsamp.append(w.n_samples)
+                durms.append(w.duration_ms)
+                buf = w.pcm
+            else:
+                kinds.append("wire")
+                rates.append(0)
+                chans.append(0)
+                nsamp.append(0)
+                durms.append(0)
+                buf = p
+            sigs.append(
+                self._md5(buf.hex().upper().encode()).hexdigest()[:16])
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "kind": pa.array(kinds, pa.string()),
+             "sample_rate": pa.array(rates, pa.int64()),
+             "channels": pa.array(chans, pa.int64()),
+             "n_samples": pa.array(nsamp, pa.int64()),
+             "duration_ms": pa.array(durms, pa.int64()),
+             "sig": pa.array(sigs, pa.string())})
+
+
 class FeatureExtractStage:
     """Feature-extraction stage: payload → compact feature row. The
     kernel is REAL for fully-decodable rasters (PPM/BMP/PNG via

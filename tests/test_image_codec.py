@@ -227,3 +227,37 @@ def test_frame_sample_stage_real_gif():
     assert rows == [(0, "gif", 0), (0, "gif", 10), (0, "gif", 20),
                     (1, "stub", 0), (1, "stub", 10), (1, "stub", 20),
                     (1, "stub", 30), (1, "stub", 40)]
+
+
+def test_wav_decode_riff_walk():
+    """decode_wav parses real RIFF structure: fmt fields, data PCM,
+    word-padding, and refuses non-PCM/truncated/garbage payloads."""
+    import struct
+
+    from documentconvert_ray.functions.audio_codec import decode_wav
+    from documentconvert_ray.sources.corpus import synth_wav
+
+    fill = b"pcm source bytes \x01\x80\xff"
+    w = decode_wav(synth_wav(16000, 333, fill))
+    assert (w.sample_rate, w.channels, w.bits) == (16000, 1, 16)
+    assert w.n_samples == 333
+    assert w.duration_ms == 333 * 1000 // 16000
+    assert w.pcm == (fill * (666 // len(fill) + 1))[:666]
+    # odd data size exercises the word-align path
+    w2 = decode_wav(synth_wav(8000, 7, b"xyz"))  # 14 PCM bytes (even)
+    assert w2.n_samples == 7
+    # an extra LIST chunk before fmt/data still parses
+    raw = synth_wav(8000, 4, b"ab")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:12] + extra + raw[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    w3 = decode_wav(patched)
+    assert w3 is not None and w3.n_samples == 4
+    # refusals: truncated, non-PCM format code, garbage
+    assert decode_wav(raw[: len(raw) // 2]) is None
+    bad = bytearray(raw)
+    bad[20] = 3  # IEEE float format
+    assert decode_wav(bytes(bad)) is None
+    assert decode_wav(b"not riff") is None
+    assert decode_wav(b"") is None
