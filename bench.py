@@ -99,6 +99,7 @@ QUERY_NAMES = [
     "embedding_outliers",
     "oov_rate",
     "audio_decode",
+    "audio_features",
 ]
 
 

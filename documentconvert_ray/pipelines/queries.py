@@ -35,6 +35,7 @@ from ..stages import text as tx
 from ..stages.extract import OUTPUT_SCHEMA  # noqa: F401 (re-export for tests)
 from ..stages.multimodal import (
     AudioDecodeStage,
+    AudioFeatureStage,
     FeatureExtractStage,
     FrameSampleStage,
     ImageDecodeStage,
@@ -3551,6 +3552,21 @@ def q_audio_decode(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """Integer-exact loudness statistics over DECODED PCM samples
+    (the RMS/clipping audit of an audio curation pipeline): int16 LE
+    sample parse → Σ|x|, Σx², peak |x| — all int64-exact, so the
+    oracle recomputes every sample from the generation rule with
+    hex-digit arithmetic and matches bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    return (
+        ds.map_batches(_audio_payload, batch_format="pyarrow")
+        .map_batches(AudioFeatureStage(), batch_format="pyarrow",
+                     batch_size=128)
+    )
+
+
 GIF_MAX_FRAMES = 30  # synthetic animation length bound (1 + L % 30)
 
 
@@ -5535,6 +5551,7 @@ def queries() -> dict:
         "embedding_outliers": q_embedding_outliers,
         "oov_rate": q_oov_rate,
         "audio_decode": q_audio_decode,
+        "audio_features": q_audio_features,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -7140,6 +7157,52 @@ ORACLES: dict[str, str] = {
                           ELSE substr(repeat(th, (2 * ns) // L + 1),
                                       1, 4 * ns) END), 1, 16) AS sig
         FROM w
+    """,
+    # T105: every PCM sample recomputed in SQL — hex digit pairs →
+    # little-endian int16 (two's complement via the >=32768 branch)
+    "audio_features": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                      ELSE to_hex(encode(text)) END AS th,
+                 greatest(octet_length(encode(text)), 1) AS L,
+                 octet_length(encode(text)) AS L0
+          FROM documents),
+        w AS (
+          SELECT doc_id, th, L, 16 + L0 % 500 AS ns
+          FROM d WHERE doc_id % 3 <> 2),
+        pcm AS (
+          SELECT doc_id, ns,
+                 substr(repeat(th, (2 * ns) // L + 1), 1, 4 * ns) AS ph
+          FROM w),
+        sam AS (
+          SELECT doc_id,
+                 (strpos('0123456789ABCDEF',
+                         substr(ph, 4 * t.i + 1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(ph, 4 * t.i + 2, 1)) - 1)
+                 + 256 * ((strpos('0123456789ABCDEF',
+                                  substr(ph, 4 * t.i + 3, 1)) - 1) * 16
+                          + (strpos('0123456789ABCDEF',
+                                    substr(ph, 4 * t.i + 4, 1)) - 1))
+                     AS u
+          FROM pcm, unnest(range(ns)) AS t(i)),
+        val AS (
+          SELECT doc_id,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+          FROM sam),
+        agg AS (
+          SELECT doc_id, count(*) AS n, sum(abs(v)) AS sa,
+                 sum(v * v) AS sq, max(abs(v)) AS pk
+          FROM val GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 3 = 2 THEN 'wire' ELSE 'wav' END
+                   AS kind,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+               CAST(coalesce(a.sa, 0) AS BIGINT) AS sum_abs,
+               CAST(coalesce(a.sq, 0) AS BIGINT) AS sum_sq,
+               CAST(coalesce(a.pk, 0) AS BIGINT) AS peak
+        FROM d LEFT JOIN agg a USING (doc_id)
     """,
     # real GIF block-walk counter on even doc_ids (frame count from
     # the generation rule), declared stub formula on the raw slice

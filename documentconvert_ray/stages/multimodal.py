@@ -262,6 +262,54 @@ class AudioDecodeStage:
              "sig": pa.array(sigs, pa.string())})
 
 
+class AudioFeatureStage:
+    """REAL audio DSP over decoded PCM: int16 little-endian samples
+    (numpy frombuffer) → integer-exact loudness statistics — Σ|x|,
+    Σx² (int64-safe: 32767² ≈ 10⁹ per sample) and peak |x| — the
+    integer core of an RMS/clipping audit. Non-RIFF payloads emit the
+    declared zero row, flagged kind='wire'."""
+
+    def __init__(self) -> None:
+        from ..functions.audio_codec import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        kinds: list[str] = []
+        ns: list[int] = []
+        sabs: list[int] = []
+        ssq: list[int] = []
+        peak: list[int] = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            w = self._decode(p)
+            if w is not None and w.bits == 16:
+                x = np.frombuffer(
+                    w.pcm[: (len(w.pcm) // 2) * 2], dtype="<i2"
+                ).astype(np.int64)
+                a = np.abs(x)
+                kinds.append("wav")
+                ns.append(len(x))
+                sabs.append(int(a.sum()))
+                ssq.append(int((x * x).sum()))
+                peak.append(int(a.max()) if len(a) else 0)
+            else:
+                kinds.append("wire")
+                ns.append(0)
+                sabs.append(0)
+                ssq.append(0)
+                peak.append(0)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "kind": pa.array(kinds, pa.string()),
+             "n_samples": pa.array(ns, pa.int64()),
+             "sum_abs": pa.array(sabs, pa.int64()),
+             "sum_sq": pa.array(ssq, pa.int64()),
+             "peak": pa.array(peak, pa.int64())})
+
+
 class FeatureExtractStage:
     """Feature-extraction stage: payload → compact feature row. The
     kernel is REAL for fully-decodable rasters (PPM/BMP/PNG via

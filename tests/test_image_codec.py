@@ -261,3 +261,30 @@ def test_wav_decode_riff_walk():
     assert decode_wav(bytes(bad)) is None
     assert decode_wav(b"not riff") is None
     assert decode_wav(b"") is None
+
+
+def test_audio_feature_stage_exact_dsp():
+    """AudioFeatureStage's loudness stats equal hand-computed values
+    on a WAV with known positive AND negative samples."""
+    import struct
+
+    import pyarrow as pa
+
+    from documentconvert_ray.stages.multimodal import AudioFeatureStage
+
+    samples = [0, 1, -1, 32767, -32768, 1000, -999]
+    pcm = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = AudioFeatureStage()(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "payload": pa.array([wav, b"not riff"], pa.binary())}))
+    assert out.column("kind").to_pylist() == ["wav", "wire"]
+    assert out.column("n_samples").to_pylist() == [7, 0]
+    assert out.column("sum_abs").to_pylist() == [
+        sum(abs(s) for s in samples), 0]
+    assert out.column("sum_sq").to_pylist() == [
+        sum(s * s for s in samples), 0]
+    assert out.column("peak").to_pylist() == [32768, 0]
