@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["WavInfo", "decode_wav"]
+__all__ = ["WavInfo", "decode_wav", "avi_frame_count"]
 
 
 class WavInfo:
@@ -43,6 +43,44 @@ class WavInfo:
         if self.sample_rate <= 0:
             return 0
         return self.n_samples * 1000 // self.sample_rate
+
+
+def avi_frame_count(payload: bytes) -> int | None:
+    """REAL AVI (RIFF) video frame counter: walks the container's
+    chunk tree — LIST chunks carry a 4CC list type and nest; the
+    'movi' LIST holds the stream data whose '..dc'/'..db' (compressed/
+    uncompressed video) chunks are the frames. Counting them is the
+    container-level parse real tools perform without touching the
+    codec payload. Returns None for non-AVI or structurally broken
+    files."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return None
+    n = len(payload)
+
+    def walk(pos: int, end: int, in_movi: bool) -> int | None:
+        frames = 0
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if body + size > end:
+                return None  # truncated chunk
+            if tag == b"LIST":
+                if size < 4:
+                    return None
+                ltype = payload[body:body + 4]
+                sub = walk(body + 4, body + size,
+                           in_movi or ltype == b"movi")
+                if sub is None:
+                    return None
+                frames += sub
+            elif in_movi and len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
+                frames += 1
+            pos = body + size + (size & 1)  # word-align per spec
+        return frames
+
+    return walk(12, n, False)
 
 
 def decode_wav(payload: bytes) -> WavInfo | None:

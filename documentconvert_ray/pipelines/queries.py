@@ -3568,23 +3568,27 @@ def q_audio_features(sf_dir: str):
 
 
 GIF_MAX_FRAMES = 30  # synthetic animation length bound (1 + L % 30)
+AVI_MAX_FRAMES = 40  # synthetic video length bound (1 + L % 40)
 
 
 def _video_payload(batch: pa.Table) -> pa.Table:
-    """documents → frame-sample payloads: even doc_ids carry REAL
-    animated GIF89a files (sources/corpus.synth_gif_anim) with
-    1 + L % GIF_MAX_FRAMES frames (L = utf-8 text bytes — the oracle
-    predicts the REAL block-walk counter's output from the rule); odd
-    doc_ids keep raw text bytes exercising the declared stub leg."""
-    from ..sources.corpus import synth_gif_anim
+    """documents → frame-sample payloads: doc_id % 3 == 0 carries a
+    REAL animated GIF89a (sources/corpus.synth_gif_anim,
+    1 + L % GIF_MAX_FRAMES frames), % 3 == 1 a REAL AVI container
+    (sources/corpus.synth_avi, 1 + L % AVI_MAX_FRAMES '00dc' chunks)
+    — the oracle predicts both REAL counters' output from the rule;
+    % 3 == 2 keeps raw text bytes exercising the declared stub leg."""
+    from ..sources.corpus import synth_avi, synth_gif_anim
 
     ids = batch.column("doc_id").to_pylist()
     payloads: list[bytes] = []
     for i, t in zip(ids, batch.column("text").to_pylist()):
         raw = t.encode("utf-8")
-        if i % 2 == 0:
+        if i % 3 == 0:
             payloads.append(
                 synth_gif_anim(8, 8, 1 + len(raw) % GIF_MAX_FRAMES, raw))
+        elif i % 3 == 1:
+            payloads.append(synth_avi(1 + len(raw) % AVI_MAX_FRAMES, raw))
         else:
             payloads.append(raw)
     return pa.Table.from_pydict(
@@ -3594,9 +3598,10 @@ def _video_payload(batch: pa.Table) -> pa.Table:
 
 
 def q_frame_sample(sf_dir: str):
-    """Frame sampling with a REAL frame counter on the GIF slice
-    (gif_frame_count block walk — no LZW decode needed to count, as
-    in real tools); the raw slice runs the declared stub formula."""
+    """Frame sampling with REAL frame counters on the GIF and AVI
+    slices (GIF image-descriptor block walk; AVI RIFF-tree movi-chunk
+    count — no codec decode needed, as in real tools); the raw slice
+    runs the declared stub formula."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     ds = ds.map_batches(_video_payload, batch_format="pyarrow")
@@ -7204,17 +7209,19 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(a.pk, 0) AS BIGINT) AS peak
         FROM d LEFT JOIN agg a USING (doc_id)
     """,
-    # real GIF block-walk counter on even doc_ids (frame count from
-    # the generation rule), declared stub formula on the raw slice
+    # real GIF / AVI container counters (frame counts from the
+    # generation rule), declared stub formula on the raw slice
     "frame_sample": f"""
         WITH n AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'stub' END
-                     AS kind,
-                 CASE WHEN doc_id % 2 = 0
-                      THEN 1 + octet_length(encode(text))
+                 CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'avi'
+                      ELSE 'stub' END AS kind,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 1 + octet_length(encode(text))
                                % {GIF_MAX_FRAMES}
-                      ELSE 1 + octet_length(encode(text)) % 300 END
+                   WHEN 1 THEN 1 + octet_length(encode(text))
+                               % {AVI_MAX_FRAMES}
+                   ELSE 1 + octet_length(encode(text)) % 300 END
                      AS nf
           FROM documents)
         SELECT doc_id, kind,

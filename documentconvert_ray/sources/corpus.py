@@ -488,6 +488,31 @@ def synth_wav(sample_rate: int, n_samples: int, fill: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synth_avi(n_frames: int, fill: bytes) -> bytes:
+    """A structurally valid AVI (RIFF) container: an hdrl LIST with a
+    minimal avih chunk, then a movi LIST holding ``n_frames`` '00dc'
+    video chunks whose payloads tile ``fill`` (the frame BYTES stay
+    codec-opaque — real tools count container chunks exactly like
+    this without decoding)."""
+    fill = fill or b"\x00"
+    frame = (fill * (64 // len(fill) + 1))[:64]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0,
+                                      n_frames, 0, 1, 0, 8, 8,
+                                      0, 0, 0, 0))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", frame)
+                                 for _ in range(n_frames)))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synth_gif_anim(w: int, h: int, n_frames: int, fill: bytes) -> bytes:
     """A structurally valid animated GIF89a with ``n_frames`` image
     descriptors, each preceded by a graphic-control extension; pixel

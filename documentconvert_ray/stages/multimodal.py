@@ -90,31 +90,38 @@ class ImageDecodeStage:
 class FrameSampleStage:
     """Frame sampler: emits one row per sampled frame index — the
     flat_map-shaped stage a real pipeline needs for frame-level work.
-    The frame count is REAL for animated GIFs
-    (functions/image_codec.gif_frame_count walks the published block
-    structure, counting image descriptors without LZW decompression —
-    how real tools count frames); payloads no counter recognizes
-    (true video containers need codec libraries absent here) fall
-    back to the declared deterministic stub. Sampling is every
-    ``stride``-th frame; rows are flagged kind='gif'/'stub'."""
+    The frame count is REAL for two real container formats: animated
+    GIFs (functions/image_codec.gif_frame_count — image-descriptor
+    block walk, no LZW decode) and AVI video
+    (functions/audio_codec.avi_frame_count — RIFF tree walk counting
+    the movi LIST's video chunks, no codec decode), exactly how real
+    tools count frames. Unrecognized payloads fall back to the
+    declared deterministic stub. Sampling is every ``stride``-th
+    frame; rows are flagged kind='gif'/'avi'/'stub'."""
 
     def __init__(self, stride: int = 10) -> None:
+        from ..functions.audio_codec import avi_frame_count
         from ..functions.image_codec import gif_frame_count
 
         self.stride = stride
-        self._frames = gif_frame_count
+        self._gif = gif_frame_count
+        self._avi = avi_frame_count
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, kinds, frames = [], [], []
         for doc_id, p in zip(batch.column("doc_id").to_pylist(),
                              batch.column("payload").to_pylist()):
             p = p or b""
-            nf = self._frames(p)
+            nf = self._gif(p)
             if nf is not None:
                 kind = "gif"
             else:
-                kind = "stub"
-                nf = 1 + (len(p) % 300)
+                nf = self._avi(p)
+                if nf is not None:
+                    kind = "avi"
+                else:
+                    kind = "stub"
+                    nf = 1 + (len(p) % 300)
             for f in range(0, nf, self.stride):
                 doc_ids.append(doc_id)
                 kinds.append(kind)

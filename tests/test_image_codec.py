@@ -288,3 +288,31 @@ def test_audio_feature_stage_exact_dsp():
     assert out.column("sum_sq").to_pylist() == [
         sum(s * s for s in samples), 0]
     assert out.column("peak").to_pylist() == [32768, 0]
+
+
+def test_avi_frame_count_riff_tree():
+    """avi_frame_count counts movi video chunks through the nested
+    LIST tree; hdrl chunks don't count; broken streams refuse."""
+    from documentconvert_ray.functions.audio_codec import avi_frame_count
+    from documentconvert_ray.sources.corpus import synth_avi
+
+    for nf in (1, 3, 17, 39):
+        assert avi_frame_count(synth_avi(nf, b"frame")) == nf
+    full = synth_avi(5, b"x")
+    assert avi_frame_count(full[:-3]) is None  # truncated
+    assert avi_frame_count(b"RIFF\x04\x00\x00\x00WAVE") is None  # not AVI
+    assert avi_frame_count(b"") is None
+
+
+def test_frame_sample_stage_avi_leg():
+    import pyarrow as pa
+
+    from documentconvert_ray.sources.corpus import synth_avi
+    from documentconvert_ray.stages.multimodal import FrameSampleStage
+
+    avi = synth_avi(23, b"p")
+    out = FrameSampleStage(stride=10)(
+        pa.table({"doc_id": pa.array([5], pa.int64()),
+                  "payload": pa.array([avi], pa.binary())}))
+    assert out.column("kind").to_pylist() == ["avi"] * 3
+    assert out.column("frame_idx").to_pylist() == [0, 10, 20]
