@@ -100,6 +100,7 @@ QUERY_NAMES = [
     "oov_rate",
     "audio_decode",
     "audio_features",
+    "substring_scan",
 ]
 
 

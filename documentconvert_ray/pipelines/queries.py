@@ -3552,6 +3552,52 @@ def q_audio_decode(sf_dir: str):
     )
 
 
+AC_PATTERNS = ("ta", "art", "row", "an", "ue")  # borderless substrings
+
+
+class SubstringScanStage:
+    """Actor-pool multi-pattern SUBSTRING scanner: __init__ builds the
+    Aho-Corasick automaton once per actor (functions/acmatch.py —
+    goto/fail/output construction, borderless-pattern guard so
+    overlap == non-overlap and the replace()-trick oracle is exact);
+    __call__ scans each doc in ONE pass independent of pattern count.
+    This is the substring-blocklist shape token-level term_scrub (T30)
+    cannot express (in-word matches)."""
+
+    def __init__(self, patterns=AC_PATTERNS) -> None:
+        from ..functions.acmatch import AhoCorasick
+
+        self._ac = AhoCorasick(list(patterns))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hits: list[int] = []
+        npat: list[int] = []
+        for t in batch.column("text").to_pylist():
+            c = self._ac.counts(t)
+            hits.append(sum(c))
+            npat.append(sum(1 for x in c if x))
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_hits": pa.array(hits, pa.int64()),
+            "n_patterns_hit": pa.array(npat, pa.int64()),
+        })
+
+
+def q_substring_scan(sf_dir: str):
+    """Substring-blocklist scan over the corpus: a REAL Aho-Corasick
+    automaton (stateful actor-pool stage — built once per actor, one
+    pass per doc) counts every occurrence of each blocklist pattern,
+    including in-word matches. Map-side only, zero exchange; the
+    oracle mirrors via the non-overlapping replace() length trick,
+    exact because the automaton enforces borderless patterns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    return ds.map_batches(
+        SubstringScanStage, batch_format="pyarrow",
+        concurrency=(1, 8), batch_size=256,
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Integer-exact loudness statistics over DECODED PCM samples
     (the RMS/clipping audit of an audio curation pipeline): int16 LE
@@ -5557,6 +5603,7 @@ def queries() -> dict:
         "oov_rate": q_oov_rate,
         "audio_decode": q_audio_decode,
         "audio_features": q_audio_features,
+        "substring_scan": q_substring_scan,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -7162,6 +7209,14 @@ ORACLES: dict[str, str] = {
                           ELSE substr(repeat(th, (2 * ns) // L + 1),
                                       1, 4 * ns) END), 1, 16) AS sig
         FROM w
+    """,
+    # T106: non-overlapping replace() counts == the automaton's
+    # overlapping counts for borderless patterns (enforced at build)
+    "substring_scan": """
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, 'ta', ''))) // 2 + (length(text) - length(replace(text, 'art', ''))) // 3 + (length(text) - length(replace(text, 'row', ''))) // 3 + (length(text) - length(replace(text, 'an', ''))) // 2 + (length(text) - length(replace(text, 'ue', ''))) // 2 AS BIGINT) AS n_hits,
+               CAST(CASE WHEN length(text) <> length(replace(text, 'ta', '')) THEN 1 ELSE 0 END + CASE WHEN length(text) <> length(replace(text, 'art', '')) THEN 1 ELSE 0 END + CASE WHEN length(text) <> length(replace(text, 'row', '')) THEN 1 ELSE 0 END + CASE WHEN length(text) <> length(replace(text, 'an', '')) THEN 1 ELSE 0 END + CASE WHEN length(text) <> length(replace(text, 'ue', '')) THEN 1 ELSE 0 END AS BIGINT) AS n_patterns_hit
+        FROM documents
     """,
     # T105: every PCM sample recomputed in SQL — hex digit pairs →
     # little-endian int16 (two's complement via the >=32768 branch)

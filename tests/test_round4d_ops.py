@@ -108,3 +108,26 @@ def test_oov_rate_partitioning_invariant(ray_session):
     nz = ref[ref["n_tokens"] > 0]
     assert (nz["oov_ppm"]
             == nz["n_oov"] * 1_000_000 // nz["n_tokens"]).all()
+
+
+def test_aho_corasick_exact_counts():
+    """The automaton's counts equal brute-force substring counts,
+    including in-word and cross-pattern overlaps; the borderless
+    guard rejects self-overlapping patterns."""
+    import pytest
+
+    from documentconvert_ray.functions.acmatch import AhoCorasick
+
+    pats = ["ta", "art", "row", "an", "ue"]
+    ac = AhoCorasick(pats)
+    texts = ["table part row scan value query",
+             "tartart rowan anan", "", "ta", "xyz",
+             "startart quue taant"]
+    for t in texts:
+        brute = [sum(1 for i in range(len(t) - len(p) + 1)
+                     if t[i:i + len(p)] == p) for p in pats]
+        assert ac.counts(t) == brute, t
+    with pytest.raises(ValueError):
+        AhoCorasick(["aa"])  # border 'a' — overlap semantics diverge
+    with pytest.raises(ValueError):
+        AhoCorasick(["abab"])  # border 'ab'
