@@ -101,6 +101,7 @@ QUERY_NAMES = [
     "audio_decode",
     "audio_features",
     "substring_scan",
+    "dedup_keep_best",
 ]
 
 

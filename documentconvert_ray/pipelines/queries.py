@@ -3552,6 +3552,76 @@ def q_audio_decode(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup KEEP-LIST (the survivor pick production dedup runs
+    after clustering): every doc gets its cluster representative
+    (T29's connected components; unclustered docs are singletons) and
+    exactly one doc per cluster is kept — the LONGEST (n_chars DESC,
+    doc_id ASC tie-break), i.e. keep-best-quality rather than
+    keep-first.
+
+    Scale shape: the cluster table is bounded by the LSH candidate
+    contract (≪ corpus), so the rep map broadcasts; clustered docs'
+    quality metric comes from ONE pruned scan filtered map-side by
+    the broadcast id set; the keep decision folds on the driver over
+    the bounded clustered subset; a final map-side pass labels the
+    full corpus with zero additional exchange."""
+    import pandas as pd
+
+    cl = q_near_dup_clusters(sf_dir)
+    cdf = (cl.to_pandas() if hasattr(cl, "to_pandas") else cl)
+    if not isinstance(cdf, pd.DataFrame):
+        cdf = pd.DataFrame(cdf)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    if len(cdf):
+        reps = dict(zip(cdf["doc_id"].astype(int),
+                        cdf["rep_doc_id"].astype(int)))
+        cset = np.sort(cdf["doc_id"].to_numpy(np.int64))
+        cset_ref = ray.put(cset)
+
+        def clustered_chars(df):
+            s = sim.resolve_broadcast(cset_ref, key="keepbest-ids")
+            ids = df["doc_id"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+            m = s[pos] == ids
+            return df.loc[m, ["doc_id", "n_chars"]]
+
+        cc = (docs.map_batches(clustered_chars, batch_format="pandas")
+              .to_pandas())  # bounded by the clustered subset
+        cc["rep"] = cc["doc_id"].map(reps)
+        cc = cc.sort_values(["rep", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        keep_ids = frozenset(
+            int(x) for x in cc.groupby("rep").head(1)["doc_id"])
+    else:
+        reps = {}
+        keep_ids = frozenset()
+    state_ref = ray.put((reps, keep_ids))
+
+    def label(df):
+        import pandas as pd
+
+        r, k = sim.resolve_broadcast(state_ref, key="keepbest-state")
+        ids = df["doc_id"].to_numpy(np.int64)
+        rep = np.fromiter((r.get(int(i), int(i)) for i in ids),
+                          np.int64, len(ids))
+        # keep: singleton (doc absent from the cluster table) OR the
+        # cluster's pick; reps appear in the table with rep == self
+        keep = np.fromiter(
+            ((int(i) in k) if int(i) in r else True for i in ids),
+            bool, len(ids))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rep_doc_id": rep,
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+            "keep": keep,
+        })
+
+    return docs.map_batches(label, batch_format="pandas")
+
+
 AC_PATTERNS = ("ta", "art", "row", "an", "ue")  # borderless substrings
 
 
@@ -5604,6 +5674,7 @@ def queries() -> dict:
         "audio_decode": q_audio_decode,
         "audio_features": q_audio_features,
         "substring_scan": q_substring_scan,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -7210,6 +7281,30 @@ ORACLES: dict[str, str] = {
                                       1, 4 * ns) END), 1, 16) AS sig
         FROM w
     """,
+    # T107: clusters CTE (T29) + keep = longest per cluster
+    "dedup_keep_best": """
+        WITH RECURSIVE {cte},
+        edges AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM mpairs
+          UNION SELECT doc_id_b, doc_id_a FROM mpairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cl AS (
+          SELECT a AS doc_id, least(a, min(b)) AS rep
+          FROM reach GROUP BY a),
+        f AS (
+          SELECT d.doc_id, d.n_chars,
+                 coalesce(cl.rep, d.doc_id) AS rep_doc_id
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, CAST(rep_doc_id AS BIGINT) AS rep_doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               row_number() OVER (
+                 PARTITION BY rep_doc_id
+                 ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        FROM f
+    """.format(cte=_MINHASH_PAIRS_CTE),
     # T106: non-overlapping replace() counts == the automaton's
     # overlapping counts for borderless patterns (enforced at build)
     "substring_scan": """

@@ -1,13 +1,23 @@
 """Multimodal (image/audio/video) stage plumbing.
 
-Payloads are opaque ``binary`` columns with typed metadata; decode /
-feature-extract / resize / frame-sample are actor-pool map_batches
-stages. The image-decode kernel is REAL for the stdlib-decodable
-formats (PPM/PGM, BMP, PNG incl. full pixel unfilter, GIF, JPEG
-frame-header dims — functions/image_codec.py); payloads no decoder
-recognizes fall back to a clearly-marked deterministic stub, the
-swap-point for codec LIBRARIES (JPEG entropy decode, video) that are
-genuinely unavailable in this environment (SURVEY.md env facts).
+Payloads are opaque ``binary`` columns with typed metadata; every
+stage is an actor-pool map_batches over small batches (payload bytes
+are large — SURVEY guide on memory-aware batch sizing). Each modality
+has a REAL wire-format kernel:
+
+- image: decode (PPM/PGM, BMP, PNG incl. full pixel unfilter, GIF,
+  JPEG frame-header dims — functions/image_codec.py), nearest-
+  neighbor pixel RESAMPLING, and md5-over-decoded-pixels features;
+- audio: WAV/RIFF chunk-walk decode + integer-exact PCM loudness DSP
+  (functions/audio_codec.py);
+- video: container-level frame counting for animated GIF and AVI
+  (block/RIFF-tree walks — how real tools count frames without
+  codec decode).
+
+Payloads no kernel recognizes fall back to a clearly-marked
+deterministic stub, the swap-point for codec LIBRARIES (JPEG entropy
+decode, MP3/H.264 payload decode) that are genuinely unavailable in
+this environment (SURVEY.md env facts).
 
 The reference's analogue is the image→markdown OCR leg
 (services/document_service.py:826-907, mineru CLI subprocess) which is

@@ -131,3 +131,31 @@ def test_aho_corasick_exact_counts():
         AhoCorasick(["aa"])  # border 'a' — overlap semantics diverge
     with pytest.raises(ValueError):
         AhoCorasick(["abab"])  # border 'ab'
+
+
+def test_dedup_keep_best_invariants(ray_session):
+    """Exactly one keeper per cluster; the keeper is the longest
+    (doc_id tie-break); singletons always keep; reps are consistent
+    with near_dup_clusters."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    df = Q.q_dedup_keep_best(SF).to_pandas()
+    cl = Q.q_near_dup_clusters(SF)
+    cl = cl.to_pandas() if hasattr(cl, "to_pandas") else cl
+    clustered = set(cl["doc_id"].astype(int)) if len(cl) else set()
+    # one keeper per rep group
+    per = df.groupby("rep_doc_id")["keep"].sum()
+    assert (per == 1).all()
+    # singletons keep themselves
+    single = df[~df["doc_id"].isin(clustered)]
+    assert single["keep"].all()
+    assert (single["rep_doc_id"] == single["doc_id"]).all()
+    # within real clusters the keeper dominates on (n_chars, -doc_id)
+    multi = df[df["doc_id"].isin(clustered)]
+    for rep, g in multi.groupby("rep_doc_id"):
+        kept = g[g["keep"]]
+        assert len(kept) == 1
+        k = kept.iloc[0]
+        for _, row in g.iterrows():
+            assert (k["n_chars"], -k["doc_id"]) >= \
+                (row["n_chars"], -row["doc_id"])
