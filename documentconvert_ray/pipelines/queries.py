@@ -5675,6 +5675,10 @@ def queries() -> dict:
         "audio_features": q_audio_features,
         "substring_scan": q_substring_scan,
         "dedup_keep_best": q_dedup_keep_best,
+        # flagship re-verify: extraction core changed this round
+        # (RC4 decrypt, images column, RE2 tokenizer routing)
+        "extract_pipeline": q_extract_pipeline,
+        "extract_error_stats": q_extract_error_stats,
         # -- (1) never driver-checked through r3 --------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
@@ -5721,8 +5725,6 @@ def queries() -> dict:
         "sample_k_per_lang": q_sample_k_per_lang,
         "window_dedup": q_window_dedup,
         "dataset_mix": q_dataset_mix,
-        "extract_pipeline": q_extract_pipeline,
-        "extract_error_stats": q_extract_error_stats,
         "dup_gram_mass": q_dup_gram_mass,
         # -- (3) last checked in r2 ----------------------------------
         "pricing_summary": q_pricing_summary,
