@@ -31,6 +31,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "new_users_daily",
+    "heavy_hitters_cms",
+    "lang_confusion",
+    "zipf_slope",
+    "char_diversity",
+    "bpe_pair_merge",
     "doc_stats_by_lang",
     "token_counts",
     "exact_dedup",

@@ -5651,6 +5651,227 @@ def q_oov_rate(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_new_users_daily(sf_dir: str):
+    """Cumulative DISTINCT-over-time (daily new users + running
+    total) — the first-seen reduce: per-batch per-user min(ts)
+    partials merge associatively in a user-hash-bucketed reduce, so
+    the exchange carries O(users · batches) one-row summaries and the
+    event payload never shuffles; the per-day counts that remain are
+    O(days) and the running sum is a driver-side cumsum over that
+    tiny frame (a distributed window would ship every row to one
+    partition anyway — days are the bounded axis here)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        g = df.groupby("user_id", as_index=False).agg(
+            first_ts=("ts", "min"))
+        g["bucket"] = (g["user_id"] % nb).astype("int32")
+        return g
+
+    def reduce_bucket(g):
+        f = g.groupby("user_id", as_index=False).agg(
+            first_ts=("first_ts", "min"))
+        f["day"] = f["first_ts"].dt.floor("D")
+        out = f.groupby("day", as_index=False).agg(
+            n_new_users=("user_id", "size"))
+        out["n_new_users"] = out["n_new_users"].astype("int64")
+        return out
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_new_users", alias_name="n_new_users"))
+    ).to_pandas()
+    per_day = per_day.sort_values("day", kind="mergesort").reset_index(
+        drop=True)
+    per_day["n_new_users"] = per_day["n_new_users"].astype("int64")
+    per_day["cum_users"] = per_day["n_new_users"].cumsum().astype("int64")
+    return per_day
+
+
+def q_heavy_hitters_cms(sf_dir: str):
+    """EXACT heavy hitters (users with ≥1.2× the mean event count)
+    via a Count-Min candidate filter — the sketch-guided-exact
+    pattern: the CMS never undercounts, so thresholding its broadcast
+    estimates map-side selects a SUPERSET of the true heavy set, only
+    those candidates' exact partial counts shuffle, and the final
+    exact filter drops the false positives. Exchange: O(depth·width)
+    sketch rows + O(candidates · batches), not O(distinct users).
+    See stages/cms.py for the bound."""
+    import pandas as pd
+
+    from ..stages import cms
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    total = ds.count()
+    nb = dd.derive_buckets(total)
+
+    # exact user cardinality (threshold input): bucketed distinct
+    def upart(df):
+        g = df.drop_duplicates(["user_id"]).copy()
+        g["bucket"] = (g["user_id"] % nb).astype("int32")
+        return g[["bucket", "user_id"]]
+
+    def ucount(g):
+        return pd.DataFrame({"n": [int(g["user_id"].nunique())]})
+
+    n_users = int(
+        ds.map_batches(upart, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(ucount, batch_format="pandas")
+        .sum(on="n")
+    )
+    # count*users*10 >= 12*total  ⇔  count >= ceil(12·total / (10·users))
+    thr = -(-12 * total // (10 * n_users))
+
+    grid_rows = (
+        ds.map_batches(lambda b: cms.cms_partial_rows(b, "user_id"),
+                       batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    grid_ref = ray.put(cms.cms_grid(grid_rows))
+
+    def exact_reduce(g):
+        out = g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        out = out[out["n"] >= thr]
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["n"].astype("int64")})
+
+    return (
+        ds.map_batches(
+            cms.CmsCandidateCountStage(grid_ref, "user_id", thr, nb),
+            batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(exact_reduce, batch_format="pandas")
+    )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Label-vs-prediction CONFUSION MATRIX for the lang-ID heuristic
+    (corpus QA audit): per-batch (label, prediction) partial counts —
+    one row per cell per batch — then a native aggregate over the
+    ≤ |langs|² cells. The SQL oracle re-derives predictions from the
+    same marker tables (one source of truth via _lang_id_sql)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return (
+        ds.map_batches(tx.lang_confusion_partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+ZIPF_RANKS = 50
+
+
+def q_zipf_slope(sf_dir: str):
+    """Per-language ZIPF-SLOPE audit (log-log OLS over the top-50
+    token ranks) — the frequency-distribution health check a corpus
+    curation pass runs before training. Word-hash-bucketed count
+    reduce with per-(bucket, lang) partial top-50 (a word lives in
+    exactly one bucket, so per-lang global top-50 ⊆ union of the
+    per-bucket top-50s); the driver fits the ≤ langs·50-row result.
+    Slope via the Σ-form normal equation, mirrored term-for-term in
+    SQL (not regr_slope, whose streaming update order differs)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        return _crc_bucket_col(tx.lang_word_partial_counts(b), "word", nb)
+
+    def reduce_top(g):
+        s = g.groupby(["lang", "word"], as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(["lang", "n", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        s = s.groupby("lang", sort=False).head(ZIPF_RANKS)
+        return s.astype({"n": "int64"})
+
+    tbl = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_top, batch_format="pandas")
+    ).to_pandas()
+    tbl = tbl.sort_values(["lang", "n", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+    tbl = tbl.groupby("lang", sort=False).head(ZIPF_RANKS)
+
+    langs: list[str] = []
+    n_types: list[int] = []
+    slope_micro: list[int] = []
+    for lang, g in tbl.groupby("lang", sort=True):
+        m = len(g)
+        langs.append(lang)
+        n_types.append(m)
+        x = np.log(np.arange(1, m + 1, dtype=np.float64))
+        y = np.log(g["n"].to_numpy(np.float64))
+        den = m * float((x * x).sum()) - float(x.sum()) ** 2
+        if m < 2 or den == 0.0:
+            slope_micro.append(0)
+            continue
+        slope = (m * float((x * y).sum())
+                 - float(x.sum()) * float(y.sum())) / den
+        slope_micro.append(int(np.floor(slope * 1_000_000 + 0.5)))
+    return pd.DataFrame({
+        "lang": langs,
+        "n_types": pd.array(n_types, dtype="int64"),
+        "slope_micro": pd.array(slope_micro, dtype="int64")})
+
+
+def q_char_diversity(sf_dir: str):
+    """Per-doc character-diversity quality signal (distinct codepoints
+    + Simpson repeat probability) — integer-exact by construction
+    (Σc(c−1)/n(n−1) in micro-units needs no float logs, unlike
+    entropy, so the SQL mirror is equality-safe). Shuffle-free
+    map_batches; one np.unique per doc over a utf-32 view."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.char_diversity_batch, batch_format="pyarrow",
+                          batch_size=512)
+
+
+def q_bpe_pair_merge(sf_dir: str):
+    """Corpus-level top-20 adjacent-character pairs inside tokens (the
+    statistic a BPE tokenizer's first merge maximizes). Per batch: all
+    tokens joined into ONE codepoint vector, pair codes formed
+    vectorized, one np.unique — no per-token Python. Pair-code-hash
+    bucketed sum with per-bucket partial top-20 (a pair lives in one
+    bucket), final 20-row sort; tie-break (n desc, pair asc) == the
+    int64 code order by construction (see stages/text._PAIR_SHIFT)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        t = tx.token_pair_partial_counts(b)
+        bk = (np.asarray(t.column("pair_code")) % nb).astype(np.int32)
+        return t.append_column("bucket", pa.array(bk, pa.int32()))
+
+    def reduce_top(g):
+        s = g.groupby("pair_code", as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(["n", "pair_code"], ascending=[False, True],
+                          kind="mergesort").head(20)
+        return s.astype({"pair_code": "int64", "n": "int64"})
+
+    top = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_top, batch_format="pandas")
+    ).to_pandas()
+    top = top.sort_values(["n", "pair_code"], ascending=[False, True],
+                          kind="mergesort").head(20)
+    return pd.DataFrame({
+        "pair": [tx.pair_code_to_str(c) for c in top["pair_code"]],
+        "n": top["n"].astype("int64").to_numpy()})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5662,6 +5883,12 @@ def queries() -> dict:
     # (3) least-recently driver-checked. Reorder each round.
     return {
         # -- (0) new / implementation changed this session -----------
+        "new_users_daily": q_new_users_daily,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "lang_confusion": q_lang_confusion,
+        "zipf_slope": q_zipf_slope,
+        "char_diversity": q_char_diversity,
+        "bpe_pair_merge": q_bpe_pair_merge,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -7596,6 +7823,90 @@ ORACLES: dict[str, str] = {
 # The MG heavy-hitters twin must EQUAL the exact top-20 (sketch-prune +
 # exact rescore), so it shares the oracle verbatim.
 ORACLES["ngram_top20_mg"] = ORACLES["ngram_top20"]
+
+ORACLES["new_users_daily"] = """
+    WITH fs AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    d AS (
+      SELECT date_trunc('day', first_ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_new_users
+      FROM fs GROUP BY 1)
+    SELECT day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cum_users
+    FROM d
+"""
+
+ORACLES["heavy_hitters_cms"] = """
+    WITH tot AS (
+      SELECT count(*) AS t, count(DISTINCT user_id) AS u FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    HAVING count(*) * (SELECT u FROM tot) * 10 >= 12 * (SELECT t FROM tot)
+"""
+
+ORACLES["lang_confusion"] = f"""
+    SELECT d.lang AS lang, p.lang_pred AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+"""
+
+ORACLES["zipf_slope"] = f"""
+    WITH tk AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    c AS (SELECT lang, w, count(*) AS n FROM tk GROUP BY 1, 2),
+    r AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, w ASC) AS rk
+      FROM c QUALIFY rk <= {ZIPF_RANKS}),
+    s AS (
+      SELECT lang, count(*) AS m,
+             sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+             sum(ln(rk) * ln(n)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx
+      FROM r GROUP BY lang)
+    SELECT lang, CAST(m AS BIGINT) AS n_types,
+           CAST(CASE WHEN m < 2 OR (m * sxx - sx * sx) = 0 THEN 0
+                ELSE floor((m * sxy - sx * sy) / (m * sxx - sx * sx)
+                           * 1000000 + 0.5) END AS BIGINT) AS slope_micro
+    FROM s
+"""
+
+ORACLES["char_diversity"] = """
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM documents, unnest(range(1, length(text) + 1)) AS r(i)),
+    c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS d,
+             sum(c * (c - 1)) AS num
+      FROM c GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_chars_obs,
+           CAST(COALESCE(s.d, 0) AS BIGINT) AS n_distinct_chars,
+           CAST(CASE WHEN COALESCE(s.n, 0) < 2 THEN 0
+                ELSE s.num * 1000000 // (s.n * (s.n - 1))
+                END AS BIGINT) AS char_repeat_micro
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+ORACLES["bpe_pair_merge"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    p AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM toks, unnest(range(1, length(w))) AS r(i)
+      WHERE length(w) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+"""
 
 
 def _extract_oracle_cte() -> str:

@@ -555,3 +555,118 @@ def rare_token_rows(batch: pa.Table) -> pa.Table:
          "th": pa.array(ths, pa.int64()),
          "occ": pa.array(occ, pa.int64())}
     )
+
+
+def lang_word_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch partial (lang, word) counts — the combiner in front of
+    the Zipf-slope rank reduce (same shape as ngram_partial_counts,
+    keyed by language)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for lang, t in zip(batch.column("lang").to_pylist(),
+                       batch.column("text").to_pylist()):
+        for w in tokens(t):
+            c[(lang, w)] += 1
+    if not c:
+        return pa.Table.from_pydict(
+            {"lang": pa.array([], pa.string()),
+             "word": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())})
+    items = sorted(c.items())
+    return pa.Table.from_pydict(
+        {"lang": pa.array([k[0] for k, _ in items], pa.string()),
+         "word": pa.array([k[1] for k, _ in items], pa.string()),
+         "n": pa.array([v for _, v in items], pa.int64())})
+
+
+def char_diversity_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc character-diversity stats, integer-exact (no float logs,
+    so the SQL mirror is equality-safe): distinct codepoints and the
+    Simpson repeat probability Σc(c−1) / n(n−1) in micro-units.
+    Characters = Unicode codepoints on both sides (DuckDB length() /
+    substr() are codepoint-addressed), hence the utf-32 view."""
+    import numpy as np
+
+    nobs: list[int] = []
+    ndis: list[int] = []
+    rep: list[int] = []
+    for t in batch.column("text").to_pylist():
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        n = len(cps)
+        nobs.append(n)
+        if n < 2:
+            ndis.append(n)
+            rep.append(0)
+            continue
+        counts = np.unique(cps, return_counts=True)[1]
+        ndis.append(len(counts))
+        num = int((counts.astype(np.int64) * (counts - 1)).sum())
+        rep.append(num * 1_000_000 // (n * (n - 1)))
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "n_chars_obs": pa.array(nobs, pa.int64()),
+         "n_distinct_chars": pa.array(ndis, pa.int64()),
+         "char_repeat_micro": pa.array(rep, pa.int64())})
+
+
+# adjacent-codepoint pair codes: (cp1 << 21) | cp2 (codepoints < 2^21,
+# so the int64 code order == (cp1, cp2) tuple order == UTF-8 binary
+# order of the 2-char string — the SQL ORDER BY pair tie-break)
+_PAIR_SHIFT = 21
+_PAIR_SEP = 10  # '\n' — a tokens() split char, never inside a token
+
+
+def token_pair_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counts of adjacent character pairs WITHIN
+    whitespace tokens (the BPE first-merge statistic): all tokens in
+    the batch are joined with '\\n' into one codepoint vector, pair
+    codes are formed vectorized, and '\\n'-touching positions are
+    masked out — one np.unique per batch, no per-token Python."""
+    import numpy as np
+
+    parts = []
+    for t in batch.column("text").to_pylist():
+        tk = tokens(t)
+        if tk:
+            parts.append("\n".join(tk))
+    empty = pa.Table.from_pydict(
+        {"pair_code": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    cps = np.frombuffer(
+        "\n".join(parts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if len(cps) < 2:
+        return empty
+    a, b = cps[:-1], cps[1:]
+    mask = (a != _PAIR_SEP) & (b != _PAIR_SEP)
+    if not mask.any():
+        return empty
+    codes = (a[mask] << _PAIR_SHIFT) | b[mask]
+    uc, cnt = np.unique(codes, return_counts=True)
+    return pa.Table.from_pydict(
+        {"pair_code": pa.array(uc, pa.int64()),
+         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def pair_code_to_str(code: int) -> str:
+    return chr(code >> _PAIR_SHIFT) + chr(code & ((1 << _PAIR_SHIFT) - 1))
+
+
+def lang_confusion_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (label, prediction) cell counts for the lang-ID
+    confusion matrix — the combiner in front of a ≤|langs|² cell
+    aggregate."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for lab, t in zip(batch.column("lang").to_pylist(),
+                      batch.column("text").to_pylist()):
+        c[(lab, lang_id(t))] += 1
+    items = sorted(c.items())
+    return pa.Table.from_pydict(
+        {"lang": pa.array([k[0] for k, _ in items], pa.string()),
+         "lang_pred": pa.array([k[1] for k, _ in items], pa.string()),
+         "n_docs": pa.array([v for _, v in items], pa.int64())})

@@ -14,6 +14,12 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 SQL_QUERIES = [
+    "new_users_daily",
+    "heavy_hitters_cms",
+    "lang_confusion",
+    "zipf_slope",
+    "char_diversity",
+    "bpe_pair_merge",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
