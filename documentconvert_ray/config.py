@@ -39,6 +39,12 @@ class ExtractConfig:
     # two-column split requires a central x-gap at least this wide (milli-units)
     pdf_column_gap_milli: int = 30000
 
+    # ---- transport decompression ----
+    # gzip-wrapped payloads (Common-Crawl pages are stored gzip'd) are
+    # transparently inflated before sniffing; a stream that inflates
+    # past this cap is a zip-bomb error row, never an OOM
+    max_gunzip_bytes: int = 64 * 1024 * 1024
+
     # ---- routing / partitioning ----
     num_partitions: int = 16
     # rows with payload >= this many bytes are "elephants" → batch_size=1 leg
@@ -61,7 +67,7 @@ class ExtractConfig:
     _SEMANTIC_FIELDS = (
         "link_density_pct", "min_block_chars", "text_density_pct",
         "pdf_heading_ratio_pct", "pdf_line_tol_milli",
-        "pdf_column_gap_milli", "num_partitions",
+        "pdf_column_gap_milli", "num_partitions", "max_gunzip_bytes",
     )
 
     def fingerprint(self) -> str:

@@ -36,6 +36,37 @@ _ODF_FIRST_MEMBERS = (b"mimetype", b"content.xml")
 # RTF is a text format opened by its version group
 _RTF_MAGIC = b"{\\rtf"
 
+# gzip transport wrapper (Common-Crawl payloads are commonly stored
+# gzip'd); unwrapped BEFORE content sniffing, bounded by a byte cap
+GZIP_MAGIC = b"\x1f\x8b"
+MAX_GUNZIP_BYTES = 64 * 1024 * 1024
+
+
+def gunzip_payload(raw: bytes,
+                   max_bytes: int = MAX_GUNZIP_BYTES
+                   ) -> tuple[bytes | None, str]:
+    """Inflate a gzip-wrapped payload: (inner_bytes, "") on success,
+    (None, reason) on a malformed/truncated stream or when the output
+    would exceed ``max_bytes`` (zip-bomb guard — the decompressor is
+    fed a hard output cap, so a bomb costs O(cap), not O(blowup)).
+    Trailing bytes after the first member are ignored (multi-member
+    archives are not page payloads)."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits=31)  # gzip header + window
+        out = d.decompress(raw, max_bytes)
+        if d.unconsumed_tail:
+            return None, f"gunzip output exceeds {max_bytes}-byte cap"
+        out += d.flush()
+        if len(out) > max_bytes:
+            return None, f"gunzip output exceeds {max_bytes}-byte cap"
+        if not d.eof:
+            return None, "truncated gzip stream"
+        return out, ""
+    except zlib.error as exc:
+        return None, f"bad gzip stream: {exc}"
+
 
 def _zip_first_member_name(raw: bytes) -> bytes:
     """Name of the first local-file-header entry (b'' if malformed)."""

@@ -1669,6 +1669,15 @@ def doc_row(doc_id: int, seed: int = SEED) -> dict:
     if roll < 0.88:
         kind = "html"
         payload, naive, lang = make_html(doc_id, seed)
+        if doc_id % 13 == 5:
+            # gzip-wrapped transport variant (CC pages are commonly
+            # stored gzip'd): applied OUTSIDE make_html so no rng draw
+            # shifts; mtime=0 keeps the member byte-deterministic. The
+            # engine must inflate transparently — the flagship oracle
+            # still expects ok=TRUE for every /html/ url.
+            import gzip as _gzip
+
+            payload = _gzip.compress(payload, compresslevel=9, mtime=0)
     elif roll < 0.96:
         kind = "pdf"
         payload, naive, lang = make_pdf(doc_id, seed)

@@ -37,7 +37,15 @@ from ..functions.html_extract import extract_html
 from ..functions.office_extract import extract_docx
 from ..functions.pdf_extract import extract_pdf
 from ..functions.rtf_extract import extract_rtf
-from ..functions.sniff import DOC_HTML, DOC_OFFICE, DOC_PDF, sniff_doc_type
+from ..functions.sniff import (
+    DOC_HTML,
+    DOC_OFFICE,
+    DOC_OTHER,
+    DOC_PDF,
+    GZIP_MAGIC,
+    gunzip_payload,
+    sniff_doc_type,
+)
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -134,6 +142,19 @@ class SniffAndExtractHtml:
 
         for i in range(n):
             raw = payloads[i] or b""
+            if raw[:2] == GZIP_MAGIC:
+                # transport gzip (CC-style stored pages): inflate
+                # before sniffing; the cap turns zip bombs into error
+                # rows. n_bytes below stays the OUTER (stored) size.
+                inner, gerr = gunzip_payload(raw, cfg.max_gunzip_bytes)
+                if inner is None:
+                    cols["doc_type"][i] = DOC_OTHER
+                    cols["ok"][i] = False
+                    cols["error_kind"][i] = "bad_gzip"
+                    cols["error"][i] = gerr
+                    cols["text_sha256"][i] = _sha256("")
+                    continue
+                raw = inner
             dt = sniff_doc_type(raw)
             cols["doc_type"][i] = dt
             if dt == DOC_HTML:

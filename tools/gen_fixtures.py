@@ -27,6 +27,8 @@ from documentconvert_ray.functions.sniff import (
     DOC_HTML,
     DOC_OFFICE,
     DOC_PDF,
+    GZIP_MAGIC,
+    gunzip_payload,
     sniff_doc_type,
 )
 from documentconvert_ray.sources.corpus import write_corpus
@@ -48,7 +50,13 @@ def main() -> None:
         t = pq.read_table(os.path.join(corpus_dir, f))
         for url, payload in zip(t.column("url").to_pylist(),
                                 t.column("html").to_pylist()):
-            dt = sniff_doc_type(payload or b"")
+            payload = payload or b""
+            if payload[:2] == GZIP_MAGIC:
+                # transport unwrap, mirroring SniffAndExtractHtml
+                # (the corpus generator never emits corrupt gzip)
+                payload, _ = gunzip_payload(payload)
+                assert payload is not None
+            dt = sniff_doc_type(payload)
             if dt == DOC_HTML:
                 res = extract_html(payload, DEFAULT_CONFIG)
             elif dt == DOC_PDF:
