@@ -152,13 +152,19 @@ def test_fast_parser_matches_stdlib_parser():
             _emit_blocks(p, blocks, DEFAULT_CONFIG)
         return render(blocks)
 
+    from documentconvert_ray.functions.sniff import GZIP_MAGIC, gunzip_payload
+
     checked = 0
     for i in range(1500):
         row = doc_row(i)
         if "/html/" not in row["url"]:
             continue
-        assert md_via(parse_html, row["html"]) == md_via(
-            parse_html_stdlib, row["html"]), f"doc {i}"
+        raw = row["html"]
+        if raw[:2] == GZIP_MAGIC:  # transport wrapper, unwrapped pre-parse
+            raw, err = gunzip_payload(raw)
+            assert err == ""
+        assert md_via(parse_html, raw) == md_via(
+            parse_html_stdlib, raw), f"doc {i}"
         checked += 1
     assert checked > 1000
 
