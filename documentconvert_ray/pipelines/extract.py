@@ -126,6 +126,38 @@ def stage_raw_files(input_path: str | list[str], out_dir: str,
     return expand_input_files(out_dir)
 
 
+def stage_warc_files(input_path: str | list[str], out_dir: str) -> list[str]:
+    """Crawl-native input: `.warc` / `.warc.gz` archive shards →
+    corpus-schema parquet shards (then the normal shard-resumable job
+    runs unchanged). One read task per archive file — WARC is not
+    splittable mid-record without an external index, so the archive
+    shard is the parallelism unit (keep shards 0.1-1 GB, the
+    Common-Crawl layout); parsing (gzip member split, WARC headers,
+    HTTP envelope strip + dechunk) is a stateless map_batches. See
+    sources/warc.py."""
+    from ..sources.warc import warc_batch_to_rows
+
+    paths = [p for p in expand_input_files(input_path, suffix=None)
+             if p.endswith((".warc", ".warc.gz"))]
+    if not paths:
+        return []
+    filesystem = None
+    read_paths = paths
+    if mf.is_uri(paths[0]):
+        filesystem, _ = mf.fs_for(paths[0])
+        read_paths = [mf.fs_for(p)[1] for p in paths]
+    ds = ray.data.read_binary_files(
+        read_paths,
+        filesystem=filesystem,
+        include_paths=True,
+        override_num_blocks=len(read_paths),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(warc_batch_to_rows,
+                   batch_format="pyarrow").write_parquet(out_dir)
+    return expand_input_files(out_dir)
+
+
 def build_extract_ds(
     input_files: list[str],
     cfg: ExtractConfig = DEFAULT_CONFIG,

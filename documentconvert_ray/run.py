@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage-raw-from", metavar="SRC", default=None,
                     help="stage raw document files from SRC into corpus "
                          "parquet shards at --input, then extract")
+    # crawl-native input: .warc/.warc.gz archive shards
+    ap.add_argument("--stage-warc-from", metavar="SRC", default=None,
+                    help="stage WARC archive shards from SRC into corpus "
+                         "parquet shards at --input, then extract")
     args = ap.parse_args(argv)
 
     import ray
@@ -70,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
 
             if not (os.path.isdir(args.input) and os.listdir(args.input)):
                 stage_raw_files(args.stage_raw_from, args.input)
+
+        if args.stage_warc_from:
+            from .pipelines.extract import stage_warc_files
+
+            if not (os.path.isdir(args.input) and os.listdir(args.input)):
+                stage_warc_files(args.stage_warc_from, args.input)
 
         input_path = args.input
         if args.dedup_urls_to:
