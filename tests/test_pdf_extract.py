@@ -233,10 +233,15 @@ def test_corpus_flagship_oracle_equivalence():
     from documentconvert_ray.functions.sniff import sniff_doc_type
     from documentconvert_ray.sources.corpus import doc_row
 
+    from documentconvert_ray.functions.sniff import GZIP_MAGIC, gunzip_payload
+
     for i in range(0, 1200):
         row = doc_row(i)
         kind = re.search(r"/(html|pdf|office|junk)/", row["url"]).group(1)
         raw = row["html"]
+        if raw[:2] == GZIP_MAGIC:  # transport wrapper (stage 1 semantics)
+            raw, gerr = gunzip_payload(raw)
+            assert gerr == "", i
         dt = sniff_doc_type(raw)
         assert dt == {"junk": "other"}.get(kind, kind), (i, kind, dt)
         if dt == "html":
