@@ -37,6 +37,7 @@ QUERY_NAMES = [
     "zipf_slope",
     "char_diversity",
     "bpe_pair_merge",
+    "local_supplier_volume",
     "doc_stats_by_lang",
     "token_counts",
     "exact_dedup",

@@ -4893,6 +4893,107 @@ def q_nation_revenue(sf_dir: str):
             .sort_values(["r_name", "n_name"]).reset_index(drop=True))
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 proper — nation_revenue's star join PLUS the local-
+    supplier equality (c_nationkey = s_nationkey), the join-attribute
+    filter across TWO dimension paths that the star alone lacks.
+    Plan: supplier (fixed small dimension) and the size-gated customer
+    map broadcast once; orders date-filter + custkey→nation map-side;
+    lineitem attaches its supplier nation map-side; ONE big-big hash
+    join on the order key; the equality filter and the 25-key rollup
+    run in the join's output batches, so the only exchange is the
+    orderkey join of two pruned projections."""
+    import pandas as pd
+
+    lo = pd.Timestamp(NATION_REV_LO)
+    hi = pd.Timestamp(NATION_REV_HI)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    sdf = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_order = np.argsort(sdf["s_suppkey"].to_numpy(np.int64))
+    sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64)[s_order],
+                    sdf["s_nationkey"].to_numpy(np.int64)[s_order]))
+
+    n_cust = cust.count()
+    if n_cust <= CUST_BROADCAST_MAX:
+        cdf = cust.to_pandas()
+        c_order = np.argsort(cdf["c_custkey"].to_numpy(np.int64))
+        cref = ray.put((cdf["c_custkey"].to_numpy(np.int64)[c_order],
+                        cdf["c_nationkey"].to_numpy(np.int64)[c_order]))
+    else:
+        cref = None
+
+    def ord_filter(df):
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        df = df.loc[m, ["o_orderkey", "o_custkey"]]
+        if cref is not None:
+            ck, nk = sim.resolve_broadcast(cref, key="lsv-cust")
+            idx = np.searchsorted(ck, df["o_custkey"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                 "c_nat": nk[idx]})
+        return df
+
+    ofil = orders.map_batches(ord_filter, batch_format="pandas")
+
+    def li_map(df):
+        sk, snk = sim.resolve_broadcast(sref, key="lsv-supp")
+        idx = np.searchsorted(sk, df["l_suppkey"].to_numpy(np.int64))
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "s_nat": snk[idx], "rev_micro": rev})
+
+    lrev = li.map_batches(li_map, batch_format="pandas")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(orders.count()), cpus // 2))
+    j1 = ofil if cref is not None else ofil.join(
+        cust, "inner", n_part,
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+    if cref is None:
+        j1 = j1.map_batches(
+            lambda df: df.rename(columns={"c_nationkey": "c_nat"})[
+                ["o_orderkey", "c_nat"]],
+            batch_format="pandas")
+    j2 = lrev.join(
+        j1, "inner", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    def local_partial(df):
+        df = df[df["s_nat"] == df["c_nat"]]
+        out = pd.DataFrame({"nationkey": df["s_nat"].to_numpy(np.int64),
+                            "revenue_micro":
+                                df["rev_micro"].to_numpy(np.int64)})
+        return out.groupby("nationkey", as_index=False).agg(
+            revenue_micro=("revenue_micro", "sum"))
+
+    small = (
+        j2.map_batches(local_partial, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+        .to_pandas()  # ≤ 25 rows
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = small.merge(nat, left_on="nationkey", right_on="n_nationkey")
+    out["revenue_micro"] = out["revenue_micro"].astype("int64")
+    return (out[["n_name", "revenue_micro"]]
+            .sort_values("n_name", kind="mergesort").reset_index(drop=True))
+
+
 # --- T90: grouped exact median / discrete quantiles ------------------
 
 
@@ -5889,6 +5990,7 @@ def queries() -> dict:
         "zipf_slope": q_zipf_slope,
         "char_diversity": q_char_diversity,
         "bpe_pair_merge": q_bpe_pair_merge,
+        "local_supplier_volume": q_local_supplier_volume,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -7823,6 +7925,22 @@ ORACLES: dict[str, str] = {
 # The MG heavy-hitters twin must EQUAL the exact top-20 (sketch-prune +
 # exact rescore), so it shares the oracle verbatim.
 ORACLES["ngram_top20_mg"] = ORACLES["ngram_top20"]
+
+ORACLES["local_supplier_volume"] = """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_micro
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '{lo}'
+      AND o_orderdate <  TIMESTAMP '{hi}'
+    GROUP BY n_name
+""".format(lo=NATION_REV_LO, hi=NATION_REV_HI)
 
 ORACLES["new_users_daily"] = """
     WITH fs AS (

@@ -20,6 +20,7 @@ SQL_QUERIES = [
     "zipf_slope",
     "char_diversity",
     "bpe_pair_merge",
+    "local_supplier_volume",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
