@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "char_diversity",
     "bpe_pair_merge",
     "local_supplier_volume",
+    "link_domains",
     "doc_stats_by_lang",
     "token_counts",
     "exact_dedup",

@@ -5973,6 +5973,52 @@ def q_bpe_pair_merge(sf_dir: str):
         "n": top["n"].astype("int64").to_numpy()})
 
 
+_LINK_RE = re.compile(rb'href="https://(site-[0-9]+\.example)/')
+
+
+def q_link_domains(sf_dir: str):
+    """LINK-GRAPH edge extraction over the web corpus — the
+    (src_domain, dst_domain, n_links) aggregation every web-scale
+    ranker (PageRank/harmonic-centrality inputs) builds first. Href
+    scan runs on the RAW payload bytes with an all-ASCII pattern
+    (byte-transparent under every encoding variant the generator
+    emits — gb18030/latin-1/BOM — so no decode pass is needed before
+    the scan); gzip-wrapped rows are excluded on BOTH sides (the SQL
+    mirror cannot inflate; at production the engine-side gate is one
+    gunzip call). Map-side per-batch edge combiner, then a tiny
+    per-edge groupby (≤ domains² rows)."""
+    import pandas as pd
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+    dom_re = re.compile(r"https://([^/]+)/")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for u, raw in zip(b.column("url").to_pylist(),
+                          b.column("html").to_pylist()):
+            raw = raw or b""
+            if raw[:2] == b"\x1f\x8b":
+                continue
+            m = dom_re.search(u)
+            src = m.group(1) if m else ""
+            for dst in _LINK_RE.findall(raw):
+                c[(src, dst.decode("ascii"))] += 1
+        items = sorted(c.items())
+        return pa.Table.from_pydict({
+            "src_domain": pa.array([k[0] for k, _ in items], pa.string()),
+            "dst_domain": pa.array([k[1] for k, _ in items], pa.string()),
+            "n_links": pa.array([v for _, v in items], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_domain", "dst_domain"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5991,6 +6037,7 @@ def queries() -> dict:
         "char_diversity": q_char_diversity,
         "bpe_pair_merge": q_bpe_pair_merge,
         "local_supplier_volume": q_local_supplier_volume,
+        "link_domains": q_link_domains,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -8135,5 +8182,25 @@ def oracle_sql() -> dict[str, str]:
                    AS n_office,
                CAST(sum(nb) AS BIGINT) AS sum_bytes
         FROM src GROUP BY domain
+    """
+    # blob → varchar renders non-printables (and quotes) as \xNN
+    # escapes, so an all-ASCII href pattern scans the BYTES exactly —
+    # the double-quote before https becomes the literal text \x22
+    out["link_domains"] = f"""
+        WITH src AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1)
+                     AS src_domain,
+                 CAST(html AS VARCHAR) AS body
+          FROM read_parquet('{glob}')
+          WHERE substr(hex(html), 1, 4) <> '1F8B'),
+        e AS (
+          SELECT src_domain,
+                 unnest(regexp_extract_all(body,
+                     'href=\\\\x22https://(site-[0-9]+\\.example)/', 1))
+                     AS dst_domain
+          FROM src)
+        SELECT src_domain, dst_domain,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM e GROUP BY 1, 2
     """
     return out

@@ -143,12 +143,23 @@ def make_html(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     variant = r.random()
 
     main = _main_content(r, lang or "en")
+    # cross-site related links (the web's link graph): drawn from a
+    # SEPARATE rng stream keyed by doc_id so adding them perturbed no
+    # existing draw; double-quoted hrefs keep the SQL mirror simple
+    # (see q_link_domains). Link-dense block → pruned as boilerplate.
+    rl = random.Random(doc_id * 1_000_003 + 17)
+    related = "<div class=\"related\">" + "".join(
+        f"<a href=\"https://site-{rl.randrange(97)}.example/"
+        f"{rl.choice(_WORDS)}/html/{rl.randrange(100000)}\">"
+        f"{rl.choice(_WORDS)}</a> "
+        for _ in range(2 + rl.randrange(4))) + "</div>"
     boiler = [
         "<header><h1>Site Title</h1></header>",
         _nav_block(r),
         _cookie_banner(r),
         _sidebar_block(r),
         _comments_block(r),
+        related,
         f"<footer>© 2024 {r.choice(_WORDS)} — <a href='/terms'>terms</a> "
         f"<a href='/privacy'>privacy</a></footer>",
         f"<script>var x_{doc_id} = {r.randint(0, 9999)};</script>",

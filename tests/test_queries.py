@@ -21,6 +21,7 @@ SQL_QUERIES = [
     "char_diversity",
     "bpe_pair_merge",
     "local_supplier_volume",
+    "link_domains",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
