@@ -39,6 +39,8 @@ QUERY_NAMES = [
     "bpe_pair_merge",
     "local_supplier_volume",
     "link_domains",
+    "domain_degrees",
+    "reciprocal_links",
     "doc_stats_by_lang",
     "token_counts",
     "exact_dedup",

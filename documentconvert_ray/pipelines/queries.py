@@ -6,12 +6,13 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 5 queries without an oracle entry are genuinely
+The 6 queries without an oracle entry are genuinely
 non-SQL-expressible (the two approximate IVF paths, the mergeable
 quantile sketch whose result is partitioning-dependent, the
-HyperLogLog estimate, and iterative k-means); those are covered by
-the pytest determinism/recall/rank-bound/error-bound suites instead
-and get the driver's rows-only check.
+HyperLogLog estimate, and the iterative float fixpoints k-means and
+PageRank); those are covered by the pytest determinism/recall/
+rank-bound/error-bound/vs-reference-tolerance suites instead and get
+the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -5976,19 +5977,15 @@ def q_bpe_pair_merge(sf_dir: str):
 _LINK_RE = re.compile(rb'href="https://(site-[0-9]+\.example)/')
 
 
-def q_link_domains(sf_dir: str):
-    """LINK-GRAPH edge extraction over the web corpus — the
-    (src_domain, dst_domain, n_links) aggregation every web-scale
-    ranker (PageRank/harmonic-centrality inputs) builds first. Href
-    scan runs on the RAW payload bytes with an all-ASCII pattern
-    (byte-transparent under every encoding variant the generator
-    emits — gb18030/latin-1/BOM — so no decode pass is needed before
-    the scan); gzip-wrapped rows are excluded on BOTH sides (the SQL
-    mirror cannot inflate; at production the engine-side gate is one
-    gunzip call). Map-side per-batch edge combiner, then a tiny
-    per-edge groupby (≤ domains² rows)."""
-    import pandas as pd
-
+def _link_edges(sf_dir: str):
+    """Aggregated link-graph edge Dataset (src_domain, dst_domain,
+    n_links): href scan on RAW payload bytes with an all-ASCII pattern
+    (byte-transparent under every encoding variant the generator emits
+    — gb18030/latin-1/BOM — so no decode pass precedes the scan);
+    gzip-wrapped rows excluded on BOTH sides (the SQL mirror cannot
+    inflate; at production the engine-side gate is one gunzip call).
+    Map-side per-batch edge combiner, then a per-edge groupby (≤
+    domains² rows)."""
     files = expand_input_files(_corpus_dir())
     ds = ray.data.read_parquet(files, columns=["url", "html"])
     dom_re = re.compile(r"https://([^/]+)/")
@@ -6019,6 +6016,164 @@ def q_link_domains(sf_dir: str):
     )
 
 
+def q_link_domains(sf_dir: str):
+    """LINK-GRAPH edge extraction over the web corpus — the
+    (src_domain, dst_domain, n_links) aggregation every web-scale
+    ranker (PageRank/harmonic-centrality inputs) builds first. See
+    _link_edges for the scan/mirror contract."""
+    return _link_edges(sf_dir)
+
+
+def q_domain_degrees(sf_dir: str):
+    """Per-domain GRAPH DEGREE profile (out/in degree + link mass)
+    from the aggregated edge set. Edges are already unique (src, dst)
+    rows, so degrees are row counts; out- and in-side partials are
+    emitted as one union stream and merged per domain-hash BUCKET (no
+    driver-side outer join — at web scale the domain axis itself is
+    too wide for the driver)."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir)
+    nb = 32
+
+    def sides(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = b.to_pandas()
+        out = _pd.DataFrame({
+            "domain": df["src_domain"], "out_degree": 1,
+            "out_links": df["n_links"], "in_degree": 0, "in_links": 0})
+        inn = _pd.DataFrame({
+            "domain": df["dst_domain"], "out_degree": 0, "out_links": 0,
+            "in_degree": 1, "in_links": df["n_links"]})
+        u = _pd.concat([out, inn], ignore_index=True)
+        u = u.groupby("domain", as_index=False).sum()
+        u["bucket"] = pd.Series(
+            [zlib.crc32(s.encode()) % nb for s in u["domain"]],
+            dtype="int32")
+        return u
+
+    def merge(g):
+        s = g.groupby("domain", as_index=False).agg(
+            out_degree=("out_degree", "sum"),
+            out_links=("out_links", "sum"),
+            in_degree=("in_degree", "sum"),
+            in_links=("in_links", "sum"))
+        for c in ("out_degree", "out_links", "in_degree", "in_links"):
+            s[c] = s[c].astype("int64")
+        return s
+
+    return (
+        edges.map_batches(sides, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_reciprocal_links(sf_dir: str):
+    """RECIPROCAL link pairs (graph self-join): unordered domain pairs
+    linked in BOTH directions, with each direction's link count. The
+    edge set maps to normalized (lo, hi, direction) rows; a
+    pair-hash-bucketed reduce pivots the two directions together (a
+    pair lives in exactly one bucket), so the exchange is O(edges) and
+    no side is broadcast."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir)
+    nb = 32
+
+    def norm(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        lo = df[["src_domain", "dst_domain"]].min(axis=1)
+        hi = df[["src_domain", "dst_domain"]].max(axis=1)
+        fwd = (df["src_domain"] == lo).to_numpy()
+        out = pd.DataFrame({
+            "domain_a": lo, "domain_b": hi,
+            "n_ab": np.where(fwd, df["n_links"], 0).astype(np.int64),
+            "n_ba": np.where(fwd, 0, df["n_links"]).astype(np.int64)})
+        out = out[out["domain_a"] != out["domain_b"]]
+        out["bucket"] = pd.Series(
+            [zlib.crc32((a + "|" + b_).encode()) % nb
+             for a, b_ in zip(out["domain_a"], out["domain_b"])],
+            index=out.index, dtype="int32")
+        return out
+
+    def pivot(g):
+        s = g.groupby(["domain_a", "domain_b"], as_index=False).agg(
+            n_ab=("n_ab", "sum"), n_ba=("n_ba", "sum"))
+        s = s[(s["n_ab"] > 0) & (s["n_ba"] > 0)]
+        s["n_ab"] = s["n_ab"].astype("int64")
+        s["n_ba"] = s["n_ba"].astype("int64")
+        return s
+
+    return (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
+PAGERANK_ITERS = 20
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank_domains(sf_dir: str):
+    """PageRank over the domain link graph — the ITERATIVE distributed
+    op (power iteration, damping 0.85, dangling mass redistributed
+    uniformly). Each iteration: the rank vector ships once via
+    ray.put, edge batches emit (dst, contribution) partials map-side,
+    a per-dst sum closes the step — exchange O(edges) per iteration,
+    no edge rematerialization (the edge Dataset is materialized once).
+    Domain-granular graphs have |nodes| ≪ |edges|, which is what makes
+    the broadcast-vector form right; at url granularity the rank
+    vector becomes a Dataset and each step is a hash join on dst (the
+    documented scale path). No SQL oracle (iterative float fixpoint);
+    bounded by the pytest vs-numpy tolerance + invariants test."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir).materialize()
+    epd = edges.to_pandas()  # node axis: domains (small at any sf)
+    nodes = sorted(set(epd["src_domain"]) | set(epd["dst_domain"]))
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    out_links = np.zeros(n, np.float64)
+    for s, w in zip(epd["src_domain"], epd["n_links"]):
+        out_links[idx[s]] += w
+    ranks = np.full(n, 1.0 / n)
+
+    def contrib_factory(rref):
+        def contrib(b: pa.Table) -> pa.Table:
+            r, ix, ol = sim.resolve_broadcast(rref, key="pr-ranks")
+            src = [ix[s] for s in b.column("src_domain").to_pylist()]
+            dst = [ix[d] for d in b.column("dst_domain").to_pylist()]
+            w = np.asarray(b.column("n_links"), np.float64)
+            c = r[src] * w / ol[src]
+            df = pd.DataFrame({"dst": np.asarray(dst, np.int64), "c": c})
+            g = df.groupby("dst", as_index=False).agg(c=("c", "sum"))
+            return pa.Table.from_pydict(
+                {"dst": pa.array(g["dst"].to_numpy(np.int64), pa.int64()),
+                 "c": pa.array(g["c"].to_numpy(np.float64), pa.float64())})
+        return contrib
+
+    for _ in range(PAGERANK_ITERS):
+        rref = ray.put((ranks, idx, out_links))
+        got = (
+            edges.map_batches(contrib_factory(rref),
+                              batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+        ).to_pandas()
+        flow = np.zeros(n, np.float64)
+        flow[got["dst"].to_numpy(np.int64)] = got["c"].to_numpy(np.float64)
+        dangling = ranks[out_links == 0].sum()
+        ranks = ((1.0 - PAGERANK_DAMPING) / n
+                 + PAGERANK_DAMPING * (flow + dangling / n))
+
+    return pd.DataFrame({
+        "domain": nodes,
+        "rank_ppb": np.floor(ranks * 1e9 + 0.5).astype(np.int64)})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6038,6 +6193,9 @@ def queries() -> dict:
         "bpe_pair_merge": q_bpe_pair_merge,
         "local_supplier_volume": q_local_supplier_volume,
         "link_domains": q_link_domains,
+        "domain_degrees": q_domain_degrees,
+        "reciprocal_links": q_reciprocal_links,
+        "pagerank_domains": q_pagerank_domains,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -8202,5 +8360,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT src_domain, dst_domain,
                CAST(count(*) AS BIGINT) AS n_links
         FROM e GROUP BY 1, 2
+    """
+    edges_cte = f"""
+        WITH src AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1)
+                     AS src_domain,
+                 CAST(html AS VARCHAR) AS body
+          FROM read_parquet('{glob}')
+          WHERE substr(hex(html), 1, 4) <> '1F8B'),
+        ex AS (
+          SELECT src_domain,
+                 unnest(regexp_extract_all(body,
+                     'href=\\\\x22https://(site-[0-9]+\\.example)/', 1))
+                     AS dst_domain
+          FROM src),
+        edges AS (
+          SELECT src_domain, dst_domain, count(*) AS n_links
+          FROM ex GROUP BY 1, 2)
+    """
+    out["domain_degrees"] = edges_cte + """
+        , o AS (
+          SELECT src_domain AS domain,
+                 count(*) AS out_degree, sum(n_links) AS out_links
+          FROM edges GROUP BY 1),
+        i AS (
+          SELECT dst_domain AS domain,
+                 count(*) AS in_degree, sum(n_links) AS in_links
+          FROM edges GROUP BY 1)
+        SELECT COALESCE(o.domain, i.domain) AS domain,
+               CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+               CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links,
+               CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+               CAST(COALESCE(in_links, 0) AS BIGINT) AS in_links
+        FROM o FULL OUTER JOIN i ON o.domain = i.domain
+    """
+    out["reciprocal_links"] = edges_cte + """
+        SELECT a.src_domain AS domain_a, a.dst_domain AS domain_b,
+               CAST(a.n_links AS BIGINT) AS n_ab,
+               CAST(b.n_links AS BIGINT) AS n_ba
+        FROM edges a
+        JOIN edges b ON a.src_domain = b.dst_domain
+                    AND a.dst_domain = b.src_domain
+        WHERE a.src_domain < a.dst_domain
     """
     return out

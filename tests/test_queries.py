@@ -22,6 +22,8 @@ SQL_QUERIES = [
     "bpe_pair_merge",
     "local_supplier_volume",
     "link_domains",
+    "domain_degrees",
+    "reciprocal_links",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
