@@ -5929,7 +5929,8 @@ def q_zipf_slope(sf_dir: str):
 
 def q_char_diversity(sf_dir: str):
     """Per-doc character-diversity quality signal (distinct codepoints
-    + Simpson repeat probability) — integer-exact by construction
+    + the Simpson 1949 "Measurement of Diversity" repeat
+    probability) — integer-exact by construction
     (Σc(c−1)/n(n−1) in micro-units needs no float logs, unlike
     entropy, so the SQL mirror is equality-safe). Shuffle-free
     map_batches; one np.unique per doc over a utf-32 view."""
@@ -5940,7 +5941,9 @@ def q_char_diversity(sf_dir: str):
 
 def q_bpe_pair_merge(sf_dir: str):
     """Corpus-level top-20 adjacent-character pairs inside tokens (the
-    statistic a BPE tokenizer's first merge maximizes). Per batch: all
+    statistic a BPE tokenizer's first merge maximizes — Sennrich,
+    Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+    with Subword Units", §3.1). Per batch: all
     tokens joined into ONE codepoint vector, pair codes formed
     vectorized, one np.unique — no per-token Python. Pair-code-hash
     bucketed sum with per-bucket partial top-20 (a pair lives in one
@@ -6118,9 +6121,10 @@ PAGERANK_DAMPING = 0.85
 
 
 def q_pagerank_domains(sf_dir: str):
-    """PageRank over the domain link graph — the ITERATIVE distributed
-    op (power iteration, damping 0.85, dangling mass redistributed
-    uniformly). Each iteration: the rank vector ships once via
+    """PageRank (Page, Brin, Motwani & Winograd 1999, "The PageRank
+    citation ranking") over the domain link graph — the ITERATIVE
+    distributed op (power iteration, damping 0.85, dangling mass
+    redistributed uniformly). Each iteration: the rank vector ships once via
     ray.put, edge batches emit (dst, contribution) partials map-side,
     a per-dst sum closes the step — exchange O(edges) per iteration,
     no edge rematerialization (the edge Dataset is materialized once).
@@ -6174,6 +6178,34 @@ def q_pagerank_domains(sf_dir: str):
         "rank_ppb": np.floor(ranks * 1e9 + 0.5).astype(np.int64)})
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic TRAIN/VAL/TEST hash split (the id-keyed 90/5/5
+    assignment every training run pins before anything else): split =
+    knuth32(doc_id) % 100 bands, so membership is a pure function of
+    the id — stable under repartitioning, appends, and re-runs, and
+    any worker can recompute it without coordination. Per-batch split
+    rollup combiner → 3-row aggregate; per-doc labels never shuffle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df):
+        band = _knuth32(df["doc_id"].to_numpy(np.int64)) % 100
+        split = np.where(band < 90, "train",
+                         np.where(band < 95, "val", "test"))
+        out = pd.DataFrame({"split": split,
+                            "n_chars": df["n_chars"].to_numpy(np.int64)})
+        return out.groupby("split", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6196,6 +6228,7 @@ def queries() -> dict:
         "domain_degrees": q_domain_degrees,
         "reciprocal_links": q_reciprocal_links,
         "pagerank_domains": q_pagerank_domains,
+        "dataset_split": q_dataset_split,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -8130,6 +8163,21 @@ ORACLES: dict[str, str] = {
 # The MG heavy-hitters twin must EQUAL the exact top-20 (sketch-prune +
 # exact rescore), so it shares the oracle verbatim.
 ORACLES["ngram_top20_mg"] = ORACLES["ngram_top20"]
+
+ORACLES["dataset_split"] = """
+    WITH s AS (
+      SELECT CASE
+               WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296)
+                    % 100 < 90 THEN 'train'
+               WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296)
+                    % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split,
+             n_chars
+      FROM documents)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+"""
 
 ORACLES["local_supplier_volume"] = """
     SELECT n_name,

@@ -1,4 +1,6 @@
-"""Count-Min sketch — the heavy-hitter CANDIDATE FILTER in front of an
+"""Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+stream summary: the count-min sketch and its applications", J.
+Algorithms 55(1)) — the heavy-hitter CANDIDATE FILTER in front of an
 exact per-key count (the sketch-guided-exact pattern).
 
 A grouped exact count over every key shuffles O(distinct keys) rows to

@@ -24,6 +24,7 @@ SQL_QUERIES = [
     "link_domains",
     "domain_degrees",
     "reciprocal_links",
+    "dataset_split",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
