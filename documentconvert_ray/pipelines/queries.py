@@ -617,6 +617,34 @@ def q_ngram_jaccard_dups(sf_dir: str):
     )
 
 
+def q_containment_dups(sf_dir: str):
+    """Shingle-CONTAINMENT near-dup pairs (Broder 1997's asymmetric
+    twin of q_ngram_jaccard_dups): containment = |A∩B| / min(|A|,|B|)
+    ≥ 0.7 catches a short doc quoted inside a long one, which
+    symmetric Jaccard structurally misses. Identical inverted-index
+    plan (same posting/pair exchanges, stages/dedup.py); only the
+    final per-pair formula differs — the denominator is the smaller
+    shingle set instead of the union."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    n_buckets = max(dd.width_floor(),
+                    dd.derive_buckets(n_docs, rows_per_doc=120))
+    n_pair_buckets = max(dd.width_floor(),
+                         dd.derive_buckets(n_docs, rows_per_doc=8, floor=16))
+    rows = ds.map_batches(
+        lambda b: dd.shingle_rows(b, n_buckets),
+        batch_format="pyarrow", batch_size=256,
+    )
+    pairs = rows.groupby("bucket").map_groups(
+        lambda g: dd.shingle_partition_pairs(g, n_pair_buckets),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby("pair_bucket").map_groups(
+        lambda g: dd.pair_bucket_containment(g, 700_000),
+        batch_format="pandas",
+    )
+
+
 # Above this corpus size the exact O(N²) broadcast sweep stops being a
 # sane registry entry (the broadcast matrix alone is N·d·8 bytes on
 # every node); the IVF-bucketed path takes over (VERDICT r2 #1).
@@ -6206,6 +6234,274 @@ def q_dataset_split(sf_dir: str):
     )
 
 
+def _und_edges(sf_dir: str):
+    """Undirected distinct domain-pair Dataset from the link graph:
+    (a, b) with a < b lexicographically, self-loops dropped, deduped
+    through a pair-hash bucketed reduce (a pair lives in exactly one
+    bucket, so the drop_duplicates is global)."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir)
+    nb = 32
+
+    def norm(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        lo = df[["src_domain", "dst_domain"]].min(axis=1)
+        hi = df[["src_domain", "dst_domain"]].max(axis=1)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        out = out[out["a"] != out["b"]].drop_duplicates()
+        out["bucket"] = pd.Series(
+            [zlib.crc32((a + "|" + b_).encode()) % nb
+             for a, b_ in zip(out["a"], out["b"])],
+            index=out.index, dtype="int32")
+        return out
+
+    return (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
+                    batch_format="pandas")
+    )
+
+
+def q_domain_triangles(sf_dir: str):
+    """TRIANGLE ENUMERATION over the undirected domain graph — the
+    graph-mining primitive behind clustering coefficients and spam-farm
+    detection. Degree-oriented "forward" algorithm (Schank & Wagner
+    2005, "Finding, counting and listing all triangles in large
+    graphs"): every edge is oriented from its lower (degree, name)
+    endpoint, each vertex's oriented out-neighborhood emits wedge
+    pairs, and a wedge (v, w) closes iff the oriented edge v→w exists —
+    so each triangle is found EXACTLY once (at its order-min vertex)
+    and per-vertex wedge work is bounded by the oriented out-degree
+    (O(√m) on any graph, vs the unbounded hub fanout of the naive
+    node-iterator). Wedge/edge streams meet in a pair-hash bucketed
+    reduce; exchange is O(wedges + edges), nothing but domain-name
+    pairs moves. The degree map broadcasts once — the domain axis is
+    small relative to edges (the same bound PageRank's rank vector
+    uses); at url granularity it becomes a degree join (documented
+    scale path)."""
+    import pandas as pd
+
+    und = _und_edges(sf_dir).materialize()
+
+    # per-node degree: both endpoints emitted into one combiner stream
+    def deg_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        u = pd.concat([df["a"], df["b"]], ignore_index=True)
+        g = u.groupby(u).size()
+        return pa.Table.from_pydict({
+            "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "deg": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+    deg_pd = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("deg", alias_name="deg"))
+    ).to_pandas()
+    deg = dict(zip(deg_pd["domain"], deg_pd["deg"].astype(int)))
+    dref = ray.put(deg)
+    nb_src = 32
+    nb_pair = 32
+
+    def orient(b: pa.Table) -> pa.Table:
+        d = sim.resolve_broadcast(dref, key="tri-degrees")
+        df = b.to_pandas()
+        da = df["a"].map(d).to_numpy(np.int64)
+        db_ = df["b"].map(d).to_numpy(np.int64)
+        an = df["a"].to_numpy(object)
+        bn = df["b"].to_numpy(object)
+        # strict total order (deg, name): names are unique so no ties
+        fwd = (da < db_) | ((da == db_) & (an < bn))
+        src = np.where(fwd, an, bn)
+        dst = np.where(fwd, bn, an)
+        sdeg = np.where(fwd, da, db_)
+        ddeg = np.where(fwd, db_, da)
+        out = pd.DataFrame({"src": src, "dst": dst,
+                            "src_deg": sdeg, "dst_deg": ddeg})
+        out["bucket"] = pd.Series(
+            [zlib.crc32(s.encode()) % nb_src for s in out["src"]],
+            index=out.index, dtype="int32")
+        return out
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g):
+        # one src-hash bucket: all of each pivot's out-neighbors are
+        # present, so the per-pivot pair triangle is complete
+        va, wa, ua = [], [], []
+        for src, grp in g.groupby("src"):
+            k = len(grp)
+            if k < 2:
+                continue
+            # order out-neighbors by the SAME (deg, name) total order
+            # so emitted wedges satisfy v ≺ w like oriented edges do
+            grp = grp.sort_values(["dst_deg", "dst"], kind="mergesort")
+            dn = grp["dst"].to_numpy(object)
+            iu, ju = np.triu_indices(k, 1)
+            va.append(dn[iu])
+            wa.append(dn[ju])
+            ua.extend([src] * len(iu))
+        import pandas as pd
+        if not va:
+            return pd.DataFrame({"v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "u": pd.Series([], dtype=object),
+                                 "is_edge": pd.Series([], dtype=bool),
+                                 "pair_bucket": pd.Series([], dtype="int32")})
+        v = np.concatenate(va)
+        w = np.concatenate(wa)
+        out = pd.DataFrame({"v": v, "w": w, "u": ua, "is_edge": False})
+        out["pair_bucket"] = pd.Series(
+            [zlib.crc32((a + "|" + b_).encode()) % nb_pair
+             for a, b_ in zip(out["v"], out["w"])],
+            index=out.index, dtype="int32")
+        return out
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        out = pd.DataFrame({"v": df["src"], "w": df["dst"], "u": "",
+                            "is_edge": True})
+        out["pair_bucket"] = pd.Series(
+            [zlib.crc32((a + "|" + b_).encode()) % nb_pair
+             for a, b_ in zip(out["v"], out["w"])],
+            index=out.index, dtype="int32")
+        return out
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas")
+    edge_ds = oriented.map_batches(edge_rows, batch_format="pyarrow")
+
+    def close(g):
+        import pandas as pd
+        e = g.loc[g["is_edge"], ["v", "w"]].drop_duplicates()
+        wdg = g.loc[~g["is_edge"], ["v", "w", "u"]]
+        tri = wdg.merge(e, on=["v", "w"])
+        if not len(tri):
+            return pd.DataFrame({
+                "domain_a": pd.Series([], dtype=object),
+                "domain_b": pd.Series([], dtype=object),
+                "domain_c": pd.Series([], dtype=object)})
+        # output order: lexicographic names (the SQL mirror's a<b<c)
+        names = np.sort(tri[["u", "v", "w"]].to_numpy(object), axis=1)
+        return pd.DataFrame({"domain_a": names[:, 0],
+                             "domain_b": names[:, 1],
+                             "domain_c": names[:, 2]})
+
+    return wedge_ds.union(edge_ds).groupby("pair_bucket").map_groups(
+        close, batch_format="pandas")
+
+
+_ANCHOR_RE = re.compile(
+    rb'href="https://(site-[0-9]+\.example)/[a-z]+/html/[0-9]+"'
+    rb'>([a-z]+)</a>')
+ANCHOR_TOP_K = 3
+
+
+def q_anchor_texts(sf_dir: str):
+    """ANCHOR-TEXT aggregation per target domain — the web-graph text
+    signal (how the rest of the web describes a site) used by search
+    ranking and LLM corpus augmentation. Same byte-level scan contract
+    as q_link_domains (all-ASCII pattern on RAW payloads, encoding-
+    transparent, gzip rows excluded on both sides); per-batch
+    (dst_domain, anchor) Counter combiner → dst-hash bucketed reduce →
+    per-domain top-3 anchors with a fixed (n DESC, anchor ASC)
+    tie-break. Exchange is O(distinct (domain, anchor) · batches) —
+    the anchor vocabulary, never the corpus."""
+    import pandas as pd
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["html"])
+    nb = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for raw in b.column("html").to_pylist():
+            raw = raw or b""
+            if raw[:2] == b"\x1f\x8b":
+                continue
+            for dst, anchor in _ANCHOR_RE.findall(raw):
+                c[(dst.decode("ascii"), anchor.decode("ascii"))] += 1
+        items = sorted(c.items())
+        doms = [k[0] for k, _ in items]
+        return pa.Table.from_pydict({
+            "bucket": pa.array(
+                [zlib.crc32(d.encode()) % nb for d in doms], pa.int32()),
+            "dst_domain": pa.array(doms, pa.string()),
+            "anchor": pa.array([k[1] for k, _ in items], pa.string()),
+            "n_links": pa.array([v for _, v in items], pa.int64())})
+
+    def top_k(g):
+        s = g.groupby(["dst_domain", "anchor"], as_index=False).agg(
+            n_links=("n_links", "sum"))
+        s = s.sort_values(["dst_domain", "n_links", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+        s["arank"] = s.groupby("dst_domain").cumcount() + 1
+        s = s[s["arank"] <= ANCHOR_TOP_K]
+        return s.astype({"n_links": "int64", "arank": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(top_k, batch_format="pandas")
+    )
+
+
+INDEX_POSTING_CAP = 1000
+
+
+def q_inverted_index(sf_dir: str):
+    """INVERTED-INDEX build (term → document posting list) — the
+    retrieval-side primitive of every dedup-by-lookup / RAG corpus.
+    Per-batch distinct (term, doc_id) posting rows (a doc lives in one
+    batch, so batch-distinct IS globally distinct) → term-hash
+    bucketed reduce: full df per term plus the FIRST
+    INDEX_POSTING_CAP doc ids (sorted) joined into the posting string
+    — the truncation real indexes apply to unbounded lists; df stays
+    the untruncated count. Exchange is O(total postings): inherent —
+    the postings ARE the output."""
+    import pandas as pd
+
+    from ..functions.textstats import tokens as _tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = max(dd.width_floor(),
+             dd.derive_buckets(ds.count(), rows_per_doc=30))
+
+    def postings(b: pa.Table) -> pa.Table:
+        t_col: list[str] = []
+        i_col: list[int] = []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for w in set(_tokens((t or "").lower())):
+                t_col.append(w)
+                i_col.append(i)
+        return pa.Table.from_pydict({
+            "bucket": pa.array(
+                [zlib.crc32(w.encode()) % nb for w in t_col], pa.int32()),
+            "term": pa.array(t_col, pa.string()),
+            "doc_id": pa.array(i_col, pa.int64())})
+
+    def build(g):
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        rows = []
+        for term, grp in g.groupby("term", sort=False):
+            ids = grp["doc_id"].to_numpy(np.int64)
+            rows.append((term, len(ids), ",".join(
+                str(x) for x in ids[:INDEX_POSTING_CAP])))
+        return pd.DataFrame(rows, columns=["term", "df", "postings"]) \
+            .astype({"df": "int64"})
+
+    return (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6229,6 +6525,10 @@ def queries() -> dict:
         "reciprocal_links": q_reciprocal_links,
         "pagerank_domains": q_pagerank_domains,
         "dataset_split": q_dataset_split,
+        "domain_triangles": q_domain_triangles,
+        "anchor_texts": q_anchor_texts,
+        "containment_dups": q_containment_dups,
+        "inverted_index": q_inverted_index,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -7402,6 +7702,55 @@ ORACLES: dict[str, str] = {
         JOIN sized sb ON co.ib = sb.doc_id
         WHERE (c * 1000000) // (sa.n + sb.n - c) >= 600000
     """,
+    # containment twin: identical CTEs, least-size denominator
+    "containment_dups": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+        ),
+        sized AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        co AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 500)
+          GROUP BY ia, ib
+        )
+        SELECT ia AS doc_id_a, ib AS doc_id_b,
+               CAST((c * 1000000) // least(sa.n, sb.n) AS BIGINT)
+                   AS containment_micro
+        FROM co
+        JOIN sized sa ON co.ia = sa.doc_id
+        JOIN sized sb ON co.ib = sb.doc_id
+        WHERE (c * 1000000) // least(sa.n, sb.n) >= 700000
+    """,
+    # df is the FULL count; string_agg skips the NULLs the CASE emits
+    # past the cap, mirroring the engine's posting truncation
+    "inverted_index": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents),
+        t AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks),
+        r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM t)
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CASE WHEN rn <= {cap}
+                               THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM r GROUP BY term
+    """.format(cap=INDEX_POSTING_CAP),
     "embedding_near_dups": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a CROSS JOIN embeddings b
@@ -8450,5 +8799,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN edges b ON a.src_domain = b.dst_domain
                     AND a.dst_domain = b.src_domain
         WHERE a.src_domain < a.dst_domain
+    """
+    out["domain_triangles"] = edges_cte + """
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain)
+        SELECT e1.a AS domain_a, e1.b AS domain_b, e2.b AS domain_c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """
+    out["anchor_texts"] = f"""
+        WITH src AS (
+          SELECT CAST(html AS VARCHAR) AS body
+          FROM read_parquet('{glob}')
+          WHERE substr(hex(html), 1, 4) <> '1F8B'),
+        m AS (
+          SELECT unnest(regexp_extract_all(body,
+              'href=\\\\x22https://site-[0-9]+\\.example/'
+              || '[a-z]+/html/[0-9]+\\\\x22>[a-z]+</a>')) AS s
+          FROM src),
+        p AS (
+          SELECT regexp_extract(s,
+                     'https://(site-[0-9]+\\.example)/', 1) AS dst_domain,
+                 regexp_extract(s, '>([a-z]+)</a>$', 1) AS anchor
+          FROM m),
+        c AS (
+          SELECT dst_domain, anchor, count(*) AS n
+          FROM p GROUP BY 1, 2)
+        SELECT dst_domain, anchor, CAST(n AS BIGINT) AS n_links,
+               CAST(row_number() OVER (PARTITION BY dst_domain
+                    ORDER BY n DESC, anchor) AS BIGINT) AS arank
+        FROM c
+        QUALIFY arank <= {ANCHOR_TOP_K}
     """
     return out

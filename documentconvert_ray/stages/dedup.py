@@ -326,6 +326,26 @@ def pair_bucket_jaccard(group, threshold_micro: int):
     return out.reset_index(drop=True)
 
 
+def pair_bucket_containment(group, threshold_micro: int):
+    """One pair-hash bucket → (doc_id_a, doc_id_b, containment_micro)
+    rows for the ASYMMETRIC near-dup measure (Broder 1997, "On the
+    resemblance and containment of documents"): containment =
+    co·10⁶ // min(na, nb) — the fraction of the SMALLER doc's shingles
+    shared, which catches quote-inclusion / page-wraps-page duplicates
+    that symmetric Jaccard dilutes (a 100-shingle doc fully embedded
+    in a 10,000-shingle doc has J ≈ 0.01 but containment = 1). Same
+    exchange as pair_bucket_jaccard — only (pair, sizes) int rows."""
+    g = (
+        group.groupby(["doc_id_a", "doc_id_b"], sort=False)
+        .agg(co=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+        .reset_index()
+    )
+    cm = (g["co"] * 1_000_000) // g[["na", "nb"]].min(axis=1)
+    out = g.loc[cm >= threshold_micro, ["doc_id_a", "doc_id_b"]].copy()
+    out["containment_micro"] = cm[cm >= threshold_micro].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # -------------------------------------- distributed candidate verification
 #
 # Round-1 shipped a driver-side verify (pairs .to_pandas() + a python

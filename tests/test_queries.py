@@ -25,6 +25,10 @@ SQL_QUERIES = [
     "domain_degrees",
     "reciprocal_links",
     "dataset_split",
+    "domain_triangles",
+    "anchor_texts",
+    "containment_dups",
+    "inverted_index",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
