@@ -6393,6 +6393,106 @@ def q_domain_triangles(sf_dir: str):
         close, batch_format="pandas")
 
 
+def q_domain_clustering(sf_dir: str):
+    """Per-domain LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998
+    "Collective dynamics of small-world networks"): coeff =
+    triangles_at(v)·10⁶ // C(deg(v), 2) — the neighborhood-cohesion
+    signal link-spam and community detectors read. Composes the
+    triangle enumeration (q_domain_triangles' oriented wedge join —
+    each triangle appears once) with the degree rollup: triangles
+    flat-explode to their 3 vertices map-side, a per-domain count
+    closes distributed, and the tiny (≤ domains) count frame joins the
+    degree frame driver-side. Integer-exact ppm: deg·(deg−1)//2 is
+    exact, and numerator·10⁶ fits int64 at any real degree."""
+    import pandas as pd
+
+    tri = q_domain_triangles(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        u = pd.concat([df["domain_a"], df["domain_b"], df["domain_c"]],
+                      ignore_index=True)
+        g = u.groupby(u).size()
+        return pa.Table.from_pydict({
+            "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "n_tri": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+    tv = (
+        tri.map_batches(explode, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n_tri", alias_name="n_tri"))
+    ).to_pandas()
+
+    und = _und_edges(sf_dir)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        u = pd.concat([df["a"], df["b"]], ignore_index=True)
+        g = u.groupby(u).size()
+        return pa.Table.from_pydict({
+            "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "deg": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+    degs = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("deg", alias_name="deg"))
+    ).to_pandas()
+
+    out = degs.merge(tv, on="domain", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    out = out[out["deg"] >= 2].copy()
+    possible = (out["deg"].to_numpy(np.int64)
+                * (out["deg"].to_numpy(np.int64) - 1)) // 2
+    out["coeff_ppm"] = (out["n_tri"].to_numpy(np.int64)
+                        * 1_000_000) // possible
+    out = out.sort_values("domain", kind="mergesort").reset_index(drop=True)
+    return out[["domain", "n_tri", "deg", "coeff_ppm"]].astype(
+        {"n_tri": "int64", "deg": "int64", "coeff_ppm": "int64"})
+
+
+def q_charset_audit(sf_dir: str):
+    """Byte-class CORPUS HYGIENE audit per stored page (the decode-
+    chain's triage view — reference M15's mojibake family,
+    utils/encoding_utils.py:73-225): raw-payload byte statistics
+    (high-byte ppm, control-byte count excluding \\t\\n\\r, BOM and
+    gzip markers) that tell an operator how much of a crawl needs the
+    fallback decode legs BEFORE running them. Pure map-side numpy
+    bincount per payload — no shuffle, payloads never leave the read
+    task; the oracle recomputes every byte in the hex domain."""
+    import pandas as pd
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+
+    def audit(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        n_b, hi, ct, bom, gz = [], [], [], [], []
+        for raw in b.column("html").to_pylist():
+            raw = raw or b""
+            a = np.frombuffer(raw, np.uint8)
+            counts = np.bincount(a, minlength=256) if len(a) else \
+                np.zeros(256, np.int64)
+            n = len(a)
+            n_b.append(n)
+            high = int(counts[128:].sum())
+            hi.append((high * 1_000_000) // n if n else 0)
+            ctrl = int(counts[:32].sum()
+                       - counts[9] - counts[10] - counts[13])
+            ct.append(ctrl)
+            bom.append(raw[:3] == b"\xef\xbb\xbf")
+            gz.append(raw[:2] == b"\x1f\x8b")
+        return pa.Table.from_pydict({
+            "url": pa.array(urls, pa.string()),
+            "n_bytes": pa.array(n_b, pa.int64()),
+            "high_ppm": pa.array(hi, pa.int64()),
+            "n_ctrl": pa.array(ct, pa.int64()),
+            "has_bom": pa.array(bom, pa.bool_()),
+            "is_gzip": pa.array(gz, pa.bool_())})
+
+    return ds.map_batches(audit, batch_format="pyarrow")
+
+
 _ANCHOR_RE = re.compile(
     rb'href="https://(site-[0-9]+\.example)/[a-z]+/html/[0-9]+"'
     rb'>([a-z]+)</a>')
@@ -6526,7 +6626,9 @@ def queries() -> dict:
         "pagerank_domains": q_pagerank_domains,
         "dataset_split": q_dataset_split,
         "domain_triangles": q_domain_triangles,
+        "domain_clustering": q_domain_clustering,
         "anchor_texts": q_anchor_texts,
+        "charset_audit": q_charset_audit,
         "containment_dups": q_containment_dups,
         "inverted_index": q_inverted_index,
         "asof_last_order": q_asof_last_order,
@@ -8809,6 +8911,57 @@ def oracle_sql() -> dict[str, str]:
         FROM und e1
         JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """
+    out["domain_clustering"] = edges_cte + """
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain),
+        tri AS (
+          SELECT e1.a AS da, e1.b AS db, e2.b AS dc
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tv AS (
+          SELECT domain, count(*) AS n_tri FROM (
+            SELECT da AS domain FROM tri
+            UNION ALL SELECT db FROM tri
+            UNION ALL SELECT dc FROM tri)
+          GROUP BY domain),
+        degs AS (
+          SELECT domain, count(*) AS deg FROM (
+            SELECT a AS domain FROM und
+            UNION ALL SELECT b FROM und)
+          GROUP BY domain)
+        SELECT d.domain,
+               CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(deg AS BIGINT) AS deg,
+               CAST((COALESCE(n_tri, 0) * 1000000)
+                    // ((deg * (deg - 1)) // 2) AS BIGINT) AS coeff_ppm
+        FROM degs d LEFT JOIN tv ON d.domain = tv.domain
+        WHERE deg >= 2
+    """
+    out["charset_audit"] = f"""
+        WITH src AS (
+          SELECT url, hex(html) AS h FROM read_parquet('{glob}')),
+        b AS (
+          SELECT url, substr(h, 2 * i + 1, 2) AS byte
+          FROM src, unnest(range(0, length(h) // 2)) AS t(i)),
+        stats AS (
+          SELECT url, count(*) AS n_bytes,
+                 count(*) FILTER (WHERE byte >= '80') AS n_high,
+                 count(*) FILTER (WHERE byte < '20'
+                     AND byte NOT IN ('09', '0A', '0D')) AS n_ctrl
+          FROM b GROUP BY url)
+        SELECT s.url,
+               CAST(COALESCE(n_bytes, 0) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN COALESCE(n_bytes, 0) = 0 THEN 0
+                    ELSE (n_high * 1000000) // n_bytes END AS BIGINT)
+                   AS high_ppm,
+               CAST(COALESCE(n_ctrl, 0) AS BIGINT) AS n_ctrl,
+               substr(s.h, 1, 6) = 'EFBBBF' AS has_bom,
+               substr(s.h, 1, 4) = '1F8B' AS is_gzip
+        FROM src s LEFT JOIN stats ON s.url = stats.url
     """
     out["anchor_texts"] = f"""
         WITH src AS (

@@ -26,7 +26,9 @@ SQL_QUERIES = [
     "reciprocal_links",
     "dataset_split",
     "domain_triangles",
+    "domain_clustering",
     "anchor_texts",
+    "charset_audit",
     "containment_dups",
     "inverted_index",
     "asof_last_order",
