@@ -5,7 +5,8 @@ Formats (all parsed from their published wire layouts, no codec
 libraries): PPM/PGM (binary P6/P5), BMP (BITMAPINFOHEADER), PNG
 (full IDAT inflate + row unfilter, grayscale/RGB/RGBA 8-bit,
 non-interlaced), GIF (logical screen descriptor), JPEG (SOF frame
-header scan). PNG is decoded to PIXELS, not just dims — the zlib
+header scan), TIFF (6.0 baseline IFD walk, both byte orders). PNG is
+decoded to PIXELS, not just dims — the zlib
 inflate + Sub/Up/Average/Paeth unfilter chain is the same math as a
 real image library's hot path. Anything else returns None and the
 stage falls back to the declared deterministic stub (JPEG entropy
@@ -306,10 +307,56 @@ def decode_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
     return None
 
 
+def _decode_tiff(payload: bytes) -> ImageInfo | None:
+    """TIFF 6.0 baseline IFD walk (published spec, part 1 §2): byte
+    order from the II/MM magic, first IFD at offset 4, entries are
+    12-byte (tag, type, count, value) records. Reads ImageWidth (256),
+    ImageLength (257) and SamplesPerPixel (277, default 1); SHORT (3)
+    and LONG (4) value types, which inline into the value field when
+    they fit. Metadata-only — compressed strip decode stays with the
+    declared stub (codec libraries genuinely absent)."""
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(endian + "H", payload, ifd_off)
+    w = h = 0
+    spp = 1
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(payload):
+            return None
+        tag, typ = struct.unpack_from(endian + "HH", payload, off)
+        if tag not in (256, 257, 277):
+            continue
+        if typ == 3:  # SHORT, inlined
+            (val,) = struct.unpack_from(endian + "H", payload, off + 8)
+        elif typ == 4:  # LONG, inlined
+            (val,) = struct.unpack_from(endian + "I", payload, off + 8)
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+        else:
+            spp = val
+    if w <= 0 or h <= 0 or spp not in (1, 3, 4):
+        return None
+    return ImageInfo(w, h, spp)
+
+
 def decode_image(payload: bytes) -> ImageInfo | None:
-    """Sniff-and-decode: real metadata for PPM/PGM, BMP, PNG, GIF and
-    JPEG payloads; None for anything else (caller falls back to its
-    declared stub)."""
+    """Sniff-and-decode: real metadata for PPM/PGM, BMP, PNG, GIF,
+    JPEG and TIFF payloads; None for anything else (caller falls back
+    to its declared stub)."""
     if not payload:
         return None
     if payload[:1] == b"P":
@@ -322,4 +369,6 @@ def decode_image(payload: bytes) -> ImageInfo | None:
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     return None

@@ -606,6 +606,22 @@ def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
                 + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
                 + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
         return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    if fmt in ("tiff", "tiff_be"):
+        # TIFF 6.0 baseline: header + one IFD with ImageWidth(256),
+        # ImageLength(257) as LONG and SamplesPerPixel(277) as SHORT,
+        # followed by an uncompressed strip (not parsed by the
+        # metadata decoder, present for file realism)
+        import struct as _st
+
+        e = ">" if fmt == "tiff_be" else "<"
+        magic = b"MM\x00*" if fmt == "tiff_be" else b"II*\x00"
+        entries = (
+            _st.pack(e + "HHI", 256, 4, 1) + _st.pack(e + "I", w)
+            + _st.pack(e + "HHI", 257, 4, 1) + _st.pack(e + "I", h)
+            + _st.pack(e + "HHI", 277, 3, 1) + _st.pack(e + "HH", 3, 0)
+        )
+        ifd = _st.pack(e + "H", 3) + entries + _st.pack(e + "I", 0)
+        return magic + _st.pack(e + "I", 8) + ifd + tile(w * h * 3)
     raise ValueError(fmt)
 
 

@@ -50,6 +50,25 @@ def test_pgm_gray():
     assert (info.width, info.height, info.channels) == (10, 4, 1)
 
 
+def test_tiff_ifd_walk_both_endians():
+    """TIFF metadata decode: little- and big-endian IFD walks against
+    the independently written encode side; truncated and tag-less
+    streams refuse."""
+    fill = b"tiff strip bytes"
+    for fmt in ("tiff", "tiff_be"):
+        for w, h in ((1, 1), (17, 9), (640, 480)):
+            info = decode_image(synth_image(fmt, w, h, fill))
+            assert info is not None, (fmt, w, h)
+            assert (info.width, info.height, info.channels) == (w, h, 3)
+    full = synth_image("tiff", 8, 8, fill)
+    # IFD offset past the payload → None
+    assert decode_image(full[:6]) is None
+    # entry table truncated mid-record → None
+    assert decode_image(full[:14]) is None
+    # header magic only (II but wrong version word) → None
+    assert decode_image(b"II+\x00" + full[4:]) is None
+
+
 def test_unrecognized_and_truncated_return_none():
     assert decode_image(b"") is None
     assert decode_image(b"plain text payload, no magic") is None
