@@ -2273,6 +2273,47 @@ def q_user_running_total(sf_dir: str):
     )
 
 
+def q_purchase_ffill(sf_dir: str):
+    """FORWARD-FILL window (last_value IGNORE NULLS — the gap-filling
+    shape sessionized feature pipelines use): every event carries the
+    user's most recent PURCHASE value at-or-before it, −1 sentinel
+    before the first purchase. Same physical plan as the other window
+    ops: user-hash co-partition (a timeline never splits), one sort
+    per bucket, vectorized pandas groupby-ffill — no global sort, no
+    driver state; deterministic (ts, event_id) tie order."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    n_buckets = dd.derive_buckets(ds.count())
+
+    def bucketize(df):
+        v = _micro_int_col(df["value"]).astype(np.float64)
+        pv = np.where(df["event_type"].to_numpy() == "purchase",
+                      v, np.nan)
+        df = df.assign(pv=pv,
+                       bucket=(df["user_id"] % n_buckets).astype("int32"))
+        return df[["bucket", "event_id", "ts", "user_id", "pv"]]
+
+    def scan(g):
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        filled = g.groupby("user_id", sort=False)["pv"].ffill()
+        # micro values ≤ 2^53 ⇒ the float carrier is exact
+        last = filled.fillna(-1).to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "ts": g["ts"],
+            "last_purchase_micro": last,
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 def q_retained_users(sf_dir: str):
     """Two-period retention INTERSECT: users active in BOTH halves of
     the observed time range. Pass 1 is a tiny per-batch (min, max)
@@ -6631,6 +6672,7 @@ def queries() -> dict:
         "charset_audit": q_charset_audit,
         "containment_dups": q_containment_dups,
         "inverted_index": q_inverted_index,
+        "purchase_ffill": q_purchase_ffill,
         "asof_last_order": q_asof_last_order,
         "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
@@ -7914,6 +7956,18 @@ ORACLES: dict[str, str] = {
                           ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS cum_value_micro
+        FROM events
+    """,
+    "purchase_ffill": """
+        SELECT event_id, user_id, ts,
+               CAST(COALESCE(last_value(
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(value * 1000000 + 0.5)
+                                      AS BIGINT) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING), -1)
+                    AS BIGINT) AS last_purchase_micro
         FROM events
     """,
     "retained_users": """

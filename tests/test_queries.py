@@ -31,6 +31,7 @@ SQL_QUERIES = [
     "charset_audit",
     "containment_dups",
     "inverted_index",
+    "purchase_ffill",
     "asof_last_order",
     "lineitem_unpivot",
     "extract_pipeline",
