@@ -112,6 +112,14 @@ QUERY_NAMES = [
     "audio_features",
     "substring_scan",
     "dedup_keep_best",
+    "dataset_split",
+    "domain_triangles",
+    "domain_clustering",
+    "anchor_texts",
+    "charset_audit",
+    "containment_dups",
+    "inverted_index",
+    "purchase_ffill",
 ]
 
 

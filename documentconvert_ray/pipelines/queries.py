@@ -6653,44 +6653,12 @@ def queries() -> dict:
     # prior round, (2) queries whose implementation changed this round,
     # (3) least-recently driver-checked. Reorder each round.
     return {
-        # -- (0) new / implementation changed this session -----------
-        "new_users_daily": q_new_users_daily,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "lang_confusion": q_lang_confusion,
-        "zipf_slope": q_zipf_slope,
-        "char_diversity": q_char_diversity,
-        "bpe_pair_merge": q_bpe_pair_merge,
-        "local_supplier_volume": q_local_supplier_volume,
-        "link_domains": q_link_domains,
-        "domain_degrees": q_domain_degrees,
-        "reciprocal_links": q_reciprocal_links,
-        "pagerank_domains": q_pagerank_domains,
-        "dataset_split": q_dataset_split,
-        "domain_triangles": q_domain_triangles,
-        "domain_clustering": q_domain_clustering,
-        "anchor_texts": q_anchor_texts,
-        "charset_audit": q_charset_audit,
-        "containment_dups": q_containment_dups,
-        "inverted_index": q_inverted_index,
-        "purchase_ffill": q_purchase_ffill,
-        "asof_last_order": q_asof_last_order,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "multimodal_features": q_multimodal_features,  # real-pixel kernel
-        "multimodal_resize": q_multimodal_resize,  # real NN resample
-        "frame_sample": q_frame_sample,  # real GIF frame counter
-        "sentence_dedup": q_sentence_dedup,
-        "doc_chunks": q_doc_chunks,
-        "embedding_outliers": q_embedding_outliers,
-        "oov_rate": q_oov_rate,
-        "audio_decode": q_audio_decode,
-        "audio_features": q_audio_features,
-        "substring_scan": q_substring_scan,
-        "dedup_keep_best": q_dedup_keep_best,
-        # flagship re-verify: extraction core changed this round
-        # (RC4 decrypt, images column, RE2 tokenizer routing)
+        # -- (0a) flagship re-verify: extraction core changed this
+        # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (1) never driver-checked through r3 --------------------
+        # -- (0b) never driver-checked through r3 (VERDICT r3 next-
+        # round #1: these take window priority) ----------------------
         "order_revenue_join": q_order_revenue_join,
         "big_orders": q_big_orders,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6710,6 +6678,41 @@ def queries() -> dict:
         "distinct_users_hll": q_distinct_users_hll,
         "label_centroids": q_label_centroids,
         "vector_stats": q_vector_stats,
+        # -- (1) new this round, sessions 3-4 ------------------------
+        "new_users_daily": q_new_users_daily,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "lang_confusion": q_lang_confusion,
+        "zipf_slope": q_zipf_slope,
+        "char_diversity": q_char_diversity,
+        "bpe_pair_merge": q_bpe_pair_merge,
+        "local_supplier_volume": q_local_supplier_volume,
+        "link_domains": q_link_domains,
+        "domain_degrees": q_domain_degrees,
+        "reciprocal_links": q_reciprocal_links,
+        "pagerank_domains": q_pagerank_domains,
+        "dataset_split": q_dataset_split,
+        "domain_triangles": q_domain_triangles,
+        "domain_clustering": q_domain_clustering,
+        "anchor_texts": q_anchor_texts,
+        "charset_audit": q_charset_audit,
+        "containment_dups": q_containment_dups,
+        "inverted_index": q_inverted_index,
+        "purchase_ffill": q_purchase_ffill,
+        # -- (2) new this round, sessions 1-2 (multimodal kernels
+        # became REAL in s2 → re-verify takes priority within tier)
+        "multimodal_features": q_multimodal_features,  # real-pixel kernel
+        "multimodal_resize": q_multimodal_resize,  # real NN resample
+        "frame_sample": q_frame_sample,  # real GIF frame counter
+        "sentence_dedup": q_sentence_dedup,
+        "doc_chunks": q_doc_chunks,
+        "embedding_outliers": q_embedding_outliers,
+        "oov_rate": q_oov_rate,
+        "audio_decode": q_audio_decode,
+        "audio_features": q_audio_features,
+        "substring_scan": q_substring_scan,
+        "dedup_keep_best": q_dedup_keep_best,
+        "asof_last_order": q_asof_last_order,
+        "lineitem_unpivot": q_lineitem_unpivot,
         # -- (2) NEW this round (T73-T95) + implementation changed ---
         "nation_revenue": q_nation_revenue,
         "lang_median_chars": q_lang_median_chars,
