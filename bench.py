@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "anchor_texts",
     "charset_audit",
     "containment_dups",
+    "prefix_jaccard_dups",
     "inverted_index",
     "purchase_ffill",
 ]

@@ -446,6 +446,84 @@ def q_minhash_dup_pairs(sf_dir: str):
     )
 
 
+def q_prefix_jaccard_dups(sf_dir: str):
+    """All-pairs set-similarity join via PREFIX FILTERING (the
+    SSJoin/PPJoin family — Chaudhuri, Ganti & Kaushik ICDE 2006;
+    Xiao et al. WWW 2008) at Jaccard τ = 0.6: EXACT pairs without LSH
+    and without full posting lists. Theorem: J(A,B) ≥ τ ⇒ the overlap
+    o ≥ ⌈τ·|A|⌉, and the smallest common shingle (under any fixed
+    total order) has rank ≤ |A| − o + 1 ≤ |A| − ⌈τ|A|⌉ + 1 in A (all
+    o common shingles sit at-or-after it) — symmetrically for B — so
+    indexing only each doc's first p = n − ⌈τn⌉ + 1 shingles finds
+    every true pair. Plan: prefix posting rows → bucketed pair
+    emission with the standard length filter → the SAME distributed
+    exact-verify chain as minhash_dup_pairs (candidate-id broadcast,
+    shingle-set attach, integer Jaccard). Prefix ORDER (any total
+    order is sound): default is the broadcast-free unsigned-hash
+    order; PPJoin's df-ascending order (rarest shingles in prefixes ⇒
+    smallest posting triangles) is wired behind use_df_order — it wins
+    on Zipf web vocabularies with long rare tails, while on the
+    synthetic tables' tiny uniform vocabulary its extra df pass buys
+    nothing (measured 15.4 s vs 12.1 s at sf0.1; pytest pins the two
+    orders result-equal). Third member of the near-dup-join family:
+    LSH (probabilistic recall), df-capped full index (T4), prefix
+    filter (exact, reduced exchange)."""
+    return _prefix_jaccard(sf_dir, use_df_order=False)
+
+
+def _prefix_jaccard(sf_dir: str, use_df_order: bool):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    n_buckets = max(dd.width_floor(),
+                    dd.derive_buckets(n_docs, rows_per_doc=50))
+    n_pair_buckets = max(dd.width_floor(),
+                         dd.derive_buckets(n_docs, rows_per_doc=8, floor=16))
+    df_ref = None
+    if use_df_order:
+        dfs = (
+            ds.map_batches(dd.shingle_df_partials,
+                           batch_format="pyarrow", batch_size=256)
+            .groupby("sh")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+        if dfs.count() <= TFIDF_BCAST_MAX_VOCAB:
+            dpd = dfs.to_pandas().sort_values("sh", kind="mergesort")
+            df_ref = ray.put((dpd["sh"].to_numpy(np.int64),
+                              dpd["df"].to_numpy(np.int64)))
+    rows = ds.map_batches(
+        lambda b: dd.prefix_posting_rows(b, n_buckets, df_ref=df_ref),
+        batch_format="pyarrow", batch_size=256,
+    )
+    cand = rows.groupby("bucket").map_groups(
+        dd.prefix_partition_pairs, batch_format="pyarrow",
+    ).materialize()  # small: length-filtered candidate pairs
+    empty = pa.Table.from_pydict(
+        {"doc_id_a": pa.array([], pa.int64()),
+         "doc_id_b": pa.array([], pa.int64()),
+         "jaccard_micro": pa.array([], pa.int64())})
+    if cand.count() == 0:
+        return empty
+    cand_ids = frozenset(cand.unique("doc_id_a")) | frozenset(
+        cand.unique("doc_id_b"))
+    cand_ref = ray.put(cand_ids)
+    n_jb = dd.derive_buckets(len(cand_ids), rows_per_doc=1,
+                             target=25_000, floor=8)
+    sets = ds.map_batches(
+        dd.ShingleSetStage(cand_ref, n_jb),
+        batch_format="pyarrow", batch_size=256,
+    )
+    reqs = cand.map_batches(
+        lambda b: dd.pair_fetch_requests(b, n_jb), batch_format="pyarrow"
+    )
+    halves = sets.union(reqs).groupby("jb").map_groups(
+        lambda g: dd.attach_shingles(g, n_pair_buckets),
+        batch_format="pandas",
+    )
+    return halves.groupby("pb").map_groups(
+        lambda g: dd.pair_shingle_jaccard(g, 600_000), batch_format="pandas"
+    )
+
+
 # Above this many verified pairs the driver union-find stops being
 # "small" (the bounded-duplication-rate assumption) and clustering
 # switches to distributed min-label propagation. Env-overridable so
@@ -6305,28 +6383,13 @@ def _und_edges(sf_dir: str):
     )
 
 
-def q_domain_triangles(sf_dir: str):
-    """TRIANGLE ENUMERATION over the undirected domain graph — the
-    graph-mining primitive behind clustering coefficients and spam-farm
-    detection. Degree-oriented "forward" algorithm (Schank & Wagner
-    2005, "Finding, counting and listing all triangles in large
-    graphs"): every edge is oriented from its lower (degree, name)
-    endpoint, each vertex's oriented out-neighborhood emits wedge
-    pairs, and a wedge (v, w) closes iff the oriented edge v→w exists —
-    so each triangle is found EXACTLY once (at its order-min vertex)
-    and per-vertex wedge work is bounded by the oriented out-degree
-    (O(√m) on any graph, vs the unbounded hub fanout of the naive
-    node-iterator). Wedge/edge streams meet in a pair-hash bucketed
-    reduce; exchange is O(wedges + edges), nothing but domain-name
-    pairs moves. The degree map broadcasts once — the domain axis is
-    small relative to edges (the same bound PageRank's rank vector
-    uses); at url granularity it becomes a degree join (documented
-    scale path)."""
+def _degree_frame(und):
+    """Per-node degree frame from a (deduped) undirected edge Dataset:
+    both endpoints emitted into one combiner stream → per-domain sum.
+    Driver-materialized — the domain axis is small relative to edges
+    (the same bound PageRank's rank vector uses)."""
     import pandas as pd
 
-    und = _und_edges(sf_dir).materialize()
-
-    # per-node degree: both endpoints emitted into one combiner stream
     def deg_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         u = pd.concat([df["a"], df["b"]], ignore_index=True)
@@ -6335,11 +6398,20 @@ def q_domain_triangles(sf_dir: str):
             "domain": pa.array(g.index.to_numpy(object), pa.string()),
             "deg": pa.array(g.to_numpy(np.int64), pa.int64())})
 
-    deg_pd = (
+    return (
         und.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("domain")
         .aggregate(Sum("deg", alias_name="deg"))
     ).to_pandas()
+
+
+def _triangles_from(und, deg_pd):
+    """Triangle Dataset from a materialized undirected edge Dataset +
+    its degree frame (shared by q_domain_triangles and
+    q_domain_clustering so the corpus is scanned once per query, not
+    once per sub-step)."""
+    import pandas as pd
+
     deg = dict(zip(deg_pd["domain"], deg_pd["deg"].astype(int)))
     dref = ray.put(deg)
     nb_src = 32
@@ -6434,6 +6506,26 @@ def q_domain_triangles(sf_dir: str):
         close, batch_format="pandas")
 
 
+def q_domain_triangles(sf_dir: str):
+    """TRIANGLE ENUMERATION over the undirected domain graph — the
+    graph-mining primitive behind clustering coefficients and spam-farm
+    detection. Degree-oriented "forward" algorithm (Schank & Wagner
+    2005, "Finding, counting and listing all triangles in large
+    graphs"): every edge is oriented from its lower (degree, name)
+    endpoint, each vertex's oriented out-neighborhood emits wedge
+    pairs, and a wedge (v, w) closes iff the oriented edge v→w exists —
+    so each triangle is found EXACTLY once (at its order-min vertex)
+    and per-vertex wedge work is bounded by the oriented out-degree
+    (O(√m) on any graph, vs the unbounded hub fanout of the naive
+    node-iterator). Wedge/edge streams meet in a pair-hash bucketed
+    reduce; exchange is O(wedges + edges), nothing but domain-name
+    pairs moves. The degree map broadcasts once (small-node-axis
+    bound, see _degree_frame); at url granularity it becomes a degree
+    join (documented scale path)."""
+    und = _und_edges(sf_dir).materialize()
+    return _triangles_from(und, _degree_frame(und))
+
+
 def q_domain_clustering(sf_dir: str):
     """Per-domain LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998
     "Collective dynamics of small-world networks"): coeff =
@@ -6443,11 +6535,15 @@ def q_domain_clustering(sf_dir: str):
     each triangle appears once) with the degree rollup: triangles
     flat-explode to their 3 vertices map-side, a per-domain count
     closes distributed, and the tiny (≤ domains) count frame joins the
-    degree frame driver-side. Integer-exact ppm: deg·(deg−1)//2 is
-    exact, and numerator·10⁶ fits int64 at any real degree."""
+    degree frame driver-side. The edge Dataset materializes ONCE and
+    feeds both the triangle chain and the degree rollup (one corpus
+    scan per query). Integer-exact ppm: deg·(deg−1)//2 is exact, and
+    numerator·10⁶ fits int64 at any real degree."""
     import pandas as pd
 
-    tri = q_domain_triangles(sf_dir)
+    und = _und_edges(sf_dir).materialize()
+    degs = _degree_frame(und)
+    tri = _triangles_from(und, degs)
 
     def explode(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -6462,22 +6558,6 @@ def q_domain_clustering(sf_dir: str):
         tri.map_batches(explode, batch_format="pyarrow")
         .groupby("domain")
         .aggregate(Sum("n_tri", alias_name="n_tri"))
-    ).to_pandas()
-
-    und = _und_edges(sf_dir)
-
-    def deg_partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        u = pd.concat([df["a"], df["b"]], ignore_index=True)
-        g = u.groupby(u).size()
-        return pa.Table.from_pydict({
-            "domain": pa.array(g.index.to_numpy(object), pa.string()),
-            "deg": pa.array(g.to_numpy(np.int64), pa.int64())})
-
-    degs = (
-        und.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("domain")
-        .aggregate(Sum("deg", alias_name="deg"))
     ).to_pandas()
 
     out = degs.merge(tv, on="domain", how="left")
@@ -6696,6 +6776,7 @@ def queries() -> dict:
         "anchor_texts": q_anchor_texts,
         "charset_audit": q_charset_audit,
         "containment_dups": q_containment_dups,
+        "prefix_jaccard_dups": q_prefix_jaccard_dups,
         "inverted_index": q_inverted_index,
         "purchase_ffill": q_purchase_ffill,
         # -- (2) new this round, sessions 1-2 (multimodal kernels
@@ -7443,6 +7524,12 @@ ORACLES: dict[str, str] = {
         WITH {cte}
         SELECT doc_id_a, doc_id_b, jaccard_micro FROM mpairs
     """.format(cte=_MINHASH_PAIRS_CTE),
+    # prefix filtering is EXACT (no df cap, no banding): the oracle is
+    # the same exact-Jaccard pair set at τ = 0.6
+    "prefix_jaccard_dups": """
+        WITH {cte}
+        SELECT doc_id_a, doc_id_b, jaccard_micro FROM mpairs
+    """.format(cte=_MINHASH_PAIRS_CTE.replace("700000", "600000")),
     # connected components over the same pair set: transitive closure
     # by recursive CTE, rep = min reachable id — mirrors the query's
     # union-by-min-id fold exactly

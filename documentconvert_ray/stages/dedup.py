@@ -326,6 +326,138 @@ def pair_bucket_jaccard(group, threshold_micro: int):
     return out.reset_index(drop=True)
 
 
+def shingle_df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (shingle_hash, df) partial counts over DISTINCT
+    per-doc shingles — the df pass feeding PPJoin's df-ascending
+    prefix order (rarest shingles first ⇒ smallest posting lists)."""
+    import numpy as np
+
+    hs: list = []
+    for text in batch.column("text").to_pylist():
+        ss = shingles(text or "")
+        if ss:
+            hs.append(np.fromiter(ss, dtype=np.uint64,
+                                  count=len(ss)).astype(np.int64))
+    if not hs:
+        return pa.Table.from_pydict(
+            {"sh": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64())})
+    u, c = np.unique(np.concatenate(hs), return_counts=True)
+    return pa.Table.from_pydict(
+        {"sh": pa.array(u, pa.int64()),
+         "df": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def prefix_posting_rows(batch: pa.Table, n_buckets: int,
+                        tau_num: int = 6, tau_den: int = 10,
+                        df_ref=None) -> pa.Table:
+    """doc → one posting row per PREFIX shingle hash (prefix
+    filtering, SSJoin family): under ANY global total order on
+    shingles, two sets with Jaccard ≥ τ must share a token inside
+    each one's first p = n − ⌈τ·n⌉ + 1 tokens (proof sketch in
+    pipelines/queries.q_prefix_jaccard_dups), so only those enter the
+    inverted index — the posting exchange shrinks from O(Σn) to
+    O(Σ(1−τ)n) with NO recall loss. Order (any total order is sound
+    by the theorem): PPJoin's df-ascending (df, hash) order when a
+    broadcast df map is supplied (rarest shingles land in prefixes ⇒
+    posting-list triangles stay tiny), else the broadcast-free
+    unsigned-hash order (the vocabulary-unbounded fallback; its hot
+    prefixes cost candidates, not correctness)."""
+    import numpy as np
+
+    df_keys = df_vals = None
+    if df_ref is not None:
+        from .similarity import resolve_broadcast
+
+        # (sorted int64 shingle hashes, aligned dfs) — searchsorted
+        # lookup, no per-shingle Python
+        df_keys, df_vals = resolve_broadcast(df_ref, key="prefix-df")
+
+    sh_col: list = []
+    id_col: list[int] = []
+    n_col: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        ss = shingles(text or "")
+        n = len(ss)
+        if n == 0:
+            continue
+        arr = np.sort(np.fromiter(ss, dtype=np.uint64, count=n))
+        p = n - (-(-tau_num * n // tau_den)) + 1  # n − ceil(τn) + 1
+        if df_keys is not None:
+            sarr = arr.astype(np.int64)
+            pos = np.searchsorted(df_keys, sarr)
+            dfs = df_vals[np.minimum(pos, len(df_vals) - 1)]
+            dfs = np.where(df_keys[np.minimum(pos, len(df_keys) - 1)]
+                           == sarr, dfs, 1)
+            order = np.lexsort((sarr, dfs))  # (df asc, hash asc)
+            pre = sarr[order[:p]]
+        else:
+            pre = arr[:p].astype(np.int64)
+        sh_col.append(pre)
+        id_col.extend([doc_id] * len(pre))
+        n_col.extend([n] * len(pre))
+    sh = (np.concatenate(sh_col) if sh_col
+          else np.empty(0, np.int64))
+    return pa.Table.from_pydict(
+        {"bucket": pa.array((sh % n_buckets).astype(np.int32)),
+         "sh": pa.array(sh, pa.int64()),
+         "doc_id": pa.array(id_col, pa.int64()),
+         "n_sh": pa.array(n_col, pa.int64())})
+
+
+def prefix_partition_pairs(batch: pa.Table, tau_num: int = 6,
+                           tau_den: int = 10) -> pa.Table:
+    """One hash bucket of prefix posting rows → candidate doc pairs
+    (a<b) co-occurring on a prefix shingle, LENGTH-FILTERED (J ≥ τ
+    needs min(n)·den ≥ max(n)·num — the standard size filter, applied
+    before anything shuffles again). No df cap: prefix filtering is
+    EXACT, and a cap would silently drop true pairs; the hash-order
+    prefix keeps hot-list risk bounded in expectation (see
+    prefix_posting_rows)."""
+    import numpy as np
+
+    df = batch.select(["sh", "doc_id", "n_sh"]).to_pandas()
+    empty = pa.Table.from_pydict(
+        {"doc_id_a": pa.array([], pa.int64()),
+         "doc_id_b": pa.array([], pa.int64())})
+    if not len(df):
+        return empty
+    df = df.sort_values(["sh", "doc_id"], kind="mergesort")
+    ids = df["doc_id"].to_numpy()
+    ns = df["n_sh"].to_numpy()
+    sh = df["sh"].to_numpy()
+    change = np.empty(len(sh), dtype=bool)
+    change[0] = True
+    change[1:] = sh[1:] != sh[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(sh)))
+    out_a, out_b = [], []
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        gi = ids[s: s + c]
+        gn = ns[s: s + c]
+        iu, ju = np.triu_indices(int(c), 1)
+        a, b = gi[iu], gi[ju]
+        na, nb = gn[iu], gn[ju]
+        keep = (np.minimum(na, nb) * tau_den
+                >= np.maximum(na, nb) * tau_num) & (a != b)
+        out_a.append(a[keep])
+        out_b.append(b[keep])
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame({"doc_id_a": lo, "doc_id_b": hi})
+        .drop_duplicates(), preserve_index=False)
+
+
 def pair_bucket_containment(group, threshold_micro: int):
     """One pair-hash bucket → (doc_id_a, doc_id_b, containment_micro)
     rows for the ASYMMETRIC near-dup measure (Broder 1997, "On the

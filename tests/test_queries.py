@@ -30,6 +30,7 @@ SQL_QUERIES = [
     "anchor_texts",
     "charset_audit",
     "containment_dups",
+    "prefix_jaccard_dups",
     "inverted_index",
     "purchase_ffill",
     "asof_last_order",
@@ -353,6 +354,22 @@ def test_simhash_pairs_sound(registry, ray_session):
         x = sa ^ sb
         assert bin(x).count("1") == int(ham) <= 3, (a, b)
         assert any(((x >> (16 * band)) & 0xFFFF) == 0 for band in range(4))
+
+
+def test_prefix_jaccard_order_invariance(ray_session):
+    """The prefix-filter theorem holds under ANY global total order:
+    the hash-order default and PPJoin's df-ascending order must emit
+    the IDENTICAL exact pair set (both verified, both lossless)."""
+    from documentconvert_ray.pipelines.queries import _prefix_jaccard
+
+    def canon(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a = canon(_prefix_jaccard(SF_DIR, use_df_order=False))
+    b = canon(_prefix_jaccard(SF_DIR, use_df_order=True))
+    assert a.equals(b)
+    assert (a["jaccard_micro"] >= 600_000).all() if len(a) else True
 
 
 def test_near_dup_clusters_reps_are_component_minima(registry, ray_session):
