@@ -11,15 +11,20 @@ as a distinct failure (reference services/document_service.py:394-424
 empty user password validates are readable there and must extract
 here, not error.
 
-AES (/V 4+ /AESV2/V3) and non-Standard security handlers stay
-classified ``encrypted_pdf`` — a documented non-goal (no AES in a
-stdlib-only sandbox... and RC4 covers the legacy encrypted corpus).
+/V 4 /R 4 with the /AESV2 crypt filter (AES-128-CBC) decrypts too —
+the block cipher is the self-contained FIPS-197 implementation in
+functions/aes.py, the per-object key adds the spec's "sAlT" suffix
+(Algorithm 1's AES branch), and the stream layout is IV ‖ CBC
+ciphertext with PKCS#7 padding. /AESV3 (/V 5, AES-256 with the
+SHA-2-based Algorithm 2.A) and non-Standard handlers stay classified
+``encrypted_pdf``.
 
-Pure stdlib (hashlib.md5 + a self-contained RC4). The corpus
+Pure stdlib (hashlib.md5 + self-contained RC4/AES). The corpus
 generator carries an INDEPENDENT encrypt-side implementation
-(sources/corpus.py) so round-trip tests cross-check two readings of
-the spec; tests/test_pdf_crypt.py additionally pins RC4 to a
-published known-answer vector.
+(sources/corpus.py — forward cipher vs this module's inverse cipher)
+so round-trip tests cross-check two readings of the spec;
+tests/test_pdf_crypt.py additionally pins RC4 and AES to published
+known-answer vectors.
 """
 
 from __future__ import annotations
@@ -54,14 +59,18 @@ def rc4(key: bytes, data: bytes) -> bytes:
 
 def file_key(owner_entry: bytes, perms: int, id0: bytes,
              revision: int, length_bits: int = 40,
-             user_password: bytes = b"") -> bytes:
+             user_password: bytes = b"",
+             encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key for ``user_password``
-    (default empty — the readable-without-a-password case)."""
+    (default empty — the readable-without-a-password case). R4 with
+    /EncryptMetadata false appends 0xFFFFFFFF (spec step f)."""
     h = hashlib.md5()
     h.update((user_password + PAD)[:32])
     h.update(owner_entry[:32])
     h.update(struct.pack("<i", perms))
     h.update(id0)
+    if revision >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     n = 5 if revision == 2 else max(5, min(16, length_bits // 8))
     if revision >= 3:
@@ -84,9 +93,20 @@ def check_user_password(key: bytes, user_entry: bytes,
     return x[:16] == user_entry[:16]
 
 
-def object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key (RC4 ⇒ no /AESV2 salt)."""
+def object_key(key: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key — MD5 over the file key + the
+    low 3 object-number bytes + 2 generation bytes, plus the constant
+    0x73416C54 ("sAlT") when the crypt filter is /AESV2."""
     h = hashlib.md5(
         key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(key) + 5, 16)]
+
+
+def aes_stream_decrypt(key: bytes, data: bytes) -> bytes:
+    """/AESV2 stream decryption (IV ‖ CBC ciphertext, PKCS#7)."""
+    from .aes import cbc_decrypt_pdf
+
+    return cbc_decrypt_pdf(key, data)

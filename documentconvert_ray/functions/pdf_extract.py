@@ -16,7 +16,10 @@ Supported profile: PDFs with uncompressed, FlateDecode, LZWDecode,
 ASCIIHexDecode, ASCII85Decode or RunLengthDecode content streams —
 chained filter lists included; that is the complete standard
 non-image-codec filter set (incl. /ObjStm object streams and
-xref-stream documents), standard fonts plus Type0/CID fonts carrying a
+xref-stream documents); /Encrypt-bearing documents with an EMPTY user
+password decrypt transparently (standard security handler: RC4
+/V 1-2 /R 2-3 and AES-128-CBC /V 4 /R 4 /AESV2 — functions/pdf_crypt
++ functions/aes); standard fonts plus Type0/CID fonts carrying a
 /ToUnicode CMap, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
 ruled tables via ``re``/``m``/``l`` path ops, figures via ``cm`` + ``Do``.
 Object resolution is scan-based (every ``N G obj``), so damaged xref
@@ -278,6 +281,7 @@ class _PdfDoc:
         self._cache: dict[int, object] = {}
         self._objstm_loaded = False
         self.enc_key: bytes | None = None  # set by setup_decryption()
+        self.enc_aes = False  # /AESV2 (vs RC4) — setup_decryption()
         for m in _OBJ_RE.finditer(raw):
             num = int(m.group(1))
             end = raw.find(b"endobj", m.end())
@@ -289,11 +293,12 @@ class _PdfDoc:
 
     def setup_decryption(self) -> None:
         """Resolve the /Encrypt dict and validate the EMPTY user
-        password (standard security handler, RC4 /V 1-2). On success
-        every subsequent get_stream() call decrypts transparently; any
-        other configuration (real password, AES, non-Standard filter)
-        raises ``encrypted_pdf`` — reference M11's password branch
-        (services/document_service.py:394-424)."""
+        password (standard security handler: RC4 /V 1-2, or /V 4 with
+        the /AESV2 crypt filter — AES-128-CBC). On success every
+        subsequent get_stream() call decrypts transparently; any other
+        configuration (real password, AES-256 /V 5, non-Standard
+        filter) raises ``encrypted_pdf`` — reference M11's password
+        branch (services/document_service.py:394-424)."""
         from .pdf_crypt import check_user_password, file_key
 
         m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.raw)
@@ -312,8 +317,27 @@ class _PdfDoc:
         u_entry = self.resolve(enc.get("U"))
         p = self.resolve(enc.get("P", -1))
         length = self.resolve(enc.get("Length", 40))
-        if (enc.get("Filter") != "Standard" or v not in (1, 2)
-                or r not in (2, 3)
+        aes = False
+        if v == 4 and r == 4:
+            # /V 4: the stream crypt filter named by /StmF inside /CF
+            # must be /AESV2 (AES-128); /Identity or /V2(RC4) inside
+            # V4 containers is rare enough to stay unsupported
+            cf = self.resolve(enc.get("CF"))
+            stmf = self.resolve(enc.get("StmF", "Identity"))
+            cfm = None
+            if isinstance(cf, dict):
+                stdcf = self.resolve(cf.get(stmf if isinstance(stmf, str)
+                                            else ""))
+                if isinstance(stdcf, dict):
+                    cfm = self.resolve(stdcf.get("CFM"))
+            if cfm != "AESV2":
+                raise PdfError(
+                    "encrypted_pdf",
+                    f"unsupported V4 crypt filter (CFM={cfm})")
+            aes = True
+        if (enc.get("Filter") != "Standard"
+                or (v not in (1, 2) and not aes)
+                or (r not in (2, 3) and not aes)
                 or not isinstance(o_entry, bytes)
                 or not isinstance(u_entry, bytes)
                 or not isinstance(p, int)
@@ -325,11 +349,16 @@ class _PdfDoc:
         # de-facto reader behavior for ID-less encrypted files)
         idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]*)>", self.raw)
         id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-        key = file_key(o_entry, p, id0, r, length)
+        # R4 with /EncryptMetadata false appends 0xFFFFFFFF to the
+        # Algorithm 2 MD5 input (spec step f); default is true
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        key = file_key(o_entry, p, id0, r, length,
+                       encrypt_metadata=bool(em))
         if not check_user_password(key, u_entry, r, id0):
             raise PdfError("encrypted_pdf",
                            "non-empty user password required")
         self.enc_key = key
+        self.enc_aes = aes
 
     def resolve(self, v):
         if isinstance(v, _Ref):
@@ -417,9 +446,18 @@ class _PdfDoc:
         # filter-encoded, then encrypted) — RC4 before filters; xref
         # streams are never encrypted by spec
         if self.enc_key is not None and sdict.get("Type") != "XRef":
-            from .pdf_crypt import object_key, rc4
+            from .pdf_crypt import aes_stream_decrypt, object_key, rc4
 
-            data = rc4(object_key(self.enc_key, num, span[2]), data)
+            if getattr(self, "enc_aes", False):
+                try:
+                    data = aes_stream_decrypt(
+                        object_key(self.enc_key, num, span[2], aes=True),
+                        data)
+                except ValueError as e:
+                    raise PdfError("encrypted_pdf",
+                                   f"AES stream: {e}") from e
+            else:
+                data = rc4(object_key(self.enc_key, num, span[2]), data)
         return sdict, data
 
     def get_stream(self, num: int) -> bytes:

@@ -709,10 +709,90 @@ def _pdf_enc_object_key(key: bytes, num: int, gen: int) -> bytes:
     return d[: min(len(key) + 5, 16)]
 
 
-def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes) -> None:
-    """RC4-encrypt every stream payload in ``bodies`` in place
-    (encryption is the OUTERMOST layer — applied after filters). The
-    xref stream is exempt by spec but never lives in ``bodies``."""
+# Forward AES-128 cipher (FIPS-197 §5.1) — the encrypt-side twin of
+# functions/aes.py's INVERSE cipher; only the S-box table (spec data)
+# is shared knowledge. CBC + PKCS#7 + prepended IV per the PDF /AESV2
+# stream layout.
+_AES_SBOX_HEX = (
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_SBOX = bytes.fromhex(_AES_SBOX_HEX)
+
+
+def _aes_xt(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x11B if a & 0x100 else a) & 0xFF
+
+
+def _aes_expand(key: bytes) -> list[bytes]:
+    rcon = 1
+    w = [key[4 * i: 4 * i + 4] for i in range(4)]
+    for i in range(4, 44):
+        t = w[i - 1]
+        if i % 4 == 0:
+            t = bytes(_AES_SBOX[b] for b in t[1:] + t[:1])
+            t = bytes((t[0] ^ rcon,)) + t[1:]
+            rcon = _aes_xt(rcon)
+        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
+    return [b"".join(w[4 * r: 4 * r + 4]) for r in range(11)]
+
+
+def _aes_enc_block(rks: list[bytes], block: bytes) -> bytes:
+    s = bytearray(a ^ b for a, b in zip(block, rks[0]))
+    for rnd in range(1, 10):
+        s = bytearray(_AES_SBOX[b] for b in s)  # SubBytes
+        t = bytearray(16)  # ShiftRows: row r rotates LEFT by r
+        for col in range(4):
+            for row in range(4):
+                t[4 * col + row] = s[4 * ((col + row) % 4) + row]
+        s = bytearray(16)  # MixColumns (2 3 1 1)
+        for col in range(4):
+            c = t[4 * col: 4 * col + 4]
+            s[4 * col + 0] = _aes_xt(c[0]) ^ _aes_xt(c[1]) ^ c[1] ^ c[2] ^ c[3]
+            s[4 * col + 1] = c[0] ^ _aes_xt(c[1]) ^ _aes_xt(c[2]) ^ c[2] ^ c[3]
+            s[4 * col + 2] = c[0] ^ c[1] ^ _aes_xt(c[2]) ^ _aes_xt(c[3]) ^ c[3]
+            s[4 * col + 3] = _aes_xt(c[0]) ^ c[0] ^ c[1] ^ c[2] ^ _aes_xt(c[3])
+        s = bytearray(a ^ b for a, b in zip(s, rks[rnd]))
+    s = bytearray(_AES_SBOX[b] for b in s)
+    t = bytearray(16)
+    for col in range(4):
+        for row in range(4):
+            t[4 * col + row] = s[4 * ((col + row) % 4) + row]
+    return bytes(a ^ b for a, b in zip(t, rks[10]))
+
+
+def _aes_cbc_encrypt_pdf(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """PDF /AESV2 stream layout: IV ‖ CBC(PKCS#7-padded data)."""
+    rks = _aes_expand(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for off in range(0, len(data), 16):
+        ct = _aes_enc_block(
+            rks, bytes(a ^ b for a, b in zip(data[off: off + 16], prev)))
+        out += ct
+        prev = ct
+    return bytes(out)
+
+
+def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes,
+                         aes: bool = False, doc_id: int = 0) -> None:
+    """Encrypt every stream payload in ``bodies`` in place — RC4, or
+    AES-128-CBC when ``aes`` (object key gains the /AESV2 "sAlT"
+    suffix; IV is deterministic from (doc_id, obj num) so the corpus
+    stays reproducible). Encryption is the OUTERMOST layer — applied
+    after filters. The xref stream is exempt by spec but never lives
+    in ``bodies``."""
+    import hashlib
+
     for num, body in bodies.items():
         sidx = body.find(b">>\nstream\n")
         if sidx < 0:
@@ -720,9 +800,24 @@ def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes) -> None:
         start = sidx + len(b">>\nstream\n")
         eidx = body.rfind(b"\nendstream")
         payload = body[start:eidx]
-        bodies[num] = (body[:start]
-                       + _rc4_xor(_pdf_enc_object_key(fkey, num, 0), payload)
-                       + body[eidx:])
+        if aes:
+            okey = hashlib.md5(
+                fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+                + b"sAlT").digest()[: min(len(fkey) + 5, 16)]
+            iv = hashlib.md5(f"aesiv-{doc_id}-{num}".encode()).digest()
+            enc = _aes_cbc_encrypt_pdf(okey, payload, iv)
+        else:
+            enc = _rc4_xor(_pdf_enc_object_key(fkey, num, 0), payload)
+        # AES grows the payload (IV + padding): /Length must track the
+        # ENCRYPTED stream length per spec
+        head = body[:start]
+        if aes:
+            import re as _re
+
+            head = _re.sub(
+                rb"/Length \d+", b"/Length " + str(len(enc)).encode(),
+                head, count=1)
+        bodies[num] = head + enc + body[eidx:]
 
 
 def _pdf_image_xobject(doc_id: int) -> bytes:
@@ -764,8 +859,9 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
       Flate+TIFF-predictor content streams;
     - /Encrypt-bearing documents: a PASSWORDED slice (bogus /U that
       validates no password → deterministic encrypted_pdf) and an
-      RC4-encrypted slice with an EMPTY user password (R2/V1 40-bit
-      and R3/V2 128-bit; really encrypted streams — must extract);
+      EMPTY-user-password encrypted slice (R2/V1 RC4-40, R3/V2
+      RC4-128 and R4/V4 /AESV2 AES-128-CBC; really encrypted
+      streams — must extract);
     - truncated payloads (no %%EOF) → deterministic truncated_pdf.
     """
     r = _rng(doc_id, seed + 7)
@@ -890,29 +986,35 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     enc_ref = b""
     id_ref = b""
     enc_fkey: bytes | None = None
+    enc_aes = False
     if encrypted:
         import hashlib
 
         enc_num = max(bodies) + 1
         if enc_empty:
             # REAL standard-security-handler encryption with an empty
-            # user password: R2/V1 (RC4-40) or R3/V2 (RC4-128). O and
-            # /ID derive from doc_id via md5 (not the r stream, so the
-            # page-content draws stay byte-identical across variants).
+            # user password: R2/V1 (RC4-40), R3/V2 (RC4-128) or
+            # R4/V4 /AESV2 (AES-128-CBC). O and /ID derive from doc_id
+            # via md5 (not the r stream, so the page-content draws
+            # stay byte-identical across variants).
             o_entry = (hashlib.md5(f"encO-{doc_id}".encode()).digest()
                        + hashlib.md5(f"encO2-{doc_id}".encode()).digest())
             id0 = hashlib.md5(f"encID-{doc_id}".encode()).digest()
             perms = -44
-            # md5-bit selector (not parity: the gate corpus's surviving
-            # empty-password ids happen to share parity)
-            r2_sel = hashlib.md5(f"encR-{doc_id}".encode()).digest()[0] & 1
-            rev, v, bits = (2, 1, 40) if r2_sel else (3, 2, 128)
+            # md5-byte selector; the salt is chosen so the 1500-doc
+            # gate corpus's three surviving empty-password docs land
+            # one per class (R2 / R3 / AESV2)
+            sel = hashlib.md5(f"encR6-{doc_id}".encode()).digest()[0] % 3
+            rev, v, bits = ((2, 1, 40), (3, 2, 128), (4, 4, 128))[sel]
+            enc_aes = rev == 4
             enc_fkey = _pdf_enc_file_key(o_entry, perms, id0, rev, bits)
             u_entry = _pdf_enc_user_entry(enc_fkey, rev, id0)
+            cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                  b" /StmF /StdCF /StrF /StdCF" if enc_aes else b"")
             bodies[enc_num] = (
                 b"<< /Filter /Standard /V " + str(v).encode()
                 + b" /R " + str(rev).encode()
-                + b" /Length " + str(bits).encode()
+                + b" /Length " + str(bits).encode() + cf
                 + b" /O <" + o_entry.hex().encode() + b">"
                 + b" /U <" + u_entry.hex().encode() + b">"
                 + b" /P " + str(perms).encode() + b" >>"
@@ -958,7 +1060,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         )
         xref_num = objstm_num + 1
         if enc_fkey is not None:
-            _pdf_encrypt_streams(bodies, enc_fkey)
+            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id)
         out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         for num in sorted(bodies):
@@ -987,7 +1089,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     else:
         if enc_fkey is not None:
-            _pdf_encrypt_streams(bodies, enc_fkey)
+            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id)
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = {}
         for num in sorted(bodies):
