@@ -119,6 +119,9 @@ QUERY_NAMES = [
     "charset_audit",
     "containment_dups",
     "prefix_jaccard_dups",
+    "sorted_neighborhood_dups",
+    "domain_components",
+    "domain_hops",
     "inverted_index",
     "purchase_ffill",
 ]

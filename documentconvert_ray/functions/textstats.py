@@ -270,3 +270,39 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein distance: the exact unit-cost edit distance
+    when it is ≤ cap, else cap+1 (early exit). Semantics match
+    DuckDB's levenshtein() (insert/delete/substitute, cost 1) so SQL
+    oracles can mirror thresholded checks exactly."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if la == 0:
+        return lb if lb <= cap else cap + 1
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        cb = b[j - 1]
+        lo = max(1, j - cap)
+        hi = min(la, j + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1
+        best = cap + 1
+        for i in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == cb else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            if cur[i] < best:
+                best = cur[i]
+        if hi < la:
+            cur[hi + 1:] = [cap + 1] * (la - hi)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[la] if prev[la] <= cap else cap + 1

@@ -6572,6 +6572,194 @@ def q_domain_clustering(sf_dir: str):
         {"n_tri": "int64", "deg": "int64", "coeff_ppm": "int64"})
 
 
+def q_domain_components(sf_dir: str):
+    """CONNECTED COMPONENTS over the (undirected) domain link graph —
+    each domain labeled with its component's lexicographically-min
+    member (the canonical crawl-partition key a per-site scheduler
+    uses). The edge list is aggregated and tiny relative to pages
+    (≤ domains², same small-node-axis bound as PageRank), so the fold
+    is a driver union-find over the materialized edge Dataset;
+    url-granular graphs take the distributed min-label-propagation
+    path already built for doc near-dup clusters (stages/dedup.py's
+    label-propagation section, Kiveris et al. SoCC'14). Output covers
+    domains with at least one edge (mirrors the SQL reachability
+    closure)."""
+    import pandas as pd
+
+    epd = _und_edges(sf_dir).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(epd["a"], epd["b"]):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows = sorted((d, find(d)) for d in parent)
+    return pd.DataFrame({
+        "domain": [r[0] for r in rows],
+        "component": [r[1] for r in rows]})
+
+
+HOPS_SEED = "site-0.example"
+HOPS_MAX = 50
+
+
+def q_domain_hops(sf_dir: str):
+    """BFS HOP DISTANCE from a seed domain over the undirected link
+    graph — the crawl-frontier / influence-radius shape. Iterative
+    distributed op in the PageRank mold: the frontier set broadcasts
+    via ray.put, one map_batches over the materialized edge Dataset
+    emits the next frontier's candidates, the driver folds the
+    (≤ domains) result — O(edges) exchange per round, rounds = graph
+    eccentricity (2-3 on web-scale domain graphs). Unreached domains
+    are absent from the output (mirrors the SQL reachability CTE)."""
+    import pandas as pd
+
+    edges = _und_edges(sf_dir).materialize()
+    dist = {HOPS_SEED: 0}
+    frontier = {HOPS_SEED}
+    for d in range(1, HOPS_MAX + 1):
+        fref = ray.put(frontier)
+
+        def nbrs(b: pa.Table, _fref=fref) -> pa.Table:
+            f = sim.resolve_broadcast(_fref, key=f"hops-frontier-{d}")
+            df = b.to_pandas()
+            out = pd.concat([
+                df.loc[df["a"].isin(f), "b"],
+                df.loc[df["b"].isin(f), "a"]], ignore_index=True)
+            out = out.drop_duplicates()
+            return pa.Table.from_pydict(
+                {"domain": pa.array(out.to_numpy(object), pa.string())})
+
+        got = {r["domain"] for r in
+               edges.map_batches(nbrs, batch_format="pyarrow").take_all()}
+        new = {x for x in got if x not in dist}
+        if not new:
+            break
+        for x in new:
+            dist[x] = d
+        frontier = new
+    rows = sorted(dist.items())
+    return pd.DataFrame({
+        "domain": [r[0] for r in rows],
+        "hops": pd.Series([r[1] for r in rows], dtype="int64")})
+
+
+SN_KEY_LEN = 24
+SN_WINDOW = 5
+SN_MAX_ED = 2
+
+
+def q_sorted_neighborhood_dups(sf_dir: str):
+    """SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995, the
+    merge/purge entity-resolution classic): sort records by a
+    normalized key (lowercased 24-char text prefix), compare only
+    rows within SN_WINDOW ranks, keep pairs within edit distance 2.
+
+    Distributed shape — RANK-SPACE co-partitioning without a global
+    sort OR a driver materialization:
+    1. key-domain histogram (distinct (key, n) rows shuffle — bounded
+       by the KEY domain, the same bound ntile_deciles' value
+       histogram uses) → driver sorts the key frame once and
+       broadcasts key → rank-offset;
+    2. rows co-partition by key-hash; each bucket orders its keys'
+       docs by doc_id (a key's docs never split), adds the broadcast
+       offset → EXACT global rank = the rank a full sort would give;
+    3. rank-bucket co-partitioning with BOUNDARY REPLICATION (rows
+       within w of a bucket's left edge also join the previous
+       bucket — event_density's trick in rank space; pivot-ownership
+       keeps every pair emitted exactly once) → vectorized window
+       sweep with the banded capped Levenshtein.
+    Only (key-prefix, doc_id, rank) rows ever shuffle."""
+    import pandas as pd
+
+    from ..functions.textstats import levenshtein_capped
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = dd.derive_buckets(ds.count(), floor=8)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ks = [(t or "").lower()[:SN_KEY_LEN]
+              for t in b.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"key": pa.array(ks, pa.string()),
+             "doc_id": b.column("doc_id"),
+             "kb": pa.array([zlib.crc32(k.encode()) % nb for k in ks],
+                            pa.int32())})
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        s = b.to_pandas().groupby("key").size()
+        return pa.Table.from_pydict(
+            {"key": pa.array(s.index.to_numpy(object), pa.string()),
+             "n": pa.array(s.to_numpy(np.int64), pa.int64())})
+
+    hist = (
+        rows.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas().sort_values("key", kind="mergesort")
+    starts = np.concatenate(
+        ([0], np.cumsum(hist["n"].to_numpy(np.int64))[:-1]))
+    off_ref = ray.put(dict(zip(hist["key"], starts)))
+    bucket_w = max(SN_WINDOW + 1, 4096)
+
+    def rank_rows(g):
+        off = sim.resolve_broadcast(off_ref, key="sn-offsets")
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        base = g["key"].map(off).to_numpy(np.int64)
+        within = g.groupby("key", sort=False).cumcount().to_numpy(np.int64)
+        rank = base + within
+        out = pd.DataFrame({
+            "rank": rank, "key": g["key"].to_numpy(object),
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "bucket": (rank // bucket_w).astype(np.int32)})
+        near_edge = (rank % bucket_w) < SN_WINDOW
+        repl = out.loc[near_edge & (out["bucket"] > 0)].copy()
+        repl["bucket"] = (repl["bucket"] - 1).astype(np.int32)
+        return pd.concat([out, repl], ignore_index=True)
+
+    long = rows.groupby("kb").map_groups(rank_rows, batch_format="pandas")
+
+    def sweep(g):
+        g = g.sort_values("rank", kind="mergesort")
+        r = g["rank"].to_numpy(np.int64)
+        keys = g["key"].to_numpy(object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        bkt = int(g["bucket"].iloc[0])
+        out_a, out_b, out_e = [], [], []
+        for i in range(len(g)):
+            # pivot must be OWNED by this bucket (not a replica) so a
+            # pair is emitted exactly once
+            if r[i] // bucket_w != bkt:
+                continue
+            for j in range(i + 1, len(g)):
+                if r[j] - r[i] > SN_WINDOW:
+                    break
+                e = levenshtein_capped(keys[i], keys[j], SN_MAX_ED)
+                if e <= SN_MAX_ED:
+                    a, b_ = sorted((int(ids[i]), int(ids[j])))
+                    out_a.append(a)
+                    out_b.append(b_)
+                    out_e.append(e)
+        return pd.DataFrame({
+            "doc_id_a": pd.Series(out_a, dtype="int64"),
+            "doc_id_b": pd.Series(out_b, dtype="int64"),
+            "edit_dist": pd.Series(out_e, dtype="int64")})
+
+    return long.groupby("bucket").map_groups(sweep, batch_format="pandas")
+
+
 def q_charset_audit(sf_dir: str):
     """Byte-class CORPUS HYGIENE audit per stored page (the decode-
     chain's triage view — reference M15's mojibake family,
@@ -6773,6 +6961,9 @@ def queries() -> dict:
         "dataset_split": q_dataset_split,
         "domain_triangles": q_domain_triangles,
         "domain_clustering": q_domain_clustering,
+        "domain_components": q_domain_components,
+        "domain_hops": q_domain_hops,
+        "sorted_neighborhood_dups": q_sorted_neighborhood_dups,
         "anchor_texts": q_anchor_texts,
         "charset_audit": q_charset_audit,
         "containment_dups": q_containment_dups,
@@ -7966,6 +8157,22 @@ ORACLES: dict[str, str] = {
         JOIN sized sb ON co.ib = sb.doc_id
         WHERE (c * 1000000) // least(sa.n, sb.n) >= 700000
     """,
+    # rank window + capped edit distance — the engine's distributed
+    # rank construction is provably the row_number of this ORDER BY
+    "sorted_neighborhood_dups": """
+        WITH k AS (
+          SELECT doc_id, lower(substr(text, 1, {klen})) AS key,
+                 row_number() OVER (
+                   ORDER BY lower(substr(text, 1, {klen})), doc_id)
+                   - 1 AS rnk
+          FROM documents)
+        SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+               greatest(a.doc_id, b.doc_id) AS doc_id_b,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+        FROM k a JOIN k b
+          ON b.rnk > a.rnk AND b.rnk - a.rnk <= {w}
+        WHERE levenshtein(a.key, b.key) <= {maxed}
+    """.format(klen=SN_KEY_LEN, w=SN_WINDOW, maxed=SN_MAX_ED),
     # df is the FULL count; string_agg skips the NULLs the CASE emits
     # past the cap, mirroring the engine's posting truncation
     "inverted_index": """
@@ -9107,6 +9314,36 @@ def oracle_sql() -> dict[str, str]:
                substr(s.h, 1, 4) = '1F8B' AS is_gzip
         FROM src s LEFT JOIN stats ON s.url = stats.url
     """
+    out["domain_components"] = edges_cte + """
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain),
+        bidir AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        reach(a, b) AS (
+          SELECT a, b FROM bidir
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
+        SELECT a AS domain, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    """
+    # the recursive closure needs WITH RECURSIVE: patch the shared CTE
+    out["domain_components"] = out["domain_components"].replace(
+        "WITH src AS", "WITH RECURSIVE src AS", 1)
+    out["domain_hops"] = (edges_cte + f"""
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain),
+        bidir AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        walk(domain, d) AS (
+          SELECT '{HOPS_SEED}' AS domain, 0 AS d
+          UNION
+          SELECT e.b, w.d + 1 FROM walk w
+          JOIN bidir e ON e.a = w.domain WHERE w.d < {HOPS_MAX})
+        SELECT domain, CAST(min(d) AS BIGINT) AS hops
+        FROM walk GROUP BY domain
+    """).replace("WITH src AS", "WITH RECURSIVE src AS", 1)
     out["anchor_texts"] = f"""
         WITH src AS (
           SELECT CAST(html AS VARCHAR) AS body

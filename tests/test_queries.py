@@ -27,6 +27,9 @@ SQL_QUERIES = [
     "dataset_split",
     "domain_triangles",
     "domain_clustering",
+    "domain_components",
+    "domain_hops",
+    "sorted_neighborhood_dups",
     "anchor_texts",
     "charset_audit",
     "containment_dups",
