@@ -122,6 +122,8 @@ QUERY_NAMES = [
     "sorted_neighborhood_dups",
     "domain_components",
     "domain_hops",
+    "mad_outliers",
+    "peak_concurrency",
     "inverted_index",
     "purchase_ffill",
 ]

@@ -6572,6 +6572,134 @@ def q_domain_clustering(sf_dir: str):
         {"n_tri": "int64", "deg": "int64", "coeff_ppm": "int64"})
 
 
+def q_mad_outliers(sf_dir: str):
+    """ROBUST outlier gate: median absolute deviation (Hampel's rule,
+    |x − median| > 3·MAD) over document length — the heavy-tail-safe
+    alternative to T44's percentile gate (a percentile moves with the
+    contamination it is trying to trim; the MAD doesn't). ONE
+    value-domain histogram pass gives BOTH medians: the deviation
+    histogram is a driver-side transform of the value histogram
+    (|v − med| re-keyed, counts summed), so no second corpus scan —
+    then the integer thresholds feed a map-side per-lang counter.
+    Integer-exact throughout (quantile_disc medians, integer rule)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist(df):
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    def hist_fold(df):
+        return df.groupby("v", as_index=False).agg(c=("c", "sum"))
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .repartition(8)
+        .map_batches(hist_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(hist_fold, batch_format="pandas")
+        .to_pandas()  # value-domain-sized: tiny
+        .sort_values("v")
+    )
+    v = h["v"].to_numpy(np.int64)
+    c = h["c"].to_numpy(np.int64)
+    n = int(c.sum())
+
+    def hist_median(vals, cnts, total):
+        idx = -(-total // 2) - 1  # ceil(n/2)−1, quantile_disc 0.5
+        return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
+
+    med = hist_median(v, c, n)
+    dev = pd.DataFrame({"d": np.abs(v - med), "c": c}).groupby(
+        "d", as_index=False).agg(c=("c", "sum")).sort_values("d")
+    mad = hist_median(dev["d"].to_numpy(np.int64),
+                      dev["c"].to_numpy(np.int64), n)
+    bound = 3 * mad
+
+    def counts(df):
+        x = df["n_chars"].to_numpy(np.int64)
+        out = pd.DataFrame({"lang": df["lang"],
+                            "outlier": np.abs(x - med) > bound})
+        g = out.groupby("lang", as_index=False).agg(
+            n_outliers=("outlier", "sum"), n_docs=("outlier", "size"))
+        return g.astype({"n_outliers": "int64", "n_docs": "int64"})
+
+    return (
+        ds.map_batches(counts, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                   Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+CONCURRENCY_WINDOW_US = 600 * 1_000_000  # each event "active" 10 min
+
+
+def q_peak_concurrency(sf_dir: str):
+    """PEAK CONCURRENCY (max overlapping 10-minute activity windows) —
+    the DISTRIBUTED SWEEP-LINE with cross-partition carry: the one
+    interval-analytics shape the window/interval family still lacked.
+    Each event contributes (+1 at ts, −1 at ts+W) delta rows,
+    time-bucket co-partitioned; phase A reduces per-bucket NET sums
+    (one int per bucket → driver exclusive prefix = each bucket's
+    entering count); phase B re-sweeps each bucket sorted by
+    (t, delta) — half-open intervals: −1 before +1 at ties — adding
+    its prefix offset, and emits the per-bucket running max; a tiny
+    global max closes. Exchange: 2 int64 rows per event, twice; no
+    global sort. Exact: the running count only rises at a +1, so the
+    max over bucket sweeps equals the true global max."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def minmax(df):
+        t = df["ts"].astype("int64")
+        return pd.DataFrame({"lo": [int(t.min())], "hi": [int(t.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo = int(mm["lo"].min())
+    hi = int(mm["hi"].max()) + CONCURRENCY_WINDOW_US
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=2, floor=16)
+    span = max(1, (hi - lo + nb) // nb)
+
+    def deltas(df):
+        t = df["ts"].astype("int64").to_numpy()
+        starts = pd.DataFrame({"t": t, "d": np.int64(1)})
+        ends = pd.DataFrame({"t": t + CONCURRENCY_WINDOW_US,
+                             "d": np.int64(-1)})
+        out = pd.concat([starts, ends], ignore_index=True)
+        out["bucket"] = ((out["t"] - lo) // span).astype("int32")
+        return out
+
+    rows = ds.map_batches(deltas, batch_format="pandas").materialize()
+    nets = (
+        rows.groupby("bucket")
+        .aggregate(Sum("d", alias_name="net"))
+    ).to_pandas().sort_values("bucket")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, net in zip(nets["bucket"].astype(int), nets["net"].astype(int)):
+        offsets[b] = acc
+        acc += net
+    off_ref = ray.put(offsets)
+
+    def bucket_max(g):
+        off = sim.resolve_broadcast(off_ref, key="sweep-offsets")
+        g = g.sort_values(["t", "d"], kind="mergesort")  # -1 before +1
+        run = int(off[int(g["bucket"].iloc[0])]) + \
+            g["d"].to_numpy(np.int64).cumsum()
+        return pd.DataFrame({"m": [int(run.max())]})
+
+    peak = (
+        rows.groupby("bucket")
+        .map_groups(bucket_max, batch_format="pandas")
+    ).max("m")
+    return pd.DataFrame({"peak_concurrency":
+                         pd.Series([int(peak)], dtype="int64")})
+
+
 def q_domain_components(sf_dir: str):
     """CONNECTED COMPONENTS over the (undirected) domain link graph —
     each domain labeled with its component's lexicographically-min
@@ -6964,6 +7092,8 @@ def queries() -> dict:
         "domain_components": q_domain_components,
         "domain_hops": q_domain_hops,
         "sorted_neighborhood_dups": q_sorted_neighborhood_dups,
+        "mad_outliers": q_mad_outliers,
+        "peak_concurrency": q_peak_concurrency,
         "anchor_texts": q_anchor_texts,
         "charset_audit": q_charset_audit,
         "containment_dups": q_containment_dups,
@@ -8156,6 +8286,32 @@ ORACLES: dict[str, str] = {
         JOIN sized sa ON co.ia = sa.doc_id
         JOIN sized sb ON co.ib = sb.doc_id
         WHERE (c * 1000000) // least(sa.n, sb.n) >= 700000
+    """,
+    # same integer medians (quantile_disc 0.5) from the value and
+    # deviation domains; Hampel rule in plain integers
+    "mad_outliers": """
+        WITH med AS (
+          SELECT quantile_disc(n_chars, 0.5) AS m FROM documents),
+        mad AS (
+          SELECT quantile_disc(abs(n_chars - med.m), 0.5) AS s
+          FROM documents, med)
+        SELECT lang,
+               CAST(count(*) FILTER (
+                 WHERE abs(n_chars - med.m) > 3 * mad.s) AS BIGINT)
+                   AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents, med, mad
+        GROUP BY lang
+    """,
+    # max over window starts == max of the running sweep (the count
+    # only rises at a +1); half-open [ts, ts+W) intervals
+    "peak_concurrency": """
+        SELECT CAST(max(c) AS BIGINT) AS peak_concurrency FROM (
+          SELECT count(*) AS c
+          FROM events a JOIN events b
+            ON b.ts <= a.ts
+           AND a.ts < b.ts + INTERVAL 10 MINUTE
+          GROUP BY a.event_id)
     """,
     # rank window + capped edit distance — the engine's distributed
     # rank construction is provably the row_number of this ORDER BY

@@ -30,6 +30,8 @@ SQL_QUERIES = [
     "domain_components",
     "domain_hops",
     "sorted_neighborhood_dups",
+    "mad_outliers",
+    "peak_concurrency",
     "anchor_texts",
     "charset_audit",
     "containment_dups",
