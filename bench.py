@@ -31,6 +31,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "in_transit_daily",
+    "dsir_weights",
+    "srp_embedding_dups",
+    "substring_dup_spans",
+    "quality_lr",
+    "q21_waiting_suppliers",
     "new_users_daily",
     "heavy_hitters_cms",
     "lang_confusion",

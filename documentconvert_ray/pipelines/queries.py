@@ -7039,6 +7039,580 @@ def q_inverted_index(sf_dir: str):
     )
 
 
+# --- T133: calendar range join (in-transit inventory by day) ---------
+
+US_PER_DAY = 86_400_000_000
+
+
+def q_in_transit_daily(sf_dir: str):
+    """CALENDAR RANGE JOIN — for every day, how many lineitems were in
+    transit (ship_day ≤ day ≤ ship_day + transit_days) — the
+    point-in-interval join shape (inventory/concurrency dashboards;
+    the SQL is literally intervals × generate_series). The reference
+    has no interval analytics; this is the grid-side twin of T132's
+    sweep-line. Transit duration is a deterministic column function
+    ((l_orderkey + l_linenumber) % 30 + 1 days) standing in for the
+    receipt-date column TPC-H has but the sf tables don't carry.
+
+    Scale shape: instead of exploding each interval to its O(duration)
+    grid days (the oracle's formulation), each lineitem ships exactly
+    TWO delta rows (+1 at ship day, −1 the day after receipt); the
+    per-day nets aggregate is bounded by the CALENDAR AXIS (days, not
+    rows), and the running sum over that tiny frame is driver-side —
+    the same delta-encoding that makes T132 exact, reused for a daily
+    series. Exchange: 2 int64 rows per lineitem, result O(days)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def deltas(df):
+        day0 = (df["l_shipdate"].astype("int64").to_numpy()
+                // US_PER_DAY)
+        dur = ((df["l_orderkey"].to_numpy(np.int64)
+                + df["l_linenumber"].to_numpy(np.int64)) % 30 + 1)
+        out = pd.DataFrame({
+            "day": np.concatenate([day0, day0 + dur + 1]),
+            "d": np.concatenate([np.ones(len(day0), np.int64),
+                                 -np.ones(len(day0), np.int64)])})
+        # batch-level combine: ≤ 2 rows per distinct day per batch
+        return out.groupby("day", as_index=False).agg(d=("d", "sum"))
+
+    def fold(df):
+        return df.groupby("day", as_index=False).agg(d=("d", "sum"))
+
+    # two-level fold instead of a native hash aggregate: each block is
+    # already ≤ day-domain rows, so repartition+fold is O(days) per
+    # block (the native Aggregate measured 22 s vs 1.5 s here — same
+    # cliff BASELINE.md records for high-key native aggregates, hit
+    # via per-aggregator overhead at this block count)
+    nets = (
+        ds.map_batches(deltas, batch_format="pandas")
+        .repartition(8)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    days = nets["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[days - lo] = nets["d"].to_numpy(np.int64)
+    run = dense.cumsum()
+    keep = run > 0
+    return pd.DataFrame({
+        "day": pd.to_datetime((np.arange(lo, hi + 1)[keep])
+                              * US_PER_DAY, unit="us")
+        .astype("datetime64[us]"),
+        "n_in_transit": run[keep]})
+
+
+# --- T134: DSIR hashed-ngram importance weights ----------------------
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style IMPORTANCE WEIGHTS (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every doc by
+    how target-like its hashed unigram distribution is — the weight
+    that drives importance resampling of a raw crawl toward a curated
+    target. Target slice = lang == 'en'; per-token importance is the
+    add-one-smoothed count ratio in ppm,
+    w(t) = (ct+1)(S+1)·10⁶ // ((cs+1)(T+1)), and
+    dsir_score(doc) = Σ over token occurrences of w(t) (integer-exact;
+    the true DSIR log-ratio sum is monotone in each term — the ppm
+    ratio sum is the established integer-exact stand-in, same
+    convention as T91's rarity proxy for perplexity).
+
+    Shape (clones T91's exchange economics): ONE corpus pass emits
+    (th, ct, cs) count partials — both sides ride one exchange —
+    crc-bucketed vectorized reduce MATERIALIZED once (vocab-sized), so
+    T and S are cheap aggregates; per-token weights are computed
+    distributed on the vocab relation (Python-bigint per vocab row —
+    the (ct+1)(S+1) product overflows int64 at web scale, the ppm
+    quotient doesn't); native hash join against per-(doc, token) int64
+    probe rows; per-doc bucketed sum. Overflow margin on the final
+    sum: documented int64 edge shared with T91 (oracle in HUGEINT)."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    n_docs = docs.count()
+    n_gb = dd.derive_buckets(n_docs, rows_per_doc=32)
+
+    def count_bucketize(b: pa.Table) -> pa.Table:
+        t = tx.dsir_count_partial(b)
+        th = t.column("th").to_numpy().view(np.uint64)
+        bk = (th % np.uint64(n_gb)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bk))
+
+    def count_reduce(g):
+        s = g.groupby("th", as_index=False).agg(
+            ct=("ct", "sum"), cs=("cs", "sum"))
+        s = s.astype({"th": "int64", "ct": "int64", "cs": "int64"}) \
+            .rename(columns={"th": "th_r"})
+        return pa.Table.from_pandas(
+            s, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (
+        docs.map_batches(count_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_reduce, batch_format="pandas")
+        .repartition(max(1, min(32, -(-n_docs // 25_000))))
+        .materialize()  # vocab-sized; reused for totals + weights
+    )
+    t_total = int(counts.sum("ct"))
+    s_total = int(counts.sum("cs"))
+
+    def weigh(df):
+        # Python-int per vocab row: (ct+1)(S+1)·10⁶ needs >64 bits at
+        # corpus scale; the ppm quotient fits (documented edge)
+        w = [int(((int(a) + 1) * (s_total + 1) * 1_000_000)
+                 // ((int(b) + 1) * (t_total + 1)))
+             for a, b in zip(df["ct"], df["cs"])]
+        return pd.DataFrame({"th_r": df["th_r"].to_numpy(np.int64),
+                             "w": pd.Series(w, dtype="int64")})
+
+    weights = counts.map_batches(weigh, batch_format="pandas")
+
+    probe = docs.map_batches(tx.rare_token_rows, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(n_docs, rows_per_doc=64), cpus))
+    joined = probe.join(
+        weights, "inner", n_part, on=("th",), right_on=("th_r",),
+        aggregator_ray_remote_args=_join_remote_args(n_part),
+    )
+
+    n_db = dd.derive_buckets(n_docs)
+
+    def score_partial(df):
+        sc = df["occ"].to_numpy(np.int64) * df["w"].to_numpy(np.int64)
+        u, inv = np.unique(df["doc_id"].to_numpy(np.int64),
+                           return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, sc)
+        return pd.DataFrame({
+            "doc_id": u, "dsir_score": sums,
+            "bucket": (u % n_db).astype("int32")})
+
+    def doc_reduce(g):
+        s = g.groupby("doc_id", as_index=False).agg(
+            dsir_score=("dsir_score", "sum"))
+        return s.astype({"doc_id": "int64", "dsir_score": "int64"})
+
+    return (
+        joined.map_batches(score_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(doc_reduce, batch_format="pandas")
+    )
+
+
+# --- T135: signed-random-projection LSH embedding near-dups ----------
+
+SRP_BITS = 48
+SRP_BAND_BITS = 6  # 8 bands × 6 bits (recall-tuned for cos ≥ 0.4:
+# P[share a band] = 1 − (1 − p^6)^8 with p = 1 − θ/π; ≈ 0.4 at the
+# threshold, → 1 fast above it — the probabilistic-recall contract LSH
+# always trades; the ORACLE mirrors the banding, so output equality
+# is exact regardless)
+SRP_COS_MIN = 0.4  # same acceptance threshold as T5 (comparable sets)
+
+
+def _srp_planes() -> "np.ndarray":
+    """(SRP_BITS, dims) int8 hyperplane matrix, entries
+    md5_number_upper('srp:j:d') % 15 − 7 — deterministic, broadcast-
+    free (every worker re-derives it), SQL-mirrorable."""
+    from ..functions.textstats import _md5_u64
+
+    return np.array(
+        [[(_md5_u64(f"srp:{j}:{d}".encode()) % 15) - 7
+          for d in range(64)] for j in range(SRP_BITS)], np.int64)
+
+
+def q_srp_embedding_dups(sf_dir: str):
+    """SRP-LSH embedding near-dup pairs (Charikar 2002 random-
+    hyperplane signatures, STOC '02) — the third member of the
+    embedding-similarity family: T5 is the size-gated exact sweep,
+    T21 buckets by IVF centroid (needs a k-means), SRP needs NO
+    trained state — signature bits are sign(v·h) against fixed
+    hyperplanes, so it runs on a cold corpus in one pass. Banding the
+    48-bit signature into 4 × 12-bit chunks yields candidates
+    (sharing ≥ 1 band post-cap); the output predicate — shares a band
+    AND exact cosine ≥ SRP_COS_MIN — is deterministic and fully
+    SQL-mirrored (integer-micro signature dots; float64 cosine
+    matches DuckDB's list_cosine_similarity on well-separated data,
+    same contract as T5).
+
+    Shape: signature map_batches (int64 matmul, zero-copy Arrow→numpy)
+    → band rows (4 per vector) → band-hash bucketed pair emission with
+    the MAX_BUCKET cap (dd.band_bucket_pairs, mirrored in SQL) → pair
+    dedup → cosine verify against the BROADCAST candidate-vector
+    subset (candidates ≪ corpus is the LSH contract, same bounded
+    assumption as the MinHash chain documents)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = ds.count()
+    wf = dd.width_floor()
+    nb = max(wf, dd.derive_buckets(n_vecs, rows_per_doc=4))
+    planes = _srp_planes()
+
+    def sigs(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
+        e_micro = np.floor(emb.astype(np.float64) * 1_000_000) \
+            .astype(np.int64)
+        dots = e_micro @ planes.T  # (n, SRP_BITS) int64-exact
+        bits = (dots >= 0).astype(np.uint64)
+        sig = np.zeros(len(ids), np.uint64)
+        for j in range(SRP_BITS):
+            sig |= bits[:, j] << np.uint64(j)
+        n_bands = SRP_BITS // SRP_BAND_BITS
+        mask = np.uint64((1 << SRP_BAND_BITS) - 1)
+        out_id, out_key = [], []
+        for band in range(n_bands):
+            chunk = (sig >> np.uint64(band * SRP_BAND_BITS)) & mask
+            out_id.append(ids)
+            # unique (band, chunk) key: band·2^SRP_BAND_BITS + chunk
+            out_key.append(chunk.astype(np.int64)
+                           + (band << SRP_BAND_BITS))
+        key = np.concatenate(out_key)
+        return pa.Table.from_pydict({
+            "bucket": pa.array((key % nb).astype(np.int32)),
+            "band_key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64())})
+
+    pairs = (
+        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512)
+        .groupby("bucket")
+        .map_groups(dd.band_bucket_pairs, batch_format="pandas")
+    )
+    npb = max(wf, dd.derive_buckets(n_vecs, rows_per_doc=2, floor=16))
+
+    def bucketize_pairs(df):
+        a = df["doc_id_a"].to_numpy(np.int64)
+        b = df["doc_id_b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id_a": a, "doc_id_b": b,
+            "pair_bucket": ((a * 1_000_003 + b) % npb).astype("int32")})
+
+    cand = (
+        pairs.map_batches(bucketize_pairs, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(dd.dedup_pairs, batch_format="pandas")
+        .materialize()  # candidate-pair-sized (LSH contract)
+    )
+
+    # gather candidate vectors once, broadcast float64 matrix
+    ids_pd = cand.to_pandas()
+    cand_ids = np.unique(np.concatenate([
+        ids_pd["doc_id_a"].to_numpy(np.int64),
+        ids_pd["doc_id_b"].to_numpy(np.int64)])) if len(ids_pd) else \
+        np.empty(0, np.int64)
+    id_ref = ray.put(set(cand_ids.tolist()))
+
+    def gather(b: pa.Table) -> pa.Table:
+        want = sim.resolve_broadcast(id_ref, key="srp-cand-ids")
+        ids = b.column("vec_id").to_numpy()
+        keep = np.fromiter((int(i) in want for i in ids), bool, len(ids))
+        return b.filter(pa.array(keep))
+
+    vecs = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    vmap = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(vecs["vec_id"], vecs["embedding"])}
+    vref = ray.put(vmap)
+
+    def verify(df):
+        vm = sim.resolve_broadcast(vref, key="srp-cand-vecs")
+        keep_a, keep_b = [], []
+        for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
+            va, vb = vm[int(a)], vm[int(b)]
+            denom = np.linalg.norm(va) * np.linalg.norm(vb)
+            if denom > 0 and float(va @ vb) / denom >= SRP_COS_MIN:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
+        return pd.DataFrame({
+            "vec_id_a": pd.Series(keep_a, dtype="int64"),
+            "vec_id_b": pd.Series(keep_b, dtype="int64")})
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+# --- T136: char-window cross-document substring dedup ----------------
+
+SUBSTR_W = 64
+SUBSTR_STRIDE = 16
+
+
+def q_substring_dup_spans(sf_dir: str):
+    """CROSS-DOCUMENT SUBSTRING dedup at character granularity — the
+    windowed stand-in for suffix-array ExactSubstr dedup (Lee et al.
+    2022, arXiv:2107.06499, 'Deduplicating Training Data Makes
+    Language Models Better'): hash every SUBSTR_W-char window at
+    SUBSTR_STRIDE alignment (md5, never the text), call a window
+    duplicated when it appears in ≥ 2 DISTINCT docs, and report per
+    doc the duplicated-window count plus the ppm of its chars covered
+    by the UNION of its duplicated windows (merged-interval length —
+    stride < width ⇒ windows overlap). Catches copy-paste spans that
+    token n-grams miss under retokenization (T46 is the token twin).
+
+    Shape: window rows (wh, doc_id, start) → wh-hash bucketed reduce
+    emits ONLY dup windows' (doc_id, start) — the window set maps back
+    to spans with NO second join; union-sentinel trick: the per-doc
+    totals relation rides the SAME doc-bucket exchange as the dup
+    rows (start = −1 sentinel), one reduce computes merged coverage +
+    the left-outer zero fill. Exchange: O(chars / stride) 20-byte rows
+    — inherent to substring-level dedup (Lee et al. burn a suffix
+    array on one box for the same information)."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    nwb = max(dd.width_floor(),
+              dd.derive_buckets(n_docs, rows_per_doc=40))
+    ndb = dd.derive_buckets(n_docs)
+
+    def win_rows(b: pa.Table) -> pa.Table:
+        ids, starts, whs = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            t = t or ""
+            for p in range(0, len(t) - (SUBSTR_W - 1), SUBSTR_STRIDE):
+                ids.append(i)
+                starts.append(p)
+                whs.append(_md5_u64(t[p:p + SUBSTR_W].encode("utf-8")))
+        wh = np.array(whs, np.uint64).view(np.int64) if whs else \
+            np.empty(0, np.int64)
+        return pa.Table.from_pydict({
+            "bucket": pa.array((wh.view(np.uint64)
+                                % np.uint64(nwb)).astype(np.int32)),
+            "wh": pa.array(wh, pa.int64()),
+            "doc_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "start": pa.array(np.array(starts, np.int64), pa.int64())})
+
+    def keep_dups(g):
+        # runs of equal wh (sorted); emit rows of whs with ≥ 2
+        # DISTINCT doc_ids — vectorized run-length + distinct count
+        g = g.sort_values(["wh", "doc_id", "start"], kind="mergesort")
+        wh = g["wh"].to_numpy(np.int64)
+        di = g["doc_id"].to_numpy(np.int64)
+        if not len(wh):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "start": pd.Series(dtype="int64")})
+        new_wh = np.empty(len(wh), bool)
+        new_wh[0] = True
+        new_wh[1:] = wh[1:] != wh[:-1]
+        new_doc = np.empty(len(wh), bool)
+        new_doc[0] = True
+        new_doc[1:] = new_wh[1:] | (di[1:] != di[:-1])
+        run_id = np.cumsum(new_wh) - 1
+        n_docs_per_run = np.bincount(run_id, weights=new_doc).astype(
+            np.int64)
+        keep = n_docs_per_run[run_id] >= 2
+        return pd.DataFrame({"doc_id": di[keep],
+                             "start": g["start"].to_numpy(np.int64)[keep]})
+
+    dup_rows = (
+        ds.map_batches(win_rows, batch_format="pyarrow", batch_size=256)
+        .groupby("bucket")
+        .map_groups(keep_dups, batch_format="pandas")
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        ids, nw, ln = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            t = t or ""
+            w = max(0, (len(t) - (SUBSTR_W - 1) + SUBSTR_STRIDE - 1)
+                    // SUBSTR_STRIDE)
+            if w > 0:
+                ids.append(i)
+                nw.append(w)
+                ln.append(len(t))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(np.array(ids, np.int64)),
+            "n_windows": pa.array(np.array(nw, np.int64)),
+            "len": pa.array(np.array(ln, np.int64)),
+            "start": pa.array(np.full(len(ids), -1, np.int64))})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    def add_bucket_dup(df):
+        df = df.copy()
+        df["n_windows"] = np.int64(0)
+        df["len"] = np.int64(0)
+        df["bkt"] = (df["doc_id"].to_numpy(np.int64) % ndb).astype("int32")
+        return df[["bkt", "doc_id", "n_windows", "len", "start"]]
+
+    def add_bucket_tot(df):
+        df = df.copy()
+        df["bkt"] = (df["doc_id"].to_numpy(np.int64) % ndb).astype("int32")
+        return df[["bkt", "doc_id", "n_windows", "len", "start"]]
+
+    unioned = dup_rows.map_batches(
+        add_bucket_dup, batch_format="pandas").union(
+        tot.map_batches(add_bucket_tot, batch_format="pandas"))
+
+    def span_reduce(g):
+        rows = []
+        for did, grp in g.groupby("doc_id", sort=False):
+            nwv = int(grp["n_windows"].max())
+            lnv = int(grp["len"].max())
+            st = np.sort(grp.loc[grp["start"] >= 0, "start"]
+                         .to_numpy(np.int64))
+            n_dup = len(st)
+            if n_dup:
+                gaps = np.diff(st)
+                cov = int(np.minimum(gaps, SUBSTR_W).sum()) + SUBSTR_W
+            else:
+                cov = 0
+            rows.append((did, nwv, n_dup,
+                         cov * 1_000_000 // lnv if lnv else 0))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "n_windows", "n_dup_windows", "dup_char_ppm"])
+        return out.astype({c: "int64" for c in out.columns})
+
+    return unioned.groupby("bkt").map_groups(
+        span_reduce, batch_format="pandas")
+
+
+# --- T137: hashed linear classifier scoring --------------------------
+
+
+def q_quality_lr(sf_dir: str):
+    """LINEAR TEXT-CLASSIFIER INFERENCE — the fastText-style quality
+    gate every web pipeline runs (CCNet/RefinedWeb keep-or-drop):
+    score(doc) = Σ over token occurrences of w(token), label =
+    score ≥ 0. Pure map-side model scoring: ZERO exchange, one pass,
+    vectorized per batch; in production the trained weight vector is
+    ray.put once and resolved per actor — here the weights are a
+    deterministic hash of the token (md5 % 2001 − 1000 milli-units)
+    so the DuckDB oracle is closed-form while the Ray-side plumbing
+    (broadcast-lookup scoring inside map_batches) is exactly the real
+    thing. Docs with ≥ 1 token are scored (inner semantics both
+    sides)."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64, tokens as _tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        ids, sc = [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            tk = _tokens((t or "").lower())
+            if not tk:
+                continue
+            s = 0
+            for w in tk:
+                s += (_md5_u64(b"lrw:" + w.encode("utf-8")) % 2001) - 1000
+            ids.append(i)
+            sc.append(s)
+        sa = np.array(sc, np.int64) if sc else np.empty(0, np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "score_milli": pa.array(sa, pa.int64()),
+            "is_quality": pa.array((sa >= 0).astype(np.int64),
+                                   pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- T138: TPC-H Q21 shape (multi-EXISTS per join group) -------------
+
+Q21_LATE_DAYS = 90
+Q21_TOP_K = 20
+
+
+def q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 SHAPE — suppliers who kept multi-supplier orders
+    waiting: on orders with ≥ 2 distinct suppliers, count per supplier
+    the orders where THAT supplier shipped late (any line >
+    o_orderdate + Q21_LATE_DAYS) and every OTHER supplier was on time
+    — the classic EXISTS + NOT-EXISTS pair on one join key, the last
+    TPC-H join archetype the battery lacked (late test adapted to the
+    sf tables' columns: no commit/receipt dates). Top-Q21_TOP_K by
+    (n_waiting DESC, s_suppkey ASC).
+
+    Shape: NO native join — both sides co-partition by orderkey hash
+    through ONE union exchange: lineitem pre-combines to per-(order,
+    supplier, max_shipdate) partials BEFORE the shuffle (any-late ⇔
+    max-late, so the EXISTS collapses into a mergeable max — exchange
+    O(order-supplier pairs), not lines), orders rows ride the same
+    exchange as suppkey = −1 sentinels carrying the date; the
+    per-bucket reduce merges partials, attaches dates vectorized, and
+    applies the both-quantifier predicate, emitting per-supplier
+    PARTIAL counts map-side; a second tiny supplier-bucketed exchange
+    sums + partial top-k → final sort. (First draft used a native
+    hash join + a post-join bucketed reduce: 18.0 s at sf0.1; this
+    single-exchange plan measures 10.8 s.)"""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    n_rows = li.count()
+
+    nob = dd.derive_buckets(n_rows, rows_per_doc=1)
+    nsb = max(8, dd.derive_buckets(n_rows, rows_per_doc=64, floor=8))
+
+    def pair_partial(df):
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            ms=("l_shipdate", "max"))
+        g = g.rename(columns={"l_orderkey": "ok", "l_suppkey": "sk"})
+        g["ms"] = g["ms"].astype("int64")
+        g["bkt"] = (g["ok"].to_numpy(np.int64) % nob).astype(np.int32)
+        return g[["bkt", "ok", "sk", "ms"]]
+
+    def order_rows(df):
+        return pd.DataFrame({
+            "bkt": (df["o_orderkey"].to_numpy(np.int64) % nob)
+            .astype(np.int32),
+            "ok": df["o_orderkey"].to_numpy(np.int64),
+            "sk": np.full(len(df), -1, np.int64),
+            "ms": df["o_orderdate"].astype("int64").to_numpy()})
+
+    unioned = li.map_batches(pair_partial, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas"))
+
+    def order_verdicts(g):
+        dates = g[g["sk"] < 0]
+        pairs = g[g["sk"] >= 0].groupby(["ok", "sk"], as_index=False) \
+            .agg(ms=("ms", "max"))
+        m = pairs.merge(dates[["ok", "ms"]].rename(columns={"ms": "od"}),
+                        on="ok", how="inner")
+        m["late"] = (m["ms"].to_numpy(np.int64)
+                     > m["od"].to_numpy(np.int64)
+                     + Q21_LATE_DAYS * US_PER_DAY)
+        v = m.groupby("ok")["late"].agg(["size", "sum"])
+        good = v.index[(v["size"] >= 2) & (v["sum"] == 1)]
+        w = m[m["late"] & m["ok"].isin(good)]
+        out = w.groupby("sk", as_index=False).size()
+        out.columns = ["s_suppkey", "n_waiting"]
+        out = out.astype({"s_suppkey": "int64", "n_waiting": "int64"})
+        out["sbkt"] = (out["s_suppkey"].to_numpy(np.int64) % nsb) \
+            .astype(np.int32)
+        return out
+
+    def supp_reduce(g):
+        s = g.groupby("s_suppkey", as_index=False).agg(
+            n_waiting=("n_waiting", "sum"))
+        s = s.astype({"s_suppkey": "int64", "n_waiting": "int64"})
+        s["neg_sk"] = -s["s_suppkey"].to_numpy(np.int64)
+        return s.sort_values(["n_waiting", "neg_sk"],
+                             ascending=False).head(Q21_TOP_K)
+
+    out = (
+        unioned.groupby("bkt")
+        .map_groups(order_verdicts, batch_format="pandas")
+        .groupby("sbkt")
+        .map_groups(supp_reduce, batch_format="pandas")
+        .sort(["n_waiting", "neg_sk"], descending=True)
+        .limit(Q21_TOP_K)
+    )
+    return out.select_columns(["s_suppkey", "n_waiting"])
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7105,6 +7679,13 @@ def queries() -> dict:
         "multimodal_features": q_multimodal_features,  # real-pixel kernel
         "multimodal_resize": q_multimodal_resize,  # real NN resample
         "frame_sample": q_frame_sample,  # real GIF frame counter
+        # -- (1b) NEW this session (T133-T137) -----------------------
+        "in_transit_daily": q_in_transit_daily,
+        "dsir_weights": q_dsir_weights,
+        "srp_embedding_dups": q_srp_embedding_dups,
+        "substring_dup_spans": q_substring_dup_spans,
+        "quality_lr": q_quality_lr,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "sentence_dedup": q_sentence_dedup,
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
@@ -9315,6 +9896,169 @@ def _extract_oracle_cte() -> str:
           FROM src
         )
     """
+
+
+# T133: intervals × generate_series — the textbook range-join
+# formulation the engine's delta encoding is provably equal to
+ORACLES["in_transit_daily"] = """
+    WITH li AS (
+      SELECT date_trunc('day', l_shipdate) AS s,
+             (l_orderkey + l_linenumber) % 30 + 1 AS dur
+      FROM lineitem),
+    days AS (
+      SELECT s + x.x * INTERVAL 1 DAY AS day
+      FROM li, unnest(range(0, dur + 1)) x(x))
+    SELECT day, CAST(count(*) AS BIGINT) AS n_in_transit
+    FROM days GROUP BY day
+"""
+
+# T134: add-one-smoothed hashed-unigram importance ratio in ppm —
+# HUGEINT products (the engine computes them in Python bigints)
+ORACLES["dsir_weights"] = """
+    WITH toks AS (
+      SELECT doc_id, lang, t.tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS t(tok)),
+    occ AS (
+      SELECT doc_id, lang, md5_number_upper(tok) AS th,
+             count(*) AS occ
+      FROM toks GROUP BY 1, 2, 3),
+    cnts AS (
+      SELECT th,
+             coalesce(sum(occ) FILTER (WHERE lang = 'en'), 0) AS ct,
+             coalesce(sum(occ) FILTER (WHERE lang <> 'en'), 0) AS cs
+      FROM occ GROUP BY th),
+    tot AS (SELECT sum(ct) AS t, sum(cs) AS s FROM cnts),
+    w AS (
+      SELECT th,
+             (ct + 1)::HUGEINT * (tot.s + 1) * 1000000
+               // ((cs + 1)::HUGEINT * (tot.t + 1)) AS w
+      FROM cnts, tot)
+    SELECT o.doc_id,
+           CAST(sum(o.occ::HUGEINT * w.w) AS BIGINT) AS dsir_score
+    FROM occ o JOIN w USING (th)
+    GROUP BY o.doc_id
+"""
+
+# T135: integer-micro SRP signatures → banded candidates (MAX_BUCKET
+# cap mirrored) → float cosine acceptance, shared threshold with T5
+ORACLES["srp_embedding_dups"] = """
+    WITH planes AS (
+      SELECT j.j AS j, d.d AS d,
+             CAST(md5_number_upper('srp:' || j.j || ':' || d.d) % 15
+                  AS BIGINT) - 7 AS h
+      FROM range({bits}) j(j), range(64) d(d)),
+    comp AS (
+      SELECT vec_id, r.i - 1 AS d,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS e
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+    dots AS (
+      SELECT vec_id, j, sum(e * h) AS dot
+      FROM comp JOIN planes USING (d) GROUP BY 1, 2),
+    sigs AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot >= 0 THEN 1::UBIGINT << j
+                      ELSE 0::UBIGINT END)::UBIGINT AS sig
+      FROM dots GROUP BY vec_id),
+    bands AS (
+      SELECT vec_id, r.b AS band,
+             (sig >> (r.b * {bb})) & {bmask} AS chunk,
+             row_number() OVER (
+               PARTITION BY r.b, (sig >> (r.b * {bb})) & {bmask}
+               ORDER BY vec_id) AS rk
+      FROM sigs, range({nbands}) r(b)),
+    capped AS (SELECT * FROM bands WHERE rk <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.chunk = b.chunk
+       AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+    WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[]))
+          >= {cos}
+""".format(bits=SRP_BITS, bb=SRP_BAND_BITS,
+           bmask=(1 << SRP_BAND_BITS) - 1,
+           nbands=SRP_BITS // SRP_BAND_BITS,
+           max_bucket=dd.MAX_BUCKET, cos=SRP_COS_MIN)
+
+# T136: windows via range(); union coverage = Σ least(W, next−start)
+# over each doc's dup windows sorted by start (stride-aligned merge)
+ORACLES["substring_dup_spans"] = """
+    WITH w AS (
+      SELECT doc_id, i.i AS start,
+             md5_number_upper(substr(text, i.i + 1, {W})) AS wh,
+             length(text) AS len
+      FROM documents,
+           unnest(range(0, length(text) - {Wm1}, {S})) AS i(i)
+      WHERE length(text) >= {W}),
+    dup AS (
+      SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM w)
+      GROUP BY wh HAVING count(*) >= 2),
+    dw AS (
+      SELECT doc_id, start,
+             least({W}, coalesce(
+               lead(start) OVER (PARTITION BY doc_id ORDER BY start)
+               - start, {W})) AS cov
+      FROM w JOIN dup USING (wh)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_dup, sum(cov) AS chars
+      FROM dw GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, count(*) AS n_windows, any_value(len) AS len
+      FROM w GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(a.chars, 0) * 1000000 // t.len AS BIGINT)
+               AS dup_char_ppm
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+""".format(W=SUBSTR_W, Wm1=SUBSTR_W - 1, S=SUBSTR_STRIDE)
+
+# T138: any-late ⇔ max-late makes the EXISTS a mergeable aggregate;
+# the single-late-supplier predicate is the Q21 EXISTS/NOT-EXISTS pair
+ORACLES["q21_waiting_suppliers"] = """
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+      FROM lineitem GROUP BY 1, 2),
+    f AS (
+      SELECT ls.l_orderkey, ls.l_suppkey,
+             CASE WHEN ls.ms > o.o_orderdate + INTERVAL {d} DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM ls JOIN orders o ON ls.l_orderkey = o.o_orderkey),
+    g AS (
+      SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+      FROM f GROUP BY 1)
+    SELECT f.l_suppkey AS s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_waiting
+    FROM f JOIN g USING (l_orderkey)
+    WHERE g.ns >= 2 AND g.nl = 1 AND f.late = 1
+    GROUP BY 1
+    ORDER BY n_waiting DESC, s_suppkey
+    LIMIT {k}
+""".format(d=Q21_LATE_DAYS, k=Q21_TOP_K)
+
+# T137: hash-derived milli-unit weights, inner semantics (≥ 1 token)
+ORACLES["quality_lr"] = """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)),
+    sc AS (
+      SELECT doc_id,
+             sum(CAST(md5_number_upper('lrw:' || tok) % 2001
+                      AS BIGINT) - 1000) AS s
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST(s AS BIGINT) AS score_milli,
+           CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_quality
+    FROM sc
+"""
 
 
 def oracle_sql() -> dict[str, str]:
