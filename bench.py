@@ -37,6 +37,8 @@ QUERY_NAMES = [
     "substring_dup_spans",
     "quality_lr",
     "q21_waiting_suppliers",
+    "value_quantiles_cont",
+    "sliding_distinct_users",
     "new_users_daily",
     "heavy_hitters_cms",
     "lang_confusion",

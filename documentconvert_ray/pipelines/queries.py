@@ -7613,6 +7613,123 @@ def q_q21_waiting_suppliers(sf_dir: str):
     return out.select_columns(["s_suppkey", "n_waiting"])
 
 
+# --- T139: interpolated (continuous) grouped quantiles ---------------
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Grouped INTERPOLATED quantiles (percentile_cont semantics) —
+    completes the quantile family: T26 is discrete (quantile_disc),
+    T34 the mergeable sketch, this the linear interpolation between
+    adjacent order statistics at pos = q·(N−1). Integer-exact in
+    pico-units: with q in micro, lo = q(N−1)//10⁶, r = q(N−1) mod 10⁶,
+    out = v_lo·(10⁶−r) + v_hi·r — both sides compute this exact
+    integer formula (DuckDB's own quantile_cont works in doubles, so
+    the oracle spells the arithmetic out instead of calling it).
+    Same single-exchange histogram shape as T26: only batch-distinct
+    (type, value_micro) rows shuffle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        df = df.assign(v=_micro_int_col(df["value"]))
+        g = (df.groupby(["event_type", "v"], as_index=False)
+             .agg(n=("v", "size")))
+        g["n"] = g["n"].astype("int64")
+        return g[["event_type", "v", "n"]]
+
+    hist = ds.map_batches(partial, batch_format="pandas")
+
+    def quantiles(g):
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+
+        def qc(q_micro: int) -> int:
+            num = q_micro * (total - 1)
+            lo, r = num // 1_000_000, num % 1_000_000
+            vlo = int(v[np.searchsorted(cum, lo + 1)])
+            vhi = int(v[np.searchsorted(cum, lo + 2)]) \
+                if lo + 1 < total else vlo
+            return vlo * (1_000_000 - r) + vhi * r
+
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "p25_pico": [qc(250_000)],
+             "p50_pico": [qc(500_000)],
+             "p90_pico": [qc(900_000)],
+             "n_events": [total]})
+
+    return hist.groupby("event_type").map_groups(
+        quantiles, batch_format="pandas"
+    )
+
+
+# --- T140: sliding-window count-distinct (sliding DAU) ---------------
+
+US_PER_HOUR = 3_600_000_000
+SLIDE_WINDOW_HOURS = 24
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """SLIDING-WINDOW COUNT-DISTINCT — distinct users over the
+    trailing 24 h, advancing hourly (the live-DAU dashboard shape and
+    the sliding twin of T25's overlapping count windows; COUNT/SUM
+    slide cheaply but DISTINCT does not distribute over overlaps, so
+    the sketch-free exact form needs per-window flag rows). Window
+    w covers hours (w−23 … w]; emitted for every window that saw ≥ 1
+    event.
+
+    Shape: per-batch DISTINCT (hour, user) flags first (bounded by
+    users·hours, never events), each flag explodes to its ≤ 24
+    windows, batch-distinct again, then a USER-hash bucketed reduce
+    counts each window's users per bucket (a user lives in exactly
+    one bucket ⇒ bucket partials sum to the global distinct count);
+    the per-(window, bucket) partials fold through the two-level
+    repartition reduce (window axis is calendar-bounded). Exchange:
+    ≤ 24 · distinct(hour, user) 16-byte rows."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = dd.derive_buckets(ds.count())
+
+    def flags(df):
+        h = df["ts"].astype("int64").to_numpy() // US_PER_HOUR
+        d = pd.DataFrame({"h": h, "u": df["user_id"].to_numpy(np.int64)}
+                         ).drop_duplicates()
+        k = np.arange(SLIDE_WINDOW_HOURS, dtype=np.int64)
+        w = (d["h"].to_numpy(np.int64)[:, None] + k[None, :]).ravel()
+        u = np.repeat(d["u"].to_numpy(np.int64), SLIDE_WINDOW_HOURS)
+        out = pd.DataFrame({"w": w, "u": u}).drop_duplicates()
+        out["bucket"] = (out["u"] % nb).astype("int32")
+        return out
+
+    def bucket_counts(g):
+        s = g.drop_duplicates(["w", "u"]).groupby(
+            "w", as_index=False).agg(n=("u", "size"))
+        return s.astype({"w": "int64", "n": "int64"})
+
+    def fold(df):
+        return df.groupby("w", as_index=False).agg(n=("n", "sum"))
+
+    per_w = (
+        ds.map_batches(flags, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .repartition(8)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    ).to_pandas().sort_values("w").reset_index(drop=True)
+    return pd.DataFrame({
+        "w_hour": pd.to_datetime(per_w["w"].to_numpy(np.int64)
+                                 * US_PER_HOUR, unit="us")
+        .astype("datetime64[us]"),
+        "n_users": per_w["n"].astype("int64")})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7686,6 +7803,8 @@ def queries() -> dict:
         "substring_dup_spans": q_substring_dup_spans,
         "quality_lr": q_quality_lr,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "value_quantiles_cont": q_value_quantiles_cont,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "sentence_dedup": q_sentence_dedup,
         "doc_chunks": q_doc_chunks,
         "embedding_outliers": q_embedding_outliers,
@@ -10041,6 +10160,60 @@ ORACLES["q21_waiting_suppliers"] = """
     ORDER BY n_waiting DESC, s_suppkey
     LIMIT {k}
 """.format(d=Q21_LATE_DAYS, k=Q21_TOP_K)
+
+# T139: percentile_cont spelled out in exact integer arithmetic
+# (lo/hi order statistics from a raw row_number rank; DuckDB's own
+# quantile_cont interpolates in doubles, so the formula is explicit)
+ORACLES["value_quantiles_cont"] = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+               - 1 AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    q AS (SELECT * FROM (VALUES (250000), (500000), (900000)) t(qm)),
+    pos AS (
+      SELECT d.event_type, d.n, q.qm,
+             (q.qm::HUGEINT * (d.n - 1)) // 1000000 AS lo,
+             (q.qm::HUGEINT * (d.n - 1)) % 1000000 AS r
+      FROM (SELECT DISTINCT event_type, n FROM r) d, q),
+    lohi AS (
+      SELECT p.event_type, p.n, p.qm, p.r,
+             rl.v AS vlo, coalesce(rh.v, rl.v) AS vhi
+      FROM pos p
+      JOIN r rl ON rl.event_type = p.event_type AND rl.rk = p.lo
+      LEFT JOIN r rh ON rh.event_type = p.event_type
+                    AND rh.rk = p.lo + 1)
+    SELECT event_type,
+           CAST(max(CASE WHEN qm = 250000
+                THEN vlo * (1000000 - r) + vhi * r END) AS BIGINT)
+               AS p25_pico,
+           CAST(max(CASE WHEN qm = 500000
+                THEN vlo * (1000000 - r) + vhi * r END) AS BIGINT)
+               AS p50_pico,
+           CAST(max(CASE WHEN qm = 900000
+                THEN vlo * (1000000 - r) + vhi * r END) AS BIGINT)
+               AS p90_pico,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM lohi GROUP BY event_type
+"""
+
+# T140: the window set is generated from event hours (a window exists
+# iff ≥1 event falls in it), distinct per (window, user)
+ORACLES["sliding_distinct_users"] = """
+    WITH eh AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+      FROM events),
+    wins AS (
+      SELECT DISTINCT eh.h + x.x * INTERVAL 1 HOUR AS w_hour, user_id
+      FROM eh, range({W}) x(x))
+    SELECT w_hour, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM wins GROUP BY w_hour
+""".format(W=SLIDE_WINDOW_HOURS)
 
 # T137: hash-derived milli-unit weights, inner semantics (≥ 1 token)
 ORACLES["quality_lr"] = """

@@ -211,3 +211,50 @@ def test_q21_waiting_suppliers_local_recompute(ray_session):
                   key=lambda kv: (-kv[1], kv[0]))[:Q.Q21_TOP_K]
     got = Q.q_q21_waiting_suppliers(SF).to_pandas()
     assert list(zip(got["s_suppkey"], got["n_waiting"])) == want
+
+
+def test_value_quantiles_cont_local_recompute(ray_session):
+    """Interpolated quantiles == numpy recomputation of the exact
+    integer lo/hi formula over raw micro values."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    got = Q.q_value_quantiles_cont(SF).to_pandas().set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(np.floor(
+            g["value"].to_numpy(np.float64) * 1_000_000 + 0.5)
+            .astype(np.int64))
+        n = len(v)
+        for q_micro, col in ((250_000, "p25_pico"), (500_000, "p50_pico"),
+                             (900_000, "p90_pico")):
+            num = q_micro * (n - 1)
+            lo, r = num // 1_000_000, num % 1_000_000
+            vhi = int(v[lo + 1]) if lo + 1 < n else int(v[lo])
+            want = int(v[lo]) * (1_000_000 - r) + vhi * r
+            assert int(got.loc[et, col]) == want, (et, col)
+        assert int(got.loc[et, "n_events"]) == n
+
+
+def test_sliding_distinct_users_local_recompute(ray_session):
+    """Sliding 24 h distinct == dict-of-sets recomputation; also the
+    peak window is ≥ any single hour's distinct count."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    hours = ev["ts"].astype("int64") // Q.US_PER_HOUR
+    wins: dict[int, set[int]] = {}
+    hour_sets: dict[int, set[int]] = {}
+    for h, u in zip(hours, ev["user_id"].astype("int64")):
+        hour_sets.setdefault(int(h), set()).add(int(u))
+        for k in range(Q.SLIDE_WINDOW_HOURS):
+            wins.setdefault(int(h) + k, set()).add(int(u))
+    got = Q.q_sliding_distinct_users(SF)
+    assert len(got) == len(wins)
+    got_w = got["w_hour"].astype("int64").to_numpy() \
+        // (Q.US_PER_HOUR * (1000 if got["w_hour"].dtype ==
+                             np.dtype("datetime64[ns]") else 1))
+    for w, n in zip(got_w, got["n_users"]):
+        assert int(n) == len(wins[int(w)])
+    assert got["n_users"].max() >= max(len(s) for s in hour_sets.values())
