@@ -4907,10 +4907,19 @@ def q_label_pair_sim(sf_dir: str):
             "s": np.asarray(rows_s, np.int64),
         })
 
+    def fold(df):
+        return df.groupby(["label", "dim"], as_index=False).agg(
+            s=("s", "sum"))
+
+    # two-level repartition fold instead of a native 660-key
+    # Aggregate — the same per-aggregator-overhead cliff
+    # embedding_outliers measured (8.0 s native → sub-second fold)
     agg = (
         ds.map_batches(partials, batch_format="pandas")
-        .groupby(["label", "dim"])
-        .aggregate(Sum("s", alias_name="s"))
+        .repartition(8)
+        .map_batches(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
         .to_pandas()  # labels × (dims + 2) rows: tiny
     )
     out_rows = []
@@ -6674,10 +6683,20 @@ def q_peak_concurrency(sf_dir: str):
         return out
 
     rows = ds.map_batches(deltas, batch_format="pandas").materialize()
+
+    # per-batch per-bucket partial sums + a driver fold (O(buckets ×
+    # blocks) rows) instead of a native Aggregate shuffle of every
+    # delta row — same per-aggregator-overhead cliff in_transit_daily
+    # measured (22.9 s → 3.3 s there)
+    def net_partial(df):
+        return df.groupby("bucket", as_index=False).agg(net=("d", "sum"))
+
     nets = (
-        rows.groupby("bucket")
-        .aggregate(Sum("d", alias_name="net"))
-    ).to_pandas().sort_values("bucket")
+        rows.map_batches(net_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", as_index=False).agg(net=("net", "sum"))
+        .sort_values("bucket")
+    )
     offsets: dict[int, int] = {}
     acc = 0
     for b, net in zip(nets["bucket"].astype(int), nets["net"].astype(int)):
