@@ -64,10 +64,17 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.extract import run_extract_job
         from .sources.corpus import write_corpus
 
-        if args.corpus_rows and not (
-            os.path.isdir(args.input) and os.listdir(args.input)
-        ):
-            write_corpus(args.input, args.corpus_rows)
+        if args.corpus_rows:
+            listing = (os.listdir(args.input)
+                       if os.path.isdir(args.input) else [])
+            # generate when the dir is empty OR holds only corpus
+            # shards (write_corpus is per-shard idempotent, so a
+            # partially generated corpus resumes instead of silently
+            # passing as complete); a dir of user files is untouched
+            if not listing or all(
+                f.startswith("corpus-") for f in listing
+            ):
+                write_corpus(args.input, args.corpus_rows)
 
         if args.stage_raw_from:
             from .pipelines.extract import stage_raw_files

@@ -1851,17 +1851,29 @@ def write_corpus(path: str, n_rows: int, seed: int = SEED,
     Sharded so `ray.data.read_parquet` gets parallel fragments; each
     shard is an independent function of its id range (generation can be
     distributed with ray tasks for the bench corpus).
-    """
+
+    Idempotent and crash-resumable per shard: each shard lands via
+    tmp-file + atomic rename (a killed run never leaves a torn
+    parquet), and an existing shard file is skipped — re-running the
+    same command after an interrupt fills exactly the missing id
+    ranges (a partially generated corpus previously passed run.py's
+    non-empty-dir check silently)."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):  # torn writes from a killed run
+        if stale.endswith(".tmp"):
+            os.unlink(os.path.join(path, stale))
     files: list[str] = []
     for shard_start in range(0, n_rows, rows_per_file):
         cnt = min(rows_per_file, n_rows - shard_start)
-        tbl = make_corpus_table(cnt, seed, start_id=shard_start)
         fp = os.path.join(path, f"corpus-{shard_start:09d}.parquet")
-        pq.write_table(tbl, fp)
+        if not os.path.exists(fp):
+            tbl = make_corpus_table(cnt, seed, start_id=shard_start)
+            tmp = fp + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, fp)
         files.append(fp)
     return files

@@ -258,3 +258,27 @@ def test_sliding_distinct_users_local_recompute(ray_session):
     for w, n in zip(got_w, got["n_users"]):
         assert int(n) == len(wins[int(w)])
     assert got["n_users"].max() >= max(len(s) for s in hour_sets.values())
+
+
+def test_write_corpus_resumes_missing_shards(tmp_path):
+    """Corpus generation is per-shard idempotent: a killed run's
+    missing shards are regenerated byte-identically on re-run,
+    existing shards are not rewritten, torn .tmp files are cleaned."""
+    import os
+
+    from documentconvert_ray.sources.corpus import write_corpus
+
+    d = str(tmp_path / "c")
+    files = write_corpus(d, 300, rows_per_file=100)
+    assert len(files) == 3
+    victim = files[1]
+    ref_bytes = open(victim, "rb").read()
+    os.unlink(victim)
+    open(victim + ".tmp", "wb").write(b"torn")  # simulated torn write
+    keeper = files[0]
+    mtime0 = os.stat(keeper).st_mtime_ns
+    files2 = write_corpus(d, 300, rows_per_file=100)
+    assert files2 == files
+    assert open(victim, "rb").read() == ref_bytes
+    assert os.stat(keeper).st_mtime_ns == mtime0  # untouched
+    assert not os.path.exists(victim + ".tmp")
