@@ -7325,12 +7325,12 @@ def q_srp_embedding_dups(sf_dir: str):
         ids_pd["doc_id_a"].to_numpy(np.int64),
         ids_pd["doc_id_b"].to_numpy(np.int64)])) if len(ids_pd) else \
         np.empty(0, np.int64)
-    id_ref = ray.put(set(cand_ids.tolist()))
+    id_ref = ray.put(cand_ids)  # sorted int64 array (np.unique)
 
     def gather(b: pa.Table) -> pa.Table:
         want = sim.resolve_broadcast(id_ref, key="srp-cand-ids")
-        ids = b.column("vec_id").to_numpy()
-        keep = np.fromiter((int(i) in want for i in ids), bool, len(ids))
+        keep = np.isin(b.column("vec_id").to_numpy(), want,
+                       assume_unique=False)
         return b.filter(pa.array(keep))
 
     vecs = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
