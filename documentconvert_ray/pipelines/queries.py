@@ -1213,6 +1213,18 @@ def q_term_scrub(sf_dir: str):
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (C4 §2.2 / Dolma-style curation): regex scrub of
+    emails / NANP phone numbers / IPv4 addresses with per-kind match
+    counts and an md5-of-redacted-text contract the oracle mirrors.
+    Shuffle-free map_batches — the 100 TB shape is one streaming pass.
+    The sf corpus is PII-free, so a deterministic doc_id-keyed PII
+    injection (identical formula on the SQL side, stages/text.py
+    ``pii_augment``) makes the redaction kernel do verified work."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tx.pii_scrub_batch, batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals (type-token ratio +
     top-bigram mass) — map-side only, integer micro-units."""
@@ -7763,6 +7775,8 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
+        # -- (0a2) new this session, never checked --------------------
+        "pii_scrub": q_pii_scrub,
         # -- (0b) never driver-checked through r3 (VERDICT r3 next-
         # round #1: these take window priority) ----------------------
         "order_revenue_join": q_order_revenue_join,
@@ -8271,6 +8285,39 @@ ORACLES: dict[str, str] = {
         FROM toks
     """.format(block="(" + ",".join(
         f"'{w}'" for w in sorted(tx.SCRUB_TERMS)) + ")"),
+    # pii_augment's injection formulas mirrored literally; regexes are
+    # the stage's own module constants (RE2 ∩ Python common subset)
+    "pii_scrub": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com now'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || (100 + doc_id % 900) || '-'
+                         || (1000 + doc_id % 9000) || ' today'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' from 10.' || (doc_id % 256) || '.'
+                         || ((doc_id // 7) % 256) || '.'
+                         || (doc_id % 100) || ' logged'
+                    ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT)
+                   AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                     t, '{em}', '<EMAIL>', 'g'),
+                     '{ph}', '<PHONE>', 'g'),
+                     '{ip}', '<IP>', 'g')) AS redacted_md5
+        FROM aug
+    """.format(em=tx.PII_EMAIL_RE, ph=tx.PII_PHONE_RE,
+               ip=tx.PII_IP_RE),
     "repetition_stats": """
         WITH toks AS (
           SELECT doc_id,

@@ -10,6 +10,7 @@ an oracle exists (see pipelines/queries.py — e.g. token counting ==
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pyarrow as pa
 
@@ -699,3 +700,61 @@ def dsir_count_partial(batch: pa.Table) -> pa.Table:
                                     np.int64, len(words))),
          "cs": pa.array(np.fromiter((cs.get(w, 0) for w in words),
                                     np.int64, len(words)))})
+
+
+# --- PII redaction (C4 / Dolma-style curation step) -----------------
+# Patterns restricted to the RE2 ∩ Python `re` common subset (ASCII
+# classes, \b, bounded repetition) so the DuckDB oracle — RE2 — and
+# this kernel agree byte-for-byte. Order matters only if patterns
+# could overlap; these three are mutually exclusive (emails carry '@',
+# phones are dash-separated digit runs, IPs dot-separated), so
+# count-then-replace is well defined.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_EMAIL = re.compile(PII_EMAIL_RE)
+_PII_PHONE = re.compile(PII_PHONE_RE)
+_PII_IP = re.compile(PII_IP_RE)
+
+
+def pii_augment(doc_id: int, text: str) -> str:
+    """Deterministic PII injection — the sf corpus text is PII-free, so
+    both sides (this kernel and the SQL oracle) derive the SAME
+    augmented column; the redaction regexes then do real work that the
+    value-hash check verifies. Formulas are mirrored literally in
+    ORACLES['pii_scrub']."""
+    t = text
+    if doc_id % 3 == 0:
+        t += f" contact user{doc_id}@example.com now"
+    if doc_id % 5 == 0:
+        t += f" call 555-{100 + doc_id % 900}-{1000 + doc_id % 9000} today"
+    if doc_id % 7 == 0:
+        t += (f" from 10.{doc_id % 256}.{(doc_id // 7) % 256}"
+              f".{doc_id % 100} logged")
+    return t
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Map-side PII scrub: per-kind match counts + md5 of the redacted
+    text. Zero shuffle — the 100 TB shape is exactly this batch fn.
+    Regex evaluation IS the per-row work (cf. the sha256 note on
+    _stats_partials); patterns are compiled once at module import."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    n_em, n_ph, n_ip, md5s = [], [], [], []
+    for i, t in zip(ids, texts):
+        t = pii_augment(int(i), t or "")
+        n_em.append(len(_PII_EMAIL.findall(t)))
+        n_ph.append(len(_PII_PHONE.findall(t)))
+        n_ip.append(len(_PII_IP.findall(t)))
+        red = _PII_EMAIL.sub("<EMAIL>", t)
+        red = _PII_PHONE.sub("<PHONE>", red)
+        red = _PII_IP.sub("<IP>", red)
+        md5s.append(hashlib.md5(red.encode("utf-8")).hexdigest())
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "n_emails": pa.array(n_em, pa.int64()),
+         "n_phones": pa.array(n_ph, pa.int64()),
+         "n_ips": pa.array(n_ip, pa.int64()),
+         "redacted_md5": pa.array(md5s, pa.string())})
