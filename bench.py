@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "per_lang_top5",
     "term_scrub",
+    "pii_scrub",
     "repetition_stats",
     "benchmark_contamination",
     "sequence_pack",
