@@ -3755,23 +3755,35 @@ def q_dedup_keep_best(sf_dir: str):
                             kind="mergesort")
         keep_ids = frozenset(
             int(x) for x in cc.groupby("rep").head(1)["doc_id"])
+        # broadcast PARALLEL SORTED ARRAYS, not dict/set — the label
+        # pass probes with one vectorized searchsorted per batch
+        # instead of per-row Python membership (cf. big_orders fix)
+        order = np.argsort(cdf["doc_id"].to_numpy(np.int64),
+                           kind="mergesort")
+        ckeys = cdf["doc_id"].to_numpy(np.int64)[order]
+        cvals = cdf["rep_doc_id"].to_numpy(np.int64)[order]
+        ckeep = np.fromiter((int(i) in keep_ids for i in ckeys),
+                            bool, len(ckeys))  # bounded clustered subset
     else:
-        reps = {}
-        keep_ids = frozenset()
-    state_ref = ray.put((reps, keep_ids))
+        ckeys = np.empty(0, np.int64)
+        cvals = np.empty(0, np.int64)
+        ckeep = np.empty(0, bool)
+    state_ref = ray.put((ckeys, cvals, ckeep))
 
     def label(df):
         import pandas as pd
 
-        r, k = sim.resolve_broadcast(state_ref, key="keepbest-state")
+        ks, vs, kp = sim.resolve_broadcast(state_ref, key="keepbest-state")
         ids = df["doc_id"].to_numpy(np.int64)
-        rep = np.fromiter((r.get(int(i), int(i)) for i in ids),
-                          np.int64, len(ids))
-        # keep: singleton (doc absent from the cluster table) OR the
-        # cluster's pick; reps appear in the table with rep == self
-        keep = np.fromiter(
-            ((int(i) in k) if int(i) in r else True for i in ids),
-            bool, len(ids))
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            found = ks[pos] == ids
+            # singleton (doc absent from the cluster table): rep=self,
+            # keep=True; else the cluster table's rep + pick
+            rep = np.where(found, vs[pos], ids)
+            keep = np.where(found, kp[pos], True)
+        else:
+            rep, keep = ids, np.ones(len(ids), bool)
         return pd.DataFrame({
             "doc_id": ids,
             "rep_doc_id": rep,
