@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "per_lang_top5",
     "term_scrub",
     "pii_scrub",
+    "training_shuffle",
     "repetition_stats",
     "benchmark_contamination",
     "sequence_pack",

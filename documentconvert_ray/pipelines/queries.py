@@ -771,6 +771,49 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+TRAIN_SHARDS = 16  # oracle-mirrored; production derives from corpus
+                   # size (dd.derive_buckets) so shards match blocks
+
+
+def q_training_shuffle(sf_dir: str):
+    """Deterministic global training shuffle (the final prep step
+    before tokenization: every epoch reader wants the corpus in a
+    reproducible pseudorandom order, sharded for parallel loading).
+    Each doc gets a multiplicative-hash key (bijective mod 2^32 —
+    collision-free ordering for any sub-4B-doc shard), shard = key mod
+    TRAIN_SHARDS, pos = rank within the shard by (key, doc_id).
+
+    Scale shape: key+shard are map-side; the ONLY exchange is the
+    shard hash-partition every training-output write needs anyway;
+    within-shard rank is one vectorized argsort per shard group
+    (shards sized to blocks in production via derive_buckets — fixed
+    here so the SQL oracle can mirror the constant)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        k = _knuth32(ids)
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "k": pa.array(k, pa.int64()),
+            "shard": pa.array(k % TRAIN_SHARDS, pa.int64()),
+        })
+
+    def rank(df):
+        df = df.sort_values(["k", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "shard": df["shard"].to_numpy(np.int64),
+            "pos": np.arange(len(df), dtype=np.int64),
+        })
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
 # Per-language keep percentages for the stratified sample (corpus
 # rebalancing: downweight the dominant language, keep more of the
 # tail). The SQL oracle's CASE table is generated from this dict —
@@ -7789,6 +7832,7 @@ def queries() -> dict:
         "extract_error_stats": q_extract_error_stats,
         # -- (0a2) new this session, never checked --------------------
         "pii_scrub": q_pii_scrub,
+        "training_shuffle": q_training_shuffle,
         # -- (0b) never driver-checked through r3 (VERDICT r3 next-
         # round #1: these take window priority) ----------------------
         "order_revenue_join": q_order_revenue_join,
@@ -9360,6 +9404,20 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100 < 7
     """,
+    # shard count from the stage constant (TRAIN_SHARDS) — one source
+    # of truth; key formula is the wrap-safe Knuth hash (_knuth32)
+    "training_shuffle": """
+        WITH keyed AS (
+          SELECT doc_id,
+                 CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                      AS BIGINT) AS k
+          FROM documents)
+        SELECT doc_id, k % {ns} AS shard,
+               CAST(row_number() OVER (
+                      PARTITION BY k % {ns} ORDER BY k, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM keyed
+    """.format(ns=TRAIN_SHARDS),
     "corpus_curation": """
         WITH s AS (
           SELECT doc_id, text,
