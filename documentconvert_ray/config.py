@@ -61,6 +61,13 @@ class ExtractConfig:
     # ---- HTML leg ----
     html_batch_size: int = 256
 
+    # ---- output transforms ----
+    # opt-in PII redaction of the extracted markdown (emails / NANP
+    # phones / IPv4 → <EMAIL>/<PHONE>/<IP>, stages/text.py patterns).
+    # OFF by default: the byte-identity contract vs the reference
+    # fixtures holds only for unredacted output.
+    redact_pii: bool = False
+
     # fields that change WHAT is extracted (affect output bytes); the
     # remaining fields are execution sizing only — output-invariant, so
     # they must NOT invalidate resume manifests
@@ -68,6 +75,7 @@ class ExtractConfig:
         "link_density_pct", "min_block_chars", "text_density_pct",
         "pdf_heading_ratio_pct", "pdf_line_tol_milli",
         "pdf_column_gap_milli", "num_partitions", "max_gunzip_bytes",
+        "redact_pii",
     )
 
     def fingerprint(self) -> str:

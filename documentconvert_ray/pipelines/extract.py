@@ -29,7 +29,12 @@ import pyarrow as pa
 import ray.data
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
-from ..stages.extract import OUTPUT_SCHEMA, PdfExtractor, SniffAndExtractHtml
+from ..stages.extract import (
+    OUTPUT_SCHEMA,
+    PdfExtractor,
+    SniffAndExtractHtml,
+    redact_pii_batch,
+)
 from ..state import manifest as mf
 
 
@@ -235,6 +240,12 @@ def build_extract_ds(
         batch_format="pyarrow",
         batch_size=None,
     )
+    if cfg.redact_pii:
+        # opt-in PII scrub of the extracted markdown (semantic config:
+        # part of the manifest fingerprint, so redacted and unredacted
+        # runs never cross-resume)
+        ds = ds.map_batches(
+            redact_pii_batch, batch_format="pyarrow", batch_size=None)
     return ds
 
 

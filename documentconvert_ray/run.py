@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage-warc-from", metavar="SRC", default=None,
                     help="stage WARC archive shards from SRC into corpus "
                          "parquet shards at --input, then extract")
+    # opt-in output transform: scrub emails/phones/IPv4 from the
+    # extracted markdown (semantic config — redacted and unredacted
+    # runs keep separate resume manifests)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="redact emails/phones/IPv4 in extracted text")
     args = ap.parse_args(argv)
 
     import ray
@@ -61,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
     try:
+        from .config import DEFAULT_CONFIG
         from .pipelines.extract import run_extract_job
         from .sources.corpus import write_corpus
 
@@ -99,9 +105,15 @@ def main(argv: list[str] | None = None) -> int:
             dedup_input_urls(ds).write_parquet(args.dedup_urls_to)
             input_path = args.dedup_urls_to
 
+        cfg = DEFAULT_CONFIG
+        if args.redact_pii:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, redact_pii=True)
+
         t0 = time.monotonic()
         metrics = run_extract_job(
-            input_path, args.output, resume=not args.no_resume,
+            input_path, args.output, cfg, resume=not args.no_resume,
             stats_sink=(lambda s: print(s, file=sys.stderr))
             if args.stats else None,
         )

@@ -107,6 +107,39 @@ def _sha256(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
 
 
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """Opt-in output transform (cfg.redact_pii): scrub emails / NANP
+    phones / IPv4 from the extracted markdown and recompute the
+    derived columns (text_sha256, n_md_bytes). Shuffle-free map stage
+    appended after the extraction legs; rows that were not touched
+    keep their python string identity so untouched batches stay cheap.
+    Patterns: stages/text.py PII_*_RE (the T141 pii_scrub kernel)."""
+    from . import text as _tx
+
+    mds = batch.column("text_md").to_pylist()
+    changed = False
+    shas, nbs = [], []
+    for i, t in enumerate(mds):
+        r = _tx._PII_EMAIL.sub("<EMAIL>", t)
+        r = _tx._PII_PHONE.sub("<PHONE>", r)
+        r = _tx._PII_IP.sub("<IP>", r)
+        if r is not t and r != t:
+            mds[i] = r
+            changed = True
+        shas.append(_sha256(mds[i]) if mds[i] else _sha256(""))
+        nbs.append(len(mds[i].encode("utf-8")))
+    if not changed:
+        return batch
+    for name, arr in (
+        ("text_md", pa.array(mds, pa.string())),
+        ("text_sha256", pa.array(shas, pa.string())),
+        ("n_md_bytes", pa.array(nbs, pa.int64())),
+    ):
+        batch = batch.set_column(
+            batch.schema.get_field_index(name), name, arr)
+    return batch
+
+
 def _result_columns(n: int):
     """Pre-sized python lists for the per-row result columns."""
     return {
