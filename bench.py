@@ -31,6 +31,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "nation_trade_volume",
+    "market_share",
+    "returned_items",
+    "customer_order_dist",
+    "bracket_revenue",
+    "incremental_dedup",
+    "token_entropy",
     "in_transit_daily",
     "dsir_weights",
     "srp_embedding_dups",
