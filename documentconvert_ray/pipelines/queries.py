@@ -8338,6 +8338,142 @@ def q_token_entropy(sf_dir: str):
         per_batch, batch_format="pyarrow")
 
 
+# --- T150: greedy k-center coreset (farthest-point sampling) ---------
+
+KCENTER_K = 8
+
+
+def _list_mat(col) -> "np.ndarray":
+    """list / fixed_size_list column → (n, d) matrix (zero-copy for
+    fixed-size int64 lists)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+    return np.stack(col.to_numpy(zero_copy_only=False))
+
+
+def _emb_micro_mat(col) -> "np.ndarray":
+    """embedding list<float> column → (n, d) int64 micro matrix via
+    floor(float64(x)·10⁶) — the exact-integer embedding idiom shared
+    with label_centroids / embedding_outliers and their oracles."""
+    return np.floor(
+        _list_mat(col).astype(np.float64) * 1_000_000).astype(np.int64)
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """GREEDY K-CENTER coreset selection (Gonzalez farthest-point
+    sampling — the classic 2-approx data-selection / diversity-
+    sampling primitive; Sener & Savarese 2018 use exactly this for
+    active-learning coresets). Deterministic and exact-integer, so it
+    carries a full chained-CTE DuckDB oracle despite being iterative:
+    seed = min vec_id, then k−1 rounds of argmax-of-min-distance
+    (micro² ints, ties to the smallest vec_id).
+
+    Shape per round (same skeleton as kmeans_fit): broadcast the
+    selected (j, d) int64 center matrix → map_batches emits ONE
+    candidate row per block (the block's farthest point + its vector)
+    → driver folds n_blocks tiny rows. Vectors never shuffle; the
+    micro-quantized projection is materialized once up front (an
+    iterative op re-reads its input k−1 times — the kmeans_fit
+    precedent). At 100 TB you would FPS over a uniform sample and
+    assign the remainder map-side; the per-round shape is unchanged."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        q = _emb_micro_mat(b.column("embedding"))
+        flat = pa.array(q.ravel(), pa.int64())
+        return pa.Table.from_pydict({
+            "vec_id": b.column("vec_id"),
+            "q": pa.FixedSizeListArray.from_arrays(flat, q.shape[1])})
+
+    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def _rows(tbl_ds):
+        out = []
+        for r in tbl_ds.take_all():
+            out.append((int(r["vec_id"]), np.asarray(r["q"], np.int64)))
+        return out
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        i = int(np.argmin(ids))
+        return b.take(pa.array([i]))
+
+    cand = _rows(qds.map_batches(seed_partial, batch_format="pyarrow"))
+    sel_id, sel_vec = min(cand, key=lambda t: t[0])
+    sel = [(0, sel_id, 0)]  # (rnk, vec_id, dist_micro2)
+    cent = sel_vec[None, :]
+
+    for j in range(1, KCENTER_K):
+        ref = ray.put(cent)
+
+        def far_partial(b: pa.Table, _ref=ref) -> pa.Table:
+            C = sim.resolve_broadcast(_ref, key=f"kcenter-{j}")
+            X = _list_mat(b.column("q")).astype(np.int64, copy=False)
+            ids = b.column("vec_id").to_numpy().astype(np.int64)
+            xx = np.einsum("ij,ij->i", X, X)
+            cc = np.einsum("ij,ij->i", C, C)
+            mind = (xx[:, None] - 2 * (X @ C.T) + cc[None, :]).min(axis=1)
+            i = int(np.lexsort((ids, -mind))[0])  # max dist, tie min id
+            return pa.Table.from_pydict({
+                "vec_id": pa.array([ids[i]], pa.int64()),
+                "dist": pa.array([int(mind[i])], pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X[i], pa.int64()), X.shape[1])})
+
+        best_id, best_d, best_vec = None, -1, None
+        for r in qds.map_batches(
+                far_partial, batch_format="pyarrow").take_all():
+            d_, id_ = int(r["dist"]), int(r["vec_id"])
+            if d_ > best_d or (d_ == best_d and id_ < best_id):
+                best_id, best_d = id_, d_
+                best_vec = np.asarray(r["q"], np.int64)
+        sel.append((j, best_id, best_d))
+        cent = np.vstack([cent, best_vec[None, :]])
+
+    return pd.DataFrame(
+        {"rnk": np.array([s[0] for s in sel], np.int64),
+         "vec_id": np.array([s[1] for s in sel], np.int64),
+         "dist_micro2": np.array([s[2] for s in sel], np.int64)})
+
+
+# --- T151: per-vector scalar quantization (uint8 min-max codes) ------
+
+
+def q_embedding_quantize(sf_dir: str):
+    """SCALAR QUANTIZATION of embeddings to 8-bit codes (the standard
+    4×-compression storage/ANN trick — FAISS SQ8 / product-quant
+    precursors): per-vector min-max affine map to 0..255 in EXACT
+    integers — code = ((x_micro − min_micro)·255) // span — so the
+    codes, their sum and their energy byte-match the DuckDB oracle.
+    Pure map-side: one embeddings scan, zero exchange. Emits the
+    per-vector dequant params (min/max micros) plus two code
+    checksums (sum, sum of squares) rather than 64 code columns."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        m = _emb_micro_mat(b.column("embedding"))
+        mn = m.min(axis=1)
+        mx = m.max(axis=1)
+        span = mx - mn
+        safe = np.where(span == 0, 1, span)
+        codes = ((m - mn[:, None]) * 255) // safe[:, None]
+        codes[span == 0] = 0
+        return pa.Table.from_pydict({
+            "vec_id": b.column("vec_id"),
+            "min_micro": pa.array(mn, pa.int64()),
+            "max_micro": pa.array(mx, pa.int64()),
+            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            "code_sq_sum": pa.array(
+                (codes * codes).sum(axis=1), pa.int64())})
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        per_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8352,7 +8488,10 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a2) new this session (T143–T149), never checked --------
+        # -- (0a1) new this session (T150–T151), never checked --------
+        "kcenter_coreset": q_kcenter_coreset,
+        "embedding_quantize": q_embedding_quantize,
+        # -- (0a2) new last session (T143–T149), never checked --------
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
         "returned_items": q_returned_items,
@@ -11025,6 +11164,70 @@ ORACLES["token_entropy"] = """
            CAST(COALESCE(e.ent_sum // e.tot, 0) AS BIGINT)
                AS entropy_micro
     FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+"""
+
+
+# greedy k-center IS SQL-expressible despite being iterative: the
+# selection is deterministic (exact micro² ints, fixed tie-breaks) and
+# k is a constant, so the k−1 rounds unroll into a chained-CTE ladder
+# (sel_j = sel_{j−1} ∪ argmax of min-dist-to-sel_{j−1}).
+def _kcenter_oracle(k: int) -> str:
+    parts = ["""
+    WITH x AS (
+      SELECT vec_id, r.i - 1 AS dim,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS r(i)),
+    sel0 AS (SELECT CAST(min(vec_id) AS BIGINT) AS cid,
+                    CAST(0 AS BIGINT) AS rnk,
+                    CAST(0 AS BIGINT) AS dist FROM embeddings)"""]
+    for j in range(1, k):
+        parts.append(f""",
+    d{j} AS (
+      SELECT p.vec_id, min(p.dd) AS mind FROM (
+        SELECT x.vec_id, s.cid,
+               sum((x.xm - c.xm) * (x.xm - c.xm)) AS dd
+        FROM x
+        JOIN sel{j - 1} s ON TRUE
+        JOIN x c ON c.vec_id = s.cid AND c.dim = x.dim
+        GROUP BY x.vec_id, s.cid) p
+      GROUP BY p.vec_id),
+    pick{j} AS (
+      SELECT CAST(vec_id AS BIGINT) AS cid, CAST({j} AS BIGINT) AS rnk,
+             CAST(mind AS BIGINT) AS dist
+      FROM d{j} ORDER BY mind DESC, vec_id LIMIT 1),
+    sel{j} AS (SELECT * FROM sel{j - 1} UNION ALL
+               SELECT * FROM pick{j})""")
+    parts.append(f"""
+    SELECT rnk, cid AS vec_id, dist AS dist_micro2 FROM sel{k - 1}""")
+    return "".join(parts)
+
+
+ORACLES["kcenter_coreset"] = _kcenter_oracle(KCENTER_K)
+
+ORACLES["embedding_quantize"] = """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS r(i)),
+    v AS (SELECT vec_id, min(xm) AS mn, max(xm) AS mx
+          FROM x GROUP BY vec_id),
+    c AS (
+      SELECT x.vec_id,
+             CASE WHEN v.mx = v.mn THEN 0
+                  ELSE ((x.xm - v.mn) * 255) // (v.mx - v.mn)
+             END AS code
+      FROM x JOIN v ON x.vec_id = v.vec_id)
+    SELECT v.vec_id,
+           CAST(v.mn AS BIGINT) AS min_micro,
+           CAST(v.mx AS BIGINT) AS max_micro,
+           CAST(sum(c.code) AS BIGINT) AS code_sum,
+           CAST(sum(c.code * c.code) AS BIGINT) AS code_sq_sum
+    FROM c JOIN v ON c.vec_id = v.vec_id
+    GROUP BY v.vec_id, v.mn, v.mx
 """
 
 
