@@ -8474,6 +8474,431 @@ def q_embedding_quantize(sf_dir: str):
         per_batch, batch_format="pyarrow")
 
 
+# --- T152–T157: the remaining TPC-H join archetypes -------------------
+# (Q2 argmin-join-back, Q4 EXISTS semi-join, Q17 correlated per-key
+# average, Q15 argmax-vs-global-max, Q22 anti-join + global scalar,
+# Q16 count-distinct with an exclusion list — adapted to the sf schema,
+# which carries no partsupp/shipmode/commitdate columns.)
+
+
+def _sorted_lookup(keys: "np.ndarray", probe: "np.ndarray"):
+    """Membership probe against a SORTED broadcast key array: returns
+    (clamped insertion index, hit mask). The shared kernel behind
+    every broadcast-dimension prune (T89/T143/T144 idiom)."""
+    idx = np.searchsorted(keys, probe)
+    if len(keys) == 0:
+        return idx, np.zeros(len(probe), bool)
+    idx_c = np.minimum(idx, len(keys) - 1)
+    return idx_c, keys[idx_c] == probe
+
+
+CHEAP_PSIZE = 15
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape — per-part ARGMIN with winner-attribute
+    join-back: for every size-15 part, the supplier offering the
+    lowest observed lineitem price (partsupp is absent from the sf
+    schema, so observed sale price stands in for ps_supplycost; the
+    plan shape is unchanged). The argmin is carried as ONE int64
+    (price_cents·2²⁰ + suppkey — suppkeys are dimension-sized, far
+    below 2²⁰) so min() IS the lexicographic (price, suppkey)
+    tie-break everywhere: per-batch partial min → partkey-bucketed
+    reduce. Only (partkey, packed) rows shuffle; part and supplier
+    attributes attach from broadcasts. Reference class: §2.6 best-per-
+    group picks (document_service best-result selection)."""
+    import pandas as pd
+
+    pdf = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                ).to_pandas()
+    pdf = pdf[pdf["p_size"] == CHEAP_PSIZE]
+    p_keys = np.sort(pdf["p_partkey"].to_numpy(np.int64))
+    p_brand = pdf.set_index("p_partkey")["p_brand"].sort_index(
+    ).to_numpy(object)
+    pref = ray.put(p_keys)
+    nb = 32
+
+    def li_partial(df):
+        pk = sim.resolve_broadcast(pref, key="cheap-parts")
+        lk = df["l_partkey"].to_numpy(np.int64)
+        _, hit = _sorted_lookup(pk, lk)
+        pc = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                      * 100 + 0.5).astype(np.int64)[hit]
+        packed = pc * (1 << 20) + df["l_suppkey"].to_numpy(
+            np.int64)[hit]
+        out = pd.DataFrame({"p_partkey": lk[hit], "packed": packed})
+        out = out.groupby("p_partkey", as_index=False).agg(
+            packed=("packed", "min"))
+        out["bucket"] = (out["p_partkey"] % nb).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        m = g.groupby("p_partkey", as_index=False).agg(
+            packed=("packed", "min"))
+        return m
+
+    best = (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"])
+            .map_batches(li_partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas())  # ≤ |size-15 parts| rows — dimension-sized
+    sdf = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = sdf.set_index("s_suppkey")["s_name"]
+    pk = best["p_partkey"].to_numpy(np.int64)
+    packed = best["packed"].to_numpy(np.int64)
+    sk = packed & ((1 << 20) - 1)
+    bidx = np.searchsorted(p_keys, pk)
+    out = pd.DataFrame({
+        "p_partkey": pk,
+        "p_brand": p_brand[bidx].astype(str),
+        "s_suppkey": sk,
+        "s_name": pd.Series(sk).map(sname).astype(str).to_numpy(),
+        "price_cents": packed >> 20})
+    return out.sort_values("p_partkey", kind="mergesort").reset_index(
+        drop=True)
+
+
+RET_WIN = (np.datetime64("1996-07-01"), np.datetime64("1996-10-01"))
+
+
+def q_returned_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape — orders in a quarter with EXISTS ≥1 returned
+    lineitem, counted per order priority (the sf schema has no
+    commitdate/receiptdate, so l_returnflag='R' is the EXISTS
+    predicate; the semi-join plan is identical). Both sides reduce to
+    keyed rows BEFORE the one orderkey-hash exchange — orders to
+    (okey, priority), lineitem to per-batch-distinct (okey) marks —
+    each bucket decides membership locally with a sorted-array probe,
+    emits pre-counted (priority, n) partials, and a ≤5-key native
+    aggregate folds them. The incremental_dedup two-sided-bucket plan
+    applied to a semi-join. Reference class: §2.4 resume anti-join,
+    inverted to EXISTS."""
+    import pandas as pd
+
+    ods = _read(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    nb = dd.derive_buckets(ods.count())
+
+    def ord_side(df):
+        d = df["o_orderdate"].to_numpy("datetime64[D]")
+        m = (d >= RET_WIN[0]) & (d < RET_WIN[1])
+        ok = df["o_orderkey"].to_numpy(np.int64)[m]
+        return pd.DataFrame({
+            "okey": ok,
+            # explicit string dtype: an empty object column would
+            # convert to Arrow null and break the union's schema
+            "priority": pd.array(
+                df["o_orderpriority"].to_numpy(object)[m],
+                dtype="string"),
+            "is_order": np.ones(len(ok), bool),
+            "bucket": (ok % nb).astype("int32")})
+
+    def li_side(df):
+        ok = np.unique(df["l_orderkey"].to_numpy(np.int64)[
+            df["l_returnflag"].to_numpy(object) == "R"])
+        return pd.DataFrame({
+            "okey": ok,
+            "priority": pd.array(np.full(len(ok), "", object),
+                                 dtype="string"),
+            "is_order": np.zeros(len(ok), bool),
+            "bucket": (ok % nb).astype("int32")})
+
+    o = ods.map_batches(ord_side, batch_format="pandas")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+               ).map_batches(li_side, batch_format="pandas")
+
+    def reduce_bucket(g):
+        ret = np.unique(g.loc[~g["is_order"], "okey"].to_numpy(
+            np.int64))
+        ords = g[g["is_order"]]
+        _, hit = _sorted_lookup(ret, ords["okey"].to_numpy(np.int64))
+        out = (ords.loc[hit].groupby("priority", as_index=False)
+               .agg(n_orders=("okey", "size")))
+        return out.astype({"n_orders": "int64"})
+
+    return (
+        o.union(li)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+QTY_BRAND = "Brand#23"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue from SMALL-quantity orders of one
+    brand's parts: lineitems with quantity below 20% of their part's
+    average. The correlated per-key average is a two-pass broadcast,
+    never a self-join: pass 1 folds per-part (Σqty, n) partials on
+    the driver (bounded by the brand's part count — dimension-sized),
+    pass 2 re-scans map-side keeping rows with 5·qty·n < Σqty (the
+    avg compare in EXACT integers — quantities are integral in this
+    schema) and emits per-batch revenue partials. Zero exchange.
+    Reference class: §2.5 two-pass statistics (corpus stats before
+    filter decisions)."""
+    import pandas as pd
+
+    pdf = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    p_keys = np.sort(pdf.loc[pdf["p_brand"] == QTY_BRAND,
+                             "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(p_keys)
+
+    def pass1(df):
+        pk = sim.resolve_broadcast(pref, key="smallqty-parts")
+        lk = df["l_partkey"].to_numpy(np.int64)
+        _, hit = _sorted_lookup(pk, lk)
+        qi = np.floor(df["l_quantity"].to_numpy(np.float64)
+                      + 0.5).astype(np.int64)[hit]
+        out = pd.DataFrame({"p": lk[hit], "sq": qi, "n": 1})
+        return out.groupby("p", as_index=False).agg(
+            sq=("sq", "sum"), n=("n", "sum"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    parts = li.map_batches(pass1, batch_format="pandas").to_pandas()
+    stats = parts.groupby("p", as_index=False).agg(
+        sq=("sq", "sum"), n=("n", "sum"))
+    st_keys = stats["p"].to_numpy(np.int64)
+    order = np.argsort(st_keys)
+    sref = ray.put((st_keys[order],
+                    stats["sq"].to_numpy(np.int64)[order],
+                    stats["n"].to_numpy(np.int64)[order]))
+
+    def pass2(df):
+        ks, sq, n = sim.resolve_broadcast(sref, key="smallqty-stats")
+        lk = df["l_partkey"].to_numpy(np.int64)
+        idx, hit = _sorted_lookup(ks, lk)
+        qi = np.floor(df["l_quantity"].to_numpy(np.float64)
+                      + 0.5).astype(np.int64)
+        small = hit & (5 * qi * n[idx] < sq[idx])
+        pc = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                      * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "pc": [int(pc[small].sum())],
+            "n": [int(small.sum())]})
+
+    tot = li.map_batches(pass2, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "avg_yearly_cents": np.array(
+            [tot["pc"].sum() // 7], np.int64),
+        "n_small_lineitems": np.array([tot["n"].sum()], np.int64)})
+
+
+TOPSUPP_WIN = (np.datetime64("1996-01-01"), np.datetime64("1996-04-01"))
+
+
+def q_top_suppliers(sf_dir: str):
+    """TPC-H Q15 shape — ALL suppliers whose quarterly revenue equals
+    the global maximum (ties kept, the point of Q15's view): per-batch
+    (suppkey, rev) partials → suppkey-bucketed reduce to per-supplier
+    totals (dimension-sized, materialized once because it feeds both
+    the max and the filter), driver takes the max off per-block max
+    partials, survivors filter map-side and dress with broadcast
+    supplier names. Reference class: §2.6 global-best selection."""
+    import pandas as pd
+
+    nb = 32
+
+    def li_partial(df):
+        d = df["l_shipdate"].to_numpy("datetime64[D]")
+        m = (d >= TOPSUPP_WIN[0]) & (d < TOPSUPP_WIN[1])
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[m]
+            * (1.0 - df["l_discount"].to_numpy(np.float64)[m])
+            * 1_000_000 + 0.5).astype(np.int64)
+        out = pd.DataFrame(
+            {"s": df["l_suppkey"].to_numpy(np.int64)[m], "r": rev})
+        out = out.groupby("s", as_index=False).agg(r=("r", "sum"))
+        out["bucket"] = (out["s"] % nb).astype("int32")
+        return out
+
+    totals = (_read(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+              .map_batches(li_partial, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda g: g.groupby("s", as_index=False)
+                          .agg(r=("r", "sum")),
+                          batch_format="pandas")
+              ).materialize()  # per-supplier totals — dimension-sized
+    def block_max(df):
+        return pd.DataFrame({"m": [int(df["r"].max()) if len(df)
+                                   else np.iinfo(np.int64).min]})
+
+    mx = max(r["m"] for r in totals.map_batches(
+        block_max, batch_format="pandas").take_all())
+    win = totals.map_batches(
+        lambda df, _m=mx: df[df["r"] == _m],
+        batch_format="pandas").to_pandas()
+    sdf = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = sdf.set_index("s_suppkey")["s_name"]
+    out = pd.DataFrame({
+        "s_suppkey": win["s"].astype("int64"),
+        "s_name": win["s"].map(sname).astype(str),
+        "total_rev_micro": win["r"].astype("int64")})
+    return out.sort_values("s_suppkey", kind="mergesort").reset_index(
+        drop=True)
+
+
+RICH_SEGMENTS = ("BUILDING", "MACHINERY")
+RICH_CUTOFF = np.datetime64("2000-07-01")
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape — customers in two market segments with an
+    above-average positive balance and NO orders since a cutoff (the
+    anti-join + global-scalar archetype; segments stand in for Q22's
+    phone prefixes, and recency-idleness for its no-orders predicate
+    because this corpus gives essentially every customer at least one
+    order). The average is one cheap (Σ, n) pre-pass over customer
+    folded on the driver; the strict compare bal·n > Σ stays in exact
+    integer cents. Candidates and per-batch-distinct RECENT order
+    custkeys (date-pruned map-side) then meet in ONE custkey-hash
+    exchange where each bucket anti-joins locally and emits
+    pre-counted (segment, n, Σbal) partials as typed Arrow blocks.
+    Reference class: §2.4 resume anti-join (process only what has no
+    result yet) over a derived predicate."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+    nb = dd.derive_buckets(cust.count())
+
+    def scal(df):
+        seg = df["c_mktsegment"].to_numpy(object)
+        bc = np.floor(df["c_acctbal"].to_numpy(np.float64)
+                      * 100 + 0.5).astype(np.int64)
+        m = np.isin(seg, RICH_SEGMENTS) & (bc > 0)
+        return pd.DataFrame({"s": [int(bc[m].sum())],
+                             "n": [int(m.sum())]})
+
+    sc = cust.map_batches(scal, batch_format="pandas").to_pandas()
+    s_tot, n_tot = int(sc["s"].sum()), int(sc["n"].sum())
+
+    def cand(df):
+        seg = df["c_mktsegment"].to_numpy(object)
+        bc = np.floor(df["c_acctbal"].to_numpy(np.float64)
+                      * 100 + 0.5).astype(np.int64)
+        m = (np.isin(seg, RICH_SEGMENTS) & (bc > 0)
+             & (bc * n_tot > s_tot))
+        ck = df["c_custkey"].to_numpy(np.int64)[m]
+        return pd.DataFrame({
+            "ckey": ck,
+            "seg": pd.array(seg[m], dtype="string"),
+            "bal": bc[m],
+            "is_cust": np.ones(len(ck), bool),
+            "bucket": (ck % nb).astype("int32")})
+
+    def ords(df):
+        recent = (df["o_orderdate"].to_numpy("datetime64[D]")
+                  >= RICH_CUTOFF)
+        ck = np.unique(df["o_custkey"].to_numpy(np.int64)[recent])
+        return pd.DataFrame({
+            "ckey": ck,
+            "seg": pd.array(np.full(len(ck), "", object),
+                            dtype="string"),
+            "bal": np.zeros(len(ck), np.int64),
+            "is_cust": np.zeros(len(ck), bool),
+            "bucket": (ck % nb).astype("int32")})
+
+    c = cust.map_batches(cand, batch_format="pandas")
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]
+              ).map_batches(ords, batch_format="pandas")
+
+    def reduce_bucket(g):
+        have = np.unique(g.loc[~g["is_cust"], "ckey"].to_numpy(
+            np.int64))
+        cands = g[g["is_cust"]]
+        _, hit = _sorted_lookup(have, cands["ckey"].to_numpy(np.int64))
+        idle = cands.loc[~hit]
+        out = idle.groupby("seg", as_index=False).agg(
+            n_custs=("ckey", "size"), total_bal_cents=("bal", "sum"))
+        # typed Arrow block: a mostly-empty pandas string column would
+        # spam Ray's block-size estimator on every empty bucket
+        return pa.Table.from_pydict({
+            "seg": pa.array(out["seg"].to_numpy(object), pa.string()),
+            "n_custs": pa.array(out["n_custs"].to_numpy(np.int64),
+                                pa.int64()),
+            "total_bal_cents": pa.array(
+                out["total_bal_cents"].to_numpy(np.int64),
+                pa.int64())})
+
+    return (
+        c.union(o)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("seg")
+        .aggregate(Sum("n_custs", alias_name="n_custs"),
+                   Sum("total_bal_cents", alias_name="total_bal_cents"))
+        .map_batches(lambda df: df.rename(
+            columns={"seg": "c_mktsegment"}), batch_format="pandas")
+    )
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape — distinct suppliers per (brand, size),
+    excluding a supplier blocklist (negative account balance stands
+    in for Q16's complaints predicate). Lineitem attaches brand/size
+    from a broadcast part projection and drops blocked suppliers
+    map-side, per-batch-distinct triples hash on the FULL triple so
+    each distinct triple lands in exactly one bucket — the per-bucket
+    dedup + per-(brand,size) counts are therefore globally exact and
+    only a ≤|brands|·|sizes| native sum follows. Reference class:
+    §2.5 grouped distinct tallies."""
+    import pandas as pd
+
+    pdf = _read(sf_dir, "part",
+                ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    p_keys = np.sort(pdf["p_partkey"].to_numpy(np.int64))
+    order = np.argsort(pdf["p_partkey"].to_numpy(np.int64))
+    p_brand = pdf["p_brand"].to_numpy(object)[order]
+    p_size = pdf["p_size"].to_numpy(np.int64)[order]
+    sdf = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(sdf.loc[sdf["s_acctbal"] < 0,
+                          "s_suppkey"].to_numpy(np.int64))
+    ref = ray.put((p_keys, p_brand, p_size, bad))
+    nb = 64
+
+    def tri(df):
+        pk, pb, psz, bd = sim.resolve_broadcast(ref, key="q16-dims")
+        lk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        idx, hit = _sorted_lookup(pk, lk)
+        _, isbad = _sorted_lookup(bd, sk)
+        keep = hit & ~isbad
+        out = pd.DataFrame({"p_brand": pd.array(pb[idx][keep],
+                                                dtype="string"),
+                            "p_size": psz[idx][keep],
+                            "s": sk[keep]}).drop_duplicates()
+        out["bucket"] = (
+            (out["p_size"].to_numpy(np.int64) * 1_000_003
+             + out["s"].to_numpy(np.int64) * 31
+             + np.array([zlib.crc32(b.encode()) for b in
+                         out["p_brand"]], np.int64)) % nb
+        ).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        g = g.drop_duplicates(["p_brand", "p_size", "s"])
+        out = g.groupby(["p_brand", "p_size"], as_index=False).agg(
+            supplier_cnt=("s", "size"))
+        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(tri, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8488,9 +8913,15 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a1) new this session (T150–T151), never checked --------
+        # -- (0a1) new this session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
+        "cheapest_supplier": q_cheapest_supplier,
+        "returned_priority_counts": q_returned_priority_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_suppliers": q_top_suppliers,
+        "idle_rich_customers": q_idle_rich_customers,
+        "brand_supplier_counts": q_brand_supplier_counts,
         # -- (0a2) new last session (T143–T149), never checked --------
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
@@ -11205,6 +11636,103 @@ def _kcenter_oracle(k: int) -> str:
 
 
 ORACLES["kcenter_coreset"] = _kcenter_oracle(KCENTER_K)
+
+ORACLES["cheapest_supplier"] = f"""
+    WITH pk AS (SELECT p_partkey, p_brand FROM part
+                WHERE p_size = {CHEAP_PSIZE}),
+    li AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM lineitem JOIN pk ON l_partkey = p_partkey),
+    w AS (
+      SELECT l_partkey, l_suppkey, pc,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY pc, l_suppkey) AS rn
+      FROM li)
+    SELECT w.l_partkey AS p_partkey, pk.p_brand,
+           CAST(w.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           w.pc AS price_cents
+    FROM w JOIN pk ON w.l_partkey = pk.p_partkey
+           JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    WHERE w.rn = 1
+"""
+
+ORACLES["returned_priority_counts"] = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY 1
+"""
+
+ORACLES["small_qty_revenue"] = f"""
+    WITH pk AS (SELECT p_partkey FROM part
+                WHERE p_brand = '{QTY_BRAND}'),
+    li AS (
+      SELECT l_partkey,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM lineitem JOIN pk ON l_partkey = p_partkey),
+    st AS (SELECT l_partkey, sum(qi) AS sq,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM li GROUP BY 1)
+    SELECT CAST(COALESCE(sum(li.pc), 0) // 7 AS BIGINT)
+               AS avg_yearly_cents,
+           CAST(count(*) AS BIGINT) AS n_small_lineitems
+    FROM li JOIN st ON li.l_partkey = st.l_partkey
+    WHERE 5 * li.qi * st.n < st.sq
+"""
+
+ORACLES["top_suppliers"] = """
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000 + 0.5) AS BIGINT)) AS tr
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT CAST(r.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           CAST(r.tr AS BIGINT) AS total_rev_micro
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.tr = (SELECT max(tr) FROM r)
+"""
+
+ORACLES["idle_rich_customers"] = f"""
+    WITH pos AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc
+      FROM customer
+      WHERE c_mktsegment IN {RICH_SEGMENTS!r}
+        AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0),
+    g AS (SELECT sum(bc) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM pos),
+    idle AS (
+      SELECT pos.* FROM pos, g
+      WHERE pos.bc * g.n > g.s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = pos.c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-07-01'))
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(bc) AS BIGINT) AS total_bal_cents
+    FROM idle GROUP BY 1
+"""
+
+ORACLES["brand_supplier_counts"] = """
+    WITH tri AS (
+      SELECT DISTINCT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+                      l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+    FROM tri GROUP BY 1, 2
+"""
 
 ORACLES["embedding_quantize"] = """
     WITH x AS (

@@ -89,3 +89,85 @@ def test_quantize_codes_bounds_and_dequant(ray_session):
     xhat = mn[:, None] + codes * (span[:, None] / 255.0)
     err = np.abs(xhat - X)
     assert (err <= span[:, None] / 255.0 + 1).all()
+
+
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def _to_df(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    return res
+
+
+def test_cheapest_supplier_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_cheapest_supplier(SF)).reset_index(drop=True)
+    want = (_duck(SF).execute(Q.ORACLES["cheapest_supplier"]).df()
+            .sort_values("p_partkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # argmin invariant: one row per part, price is that part's min
+    assert got["p_partkey"].is_unique
+
+
+def test_returned_priority_counts_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_returned_priority_counts(SF))
+           .sort_values("priority").reset_index(drop=True))
+    want = (_duck(SF).execute(Q.ORACLES["returned_priority_counts"])
+            .df().sort_values("priority").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_small_qty_revenue_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_small_qty_revenue(SF))
+    want = _duck(SF).execute(Q.ORACLES["small_qty_revenue"]).df()
+    assert int(got["avg_yearly_cents"][0]) == int(
+        want["avg_yearly_cents"][0])
+    assert int(got["n_small_lineitems"][0]) == int(
+        want["n_small_lineitems"][0])
+
+
+def test_top_suppliers_ties_and_max(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_top_suppliers(SF))
+    want = _duck(SF).execute(Q.ORACLES["top_suppliers"]).df()
+    assert len(got) == len(want) >= 1
+    assert set(got["s_suppkey"]) == set(want["s_suppkey"])
+    # every returned supplier has exactly the max revenue
+    assert got["total_rev_micro"].nunique() == 1
+
+
+def test_idle_rich_customers_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_idle_rich_customers(SF))
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    want = (_duck(SF).execute(Q.ORACLES["idle_rich_customers"]).df()
+            .sort_values("c_mktsegment").reset_index(drop=True))
+    assert len(want) >= 1  # predicate must be non-degenerate
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_brand_supplier_counts_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_brand_supplier_counts(SF))
+           .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+    want = (_duck(SF).execute(Q.ORACLES["brand_supplier_counts"]).df()
+            .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
