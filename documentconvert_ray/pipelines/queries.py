@@ -6,13 +6,16 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 6 queries without an oracle entry are genuinely
+The 7 queries without an oracle entry are genuinely
 non-SQL-expressible (the two approximate IVF paths, the mergeable
 quantile sketch whose result is partitioning-dependent, the
-HyperLogLog estimate, and the iterative float fixpoints k-means and
-PageRank); those are covered by the pytest determinism/recall/
-rank-bound/error-bound/vs-reference-tolerance suites instead and get
-the driver's rows-only check.
+HyperLogLog estimate, the iterative float fixpoints k-means and
+PageRank, and the BPE merge loop's iterative string rewriting); those
+are covered by the pytest determinism/recall/rank-bound/error-bound/
+brute-force-equality suites instead and get the driver's rows-only
+check. (Greedy k-center, though iterative, IS oracled — exact integer
+distances make its selection deterministic, so the rounds unroll into
+a chained-CTE ladder.)
 """
 
 from __future__ import annotations
@@ -8899,6 +8902,169 @@ def q_brand_supplier_counts(sf_dir: str):
     )
 
 
+# --- T158: grouped ordered string aggregation (link lists) -----------
+
+
+def q_domain_link_agg(sf_dir: str):
+    """GROUPED ORDERED STRING AGGREGATION (SQL string_agg — the one
+    aggregate family the battery lacked): per source domain, the
+    comma-joined ASCENDING list of distinct linked domains plus its
+    size and link mass. Concatenation is order-sensitive, so the sort
+    happens inside the per-src-hash bucket (a src's edges all land in
+    one bucket) — never a global sort. Edges arrive pre-aggregated
+    and unique from _link_edges, so the aggregation input is
+    dimension-sized (≤ domains²). Reference class: §2.5 grouped
+    rollups with a presentation-shaped value."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir)
+    nb = 32
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return _crc_bucket_col(b, "src_domain", nb)
+
+    def reduce_bucket(g):
+        g = g.sort_values(["src_domain", "dst_domain"],
+                          kind="mergesort")
+        out = g.groupby("src_domain", as_index=False).agg(
+            dst_list=("dst_domain", ",".join),
+            n_dsts=("dst_domain", "size"),
+            total_links=("n_links", "sum"))
+        return out.astype({"n_dsts": "int64", "total_links": "int64"})
+
+    return (
+        edges.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+# --- T159: grouped geometric mean (exact log2-micro ints) ------------
+
+
+def q_geo_mean_value(sf_dir: str):
+    """Grouped GEOMETRIC MEAN of event values — the multiplicative
+    aggregate (rate/ratio averaging) the battery lacked — carried
+    entirely in EXACT integer log₂-micros: per row
+    floor(log2(value_micro)·10⁶) (order-independent integer sum; the
+    libm-log2 byte-parity contract proven for token_entropy), then
+    one integer division by n. Rows with value_micro ≤ 0 are excluded
+    and counted (none in this corpus; the gate matters on real data).
+    Per-batch combiner → ≤|event_type| native aggregate → tiny map.
+    The result is the geo-mean's exact log₂ in micros — callers
+    exponentiate at presentation time."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        vm = _micro_int_col(df["value"])
+        pos = vm > 0
+        lg = np.floor(np.log2(vm[pos].astype(np.float64))
+                      * 1_000_000).astype(np.int64)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object)[pos],
+            "n_pos": 1, "sum_lg": lg})
+        g = out.groupby("event_type", as_index=False).agg(
+            n_pos=("n_pos", "sum"), sum_lg=("sum_lg", "sum"))
+        return g.astype({"n_pos": "int64", "sum_lg": "int64"})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n_pos", alias_name="n_pos"),
+                      Sum("sum_lg", alias_name="sum_lg")))
+
+    def final(df):
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_pos": df["n_pos"].astype("int64"),
+            "geo_log2_micro": (df["sum_lg"].to_numpy(np.int64)
+                               // df["n_pos"].to_numpy(np.int64))})
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+# --- T160: iterative BPE tokenizer training --------------------------
+
+BPE_MERGES = 10
+
+
+def q_bpe_vocab(sf_dir: str):
+    """ITERATIVE BPE TOKENIZER TRAINING (Sennrich, Haddow & Birch
+    2016 §3.1 — the full merge LOOP, extending bpe_pair_merge's
+    single-step statistic): learn the first 10 merge rules over the
+    corpus. The distributed part is ONE word-frequency aggregation
+    (token-hash bucketed reduce — the exchange carries (word, n),
+    vocab-sized); the merge loop then runs on the driver over that
+    dict, exactly like the reference GPT-2/Sennrich trainers, because
+    each round's pair counts derive from the vocab-sized dict, not
+    the corpus. Deterministic: ties break to the lexicographically
+    smallest pair. Iterative string rewriting → no SQL oracle (the
+    kmeans/pagerank precedent); correctness is bounded by pytest
+    (independent brute-force trainer from the raw parquet + block-
+    count invariance through the distributed stage)."""
+    import pandas as pd
+    from collections import Counter
+
+    from ..functions import textstats as ts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nb = dd.derive_buckets(ds.count())
+
+    def keyed(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(ts.tokens(t))
+        items = sorted(c.items())
+        t = pa.Table.from_pydict({
+            "word": pa.array([k for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64())})
+        return _crc_bucket_col(t, "word", nb)
+
+    def reduce_bucket(g):
+        out = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return out.astype({"n": "int64"})
+
+    wf = (ds.map_batches(keyed, batch_format="pyarrow")
+          .groupby("bucket")
+          .map_groups(reduce_bucket, batch_format="pandas")
+          .to_pandas())  # vocab-sized — the GPT-2 trainer's input
+
+    words: dict[tuple, int] = {}
+    for w, n in zip(wf["word"], wf["n"]):
+        words[tuple(w)] = words.get(tuple(w), 0) + int(n)
+
+    rows = []
+    for r in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for sym, n in words.items():
+            for a, b2 in zip(sym, sym[1:]):
+                pc[(a, b2)] += n
+        if not pc:
+            break
+        (la, rb), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((r, la, rb, la + rb, cnt))
+        merged = la + rb
+        new: dict[tuple, int] = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == la
+                        and sym[i + 1] == rb):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + n
+        words = new
+
+    return pd.DataFrame(rows, columns=["rnk", "left", "right",
+                                       "merged", "pair_count"]).astype(
+        {"rnk": "int64", "pair_count": "int64"})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8922,6 +9088,9 @@ def queries() -> dict:
         "top_suppliers": q_top_suppliers,
         "idle_rich_customers": q_idle_rich_customers,
         "brand_supplier_counts": q_brand_supplier_counts,
+        "domain_link_agg": q_domain_link_agg,
+        "geo_mean_value": q_geo_mean_value,
+        "bpe_vocab": q_bpe_vocab,
         # -- (0a2) new last session (T143–T149), never checked --------
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
@@ -11637,6 +11806,24 @@ def _kcenter_oracle(k: int) -> str:
 
 ORACLES["kcenter_coreset"] = _kcenter_oracle(KCENTER_K)
 
+# geo-mean: per-row floor(log2(vm)·1e6) summed as BIGINT (order-
+# independent), // n — libm log2 byte-parity per the token_entropy
+# contract
+ORACLES["geo_mean_value"] = """
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events),
+    p AS (
+      SELECT event_type,
+             CAST(floor(log2(CAST(vm AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lg
+      FROM x WHERE vm > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(lg) // count(*) AS BIGINT) AS geo_log2_micro
+    FROM p GROUP BY 1
+"""
+
 ORACLES["cheapest_supplier"] = f"""
     WITH pk AS (SELECT p_partkey, p_brand FROM part
                 WHERE p_size = {CHEAP_PSIZE}),
@@ -11841,6 +12028,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
                CAST(COALESCE(in_links, 0) AS BIGINT) AS in_links
         FROM o FULL OUTER JOIN i ON o.domain = i.domain
+    """
+    out["domain_link_agg"] = edges_cte + """
+        SELECT src_domain,
+               string_agg(dst_domain, ',' ORDER BY dst_domain)
+                   AS dst_list,
+               CAST(count(*) AS BIGINT) AS n_dsts,
+               CAST(sum(n_links) AS BIGINT) AS total_links
+        FROM edges GROUP BY 1
     """
     out["reciprocal_links"] = edges_cte + """
         SELECT a.src_domain AS domain_a, a.dst_domain AS domain_b,

@@ -171,3 +171,100 @@ def test_brand_supplier_counts_vs_duckdb(ray_session):
     want = (_duck(SF).execute(Q.ORACLES["brand_supplier_counts"]).df()
             .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_domain_link_agg_vs_duckdb(ray_session):
+    import duckdb
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_domain_link_agg(SF))
+           .sort_values("src_domain").reset_index(drop=True))
+    want = (duckdb.connect().execute(
+        Q.oracle_sql()["domain_link_agg"]).df()
+        .sort_values("src_domain").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # list is sorted ascending and its length matches n_dsts
+    for lst, n in zip(got["dst_list"], got["n_dsts"]):
+        parts = lst.split(",")
+        assert parts == sorted(parts) and len(parts) == n
+
+
+def test_geo_mean_value_vs_duckdb(ray_session):
+    import duckdb
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_geo_mean_value(SF))
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(Q.ORACLES["geo_mean_value"]).df()
+            .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # geo-mean(log2) must sit between min and max log2 of the values
+    assert (got["geo_log2_micro"] > 0).all()
+
+
+def _bpe_brute(sf, k):
+    """Independent trainer: word counts straight from DuckDB, merge
+    loop re-implemented with different data structures (list-of-
+    symbols rewrite instead of dict rebuild)."""
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.connect().execute(f"""
+        SELECT tok, count(*) FROM (
+          SELECT unnest(list_filter(
+              string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+          FROM read_parquet('{sf}/documents.parquet'))
+        GROUP BY 1""").fetchall()
+    seqs = [(list(w), int(n)) for w, n in sorted(rows)]
+    out = []
+    for r in range(k):
+        pc = Counter()
+        for sym, n in seqs:
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (la, rb), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, la, rb, la + rb, cnt))
+        for i, (sym, n) in enumerate(seqs):
+            j, new = 0, []
+            while j < len(sym):
+                if (j + 1 < len(sym) and sym[j] == la
+                        and sym[j + 1] == rb):
+                    new.append(la + rb)
+                    j += 2
+                else:
+                    new.append(sym[j])
+                    j += 1
+            seqs[i] = (new, n)
+    return out
+
+
+def test_bpe_vocab_matches_bruteforce(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_bpe_vocab(SF))
+    want = _bpe_brute(SF, Q.BPE_MERGES)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_bpe_vocab_block_invariance(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    base = _to_df(Q.q_bpe_vocab(SF))
+    orig = Q._read
+
+    def shredded(sf_dir, name, columns=None):
+        return orig(sf_dir, name, columns).repartition(5)
+
+    Q._read = shredded
+    try:
+        got = _to_df(Q.q_bpe_vocab(SF))
+    finally:
+        Q._read = orig
+    pd.testing.assert_frame_equal(got, base)
