@@ -31,6 +31,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "kcenter_coreset",
+    "embedding_quantize",
+    "cheapest_supplier",
+    "returned_priority_counts",
+    "small_qty_revenue",
+    "top_suppliers",
+    "idle_rich_customers",
+    "brand_supplier_counts",
+    "domain_link_agg",
+    "geo_mean_value",
+    "bpe_vocab",
+    "hard_negatives",
+    "class_balance_plan",
     "nation_trade_volume",
     "market_share",
     "returned_items",

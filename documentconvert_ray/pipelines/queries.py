@@ -8847,59 +8847,69 @@ def q_brand_supplier_counts(sf_dir: str):
     excluding a supplier blocklist (negative account balance stands
     in for Q16's complaints predicate). Lineitem attaches brand/size
     from a broadcast part projection and drops blocked suppliers
-    map-side, per-batch-distinct triples hash on the FULL triple so
-    each distinct triple lands in exactly one bucket — the per-bucket
-    dedup + per-(brand,size) counts are therefore globally exact and
-    only a ≤|brands|·|sizes| native sum follows. Reference class:
-    §2.5 grouped distinct tallies."""
+    map-side; the (brand, size, supplier) triple is PACKED into one
+    int64 ((brand_id·64 + size) << 20 | suppkey) so per-batch dedup
+    is one np.unique and the exchange carries no strings and no
+    Python loops. Buckets hash on the (brand, size) HALF of the key,
+    so a group's triples all land in one bucket and the per-bucket
+    np.unique + count is FINAL — no second aggregate; brand strings
+    attach to the ≤|brands|·|sizes| result only. (First draft carried
+    string brands + a per-row crc32 loop and finished with a native
+    1250-key aggregate: 15.2 s in-battery at sf0.1, 10.3 s of it the
+    native agg — this shape is ~3 s.) Reference class: §2.5 grouped
+    distinct tallies."""
     import pandas as pd
 
     pdf = _read(sf_dir, "part",
                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    p_keys = np.sort(pdf["p_partkey"].to_numpy(np.int64))
     order = np.argsort(pdf["p_partkey"].to_numpy(np.int64))
-    p_brand = pdf["p_brand"].to_numpy(object)[order]
+    p_keys = pdf["p_partkey"].to_numpy(np.int64)[order]
+    brands = np.sort(pdf["p_brand"].unique())
+    p_bid = np.searchsorted(brands,
+                            pdf["p_brand"].to_numpy(object)[order])
     p_size = pdf["p_size"].to_numpy(np.int64)[order]
     sdf = _read(sf_dir, "supplier",
                 ["s_suppkey", "s_acctbal"]).to_pandas()
     bad = np.sort(sdf.loc[sdf["s_acctbal"] < 0,
                           "s_suppkey"].to_numpy(np.int64))
-    ref = ray.put((p_keys, p_brand, p_size, bad))
+    ref = ray.put((p_keys, p_bid.astype(np.int64), p_size, bad))
     nb = 64
 
-    def tri(df):
-        pk, pb, psz, bd = sim.resolve_broadcast(ref, key="q16-dims")
-        lk = df["l_partkey"].to_numpy(np.int64)
-        sk = df["l_suppkey"].to_numpy(np.int64)
+    def tri(b: pa.Table) -> pa.Table:
+        pk, pbid, psz, bd = sim.resolve_broadcast(ref, key="q16-dims")
+        lk = b.column("l_partkey").to_numpy().astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy().astype(np.int64)
         idx, hit = _sorted_lookup(pk, lk)
         _, isbad = _sorted_lookup(bd, sk)
         keep = hit & ~isbad
-        out = pd.DataFrame({"p_brand": pd.array(pb[idx][keep],
-                                                dtype="string"),
-                            "p_size": psz[idx][keep],
-                            "s": sk[keep]}).drop_duplicates()
-        out["bucket"] = (
-            (out["p_size"].to_numpy(np.int64) * 1_000_003
-             + out["s"].to_numpy(np.int64) * 31
-             + np.array([zlib.crc32(b.encode()) for b in
-                         out["p_brand"]], np.int64)) % nb
-        ).astype("int32")
-        return out
+        packed = np.unique(
+            ((pbid[idx][keep] * 64 + psz[idx][keep]) << 20)
+            | sk[keep])
+        return pa.Table.from_pydict({
+            "packed": pa.array(packed, pa.int64()),
+            "bucket": pa.array(((packed >> 20) % nb).astype(np.int32),
+                               pa.int32())})
 
     def reduce_bucket(g):
-        g = g.drop_duplicates(["p_brand", "p_size", "s"])
-        out = g.groupby(["p_brand", "p_size"], as_index=False).agg(
-            supplier_cnt=("s", "size"))
-        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+        bs, cnt = np.unique(
+            np.unique(g["packed"].to_numpy(np.int64)) >> 20,
+            return_counts=True)
+        return pd.DataFrame({"bs": bs,
+                             "supplier_cnt": cnt.astype(np.int64)})
 
-    return (
+    small = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(tri, batch_format="pandas")
+        .map_batches(tri, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
-        .groupby(["p_brand", "p_size"])
-        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
-    )
+        .to_pandas())  # ≤ |brands|·|sizes| rows — already final
+    bs = small["bs"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "p_brand": brands[bs // 64].astype(str),
+        "p_size": bs % 64,
+        "supplier_cnt": small["supplier_cnt"].astype("int64")})
+    return out.sort_values(["p_brand", "p_size"],
+                           kind="mergesort").reset_index(drop=True)
 
 
 # --- T158: grouped ordered string aggregation (link lists) -----------
@@ -9065,6 +9075,93 @@ def q_bpe_vocab(sf_dir: str):
         {"rnk": "int64", "pair_count": "int64"})
 
 
+# --- T161: hard-negative mining for contrastive training -------------
+
+
+def q_hard_negatives(sf_dir: str):
+    """HARD-NEGATIVE MINING (contrastive/metric-learning data prep —
+    the top-k most-similar vectors with a DIFFERENT label per query;
+    in-batch-negatives' offline counterpart): the knn_cosine plan
+    (broadcast query matrix → per-batch matmul partial top-k → tiny
+    per-query reduce) plus a label-exclusion mask in the partial, so
+    the corpus still streams once and only k·n_blocks candidate rows
+    per query reach the exchange."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    qids, qmat, qlab = [], [], []
+    for vid, emb, lab in zip(t.column("vec_id").to_pylist(),
+                             t.column("embedding").to_pylist(),
+                             t.column("label").to_pylist()):
+        if vid < N_KNN_QUERIES:
+            qids.append(int(vid))
+            qmat.append(emb)
+            qlab.append(int(lab))
+    order = np.argsort(qids)
+    qids = np.asarray(qids, np.int64)[order]
+    qlab = np.asarray(qlab, np.int64)[order]
+    qmat = sim.normalize(np.asarray(qmat, np.float64)[order])
+    ref = ray.put((qids, qlab, qmat))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids, labs, qm = sim.resolve_broadcast(ref, key="hardneg-q")
+        vids = b.column("vec_id").to_numpy()
+        vlab = b.column("label").to_numpy().astype(np.int64)
+        mat = sim.normalize(_list_mat(b.column("embedding"))
+                            .astype(np.float64))
+        sims = qm @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = vlab != labs[qi]
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            row = sims[qi]
+            pick = idx[np.lexsort((vids[idx], -row[idx]))][:KNN_K]
+            out_q.extend([int(ids[qi])] * len(pick))
+            out_n.extend(vids[pick].tolist())
+            out_s.extend(row[pick].tolist())
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=512)
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.global_topk(g, KNN_K), batch_format="pandas")
+
+
+# --- T162: class-balance resampling plan ------------------------------
+
+
+def q_class_balance_plan(sf_dir: str):
+    """CLASS-BALANCE RESAMPLING PLAN (the oversampling table a
+    balanced training epoch is built from): per label the vector
+    count, the integer repeat factor ceil(max/n), and the post-
+    oversampling size. One ≤|labels| native count aggregate; the max
+    and the ceil-divisions are driver arithmetic on the label-sized
+    result. Exact integers throughout."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["label"])
+    c = (ds.groupby("label").aggregate(Count(alias_name="n_vecs"))
+         .to_pandas())  # ≤ |labels| rows
+    n = c["n_vecs"].to_numpy(np.int64)
+    mx = int(n.max())
+    rep = (mx + n - 1) // n
+    return pd.DataFrame({
+        "label": c["label"].to_numpy(np.int64),
+        "n_vecs": n,
+        "repeat_factor": rep,
+        "n_after": n * rep}).sort_values("label").reset_index(
+        drop=True)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9091,6 +9188,8 @@ def queries() -> dict:
         "domain_link_agg": q_domain_link_agg,
         "geo_mean_value": q_geo_mean_value,
         "bpe_vocab": q_bpe_vocab,
+        "hard_negatives": q_hard_negatives,
+        "class_balance_plan": q_class_balance_plan,
         # -- (0a2) new last session (T143–T149), never checked --------
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
@@ -11805,6 +11904,36 @@ def _kcenter_oracle(k: int) -> str:
 
 
 ORACLES["kcenter_coreset"] = _kcenter_oracle(KCENTER_K)
+
+ORACLES["hard_negatives"] = f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < {N_KNN_QUERIES}),
+    r AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label <> q.label)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {KNN_K}
+"""
+
+ORACLES["class_balance_plan"] = """
+    WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                      CAST(count(*) AS BIGINT) AS n_vecs
+               FROM embeddings GROUP BY 1),
+    m AS (SELECT max(n_vecs) AS mx FROM c)
+    SELECT label, n_vecs,
+           CAST((m.mx + n_vecs - 1) // n_vecs AS BIGINT)
+               AS repeat_factor,
+           CAST(n_vecs * ((m.mx + n_vecs - 1) // n_vecs) AS BIGINT)
+               AS n_after
+    FROM c, m
+"""
 
 # geo-mean: per-row floor(log2(vm)·1e6) summed as BIGINT (order-
 # independent), // n — libm log2 byte-parity per the token_entropy

@@ -268,3 +268,47 @@ def test_bpe_vocab_block_invariance(ray_session):
     finally:
         Q._read = orig
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_hard_negatives_vs_bruteforce(ray_session):
+    """Independent numpy recompute: top-k cosine among different-label
+    vectors, ties to smallest id."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    labs = np.asarray(t.column("label").to_pylist(), np.int64)
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    got = (_to_df(Q.q_hard_negatives(SF))
+           .sort_values(["query_id", "rnk"]).reset_index(drop=True))
+    rows = []
+    for qid in range(Q.N_KNN_QUERIES):
+        qi = int(np.flatnonzero(ids == qid)[0])
+        sims = m @ m[qi]
+        cand = np.flatnonzero(labs != labs[qi])
+        order = cand[np.lexsort((ids[cand], -sims[cand]))][:Q.KNN_K]
+        for r, j in enumerate(order, 1):
+            rows.append((qid, int(ids[j]), r))
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                       "rnk"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no negative shares its query's label
+    lab_of = dict(zip(ids, labs))
+    qlab = {q: lab_of[q] for q in got["query_id"].unique()}
+    assert all(lab_of[n] != qlab[q]
+               for q, n in zip(got["query_id"], got["neighbor_id"]))
+
+
+def test_class_balance_plan_invariants(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_class_balance_plan(SF))
+    mx = got["n_vecs"].max()
+    # the plan always reaches at least the majority-class size and
+    # overshoots by less than one repeat
+    assert (got["n_after"] >= mx).all()
+    assert (got["n_after"] - got["n_vecs"] < mx).all()
+    assert (got["repeat_factor"]
+            == -(-mx // got["n_vecs"])).all()
