@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "bpe_vocab",
     "hard_negatives",
     "class_balance_plan",
+    "filtered_revenue",
+    "important_parts",
     "nation_trade_volume",
     "market_share",
     "returned_items",

@@ -9075,6 +9075,101 @@ def q_bpe_vocab(sf_dir: str):
         {"rnk": "int64", "pair_count": "int64"})
 
 
+# --- T163: forecast revenue change, TPC-H Q6 shape --------------------
+
+Q6_WIN = (np.datetime64("1996-01-01"), np.datetime64("1997-01-01"))
+
+
+def q_filtered_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the simplest archetype, completing the
+    TPC-H sweep (every one of the 22 query shapes expressible on this
+    schema is now in the registry): one-year, discount-band,
+    small-quantity revenue. Pure map-side per-batch partials in exact
+    integers (the discount-band filter on micro units, the revenue
+    term floor(price·disc·100 + 0.5) cents — ≤ 7·10⁵/row, overflow-
+    safe at any corpus size, identical IEEE double product on both
+    sides) → ONE-row fold; zero exchange, the floor for any
+    distributed aggregate."""
+    import pandas as pd
+
+    def partial(df):
+        d = df["l_shipdate"].to_numpy("datetime64[D]")
+        dv = df["l_discount"].to_numpy(np.float64)
+        disc = np.floor(dv * 1_000_000 + 0.5).astype(np.int64)
+        qty = np.floor(df["l_quantity"].to_numpy(np.float64)
+                       + 0.5).astype(np.int64)
+        m = ((d >= Q6_WIN[0]) & (d < Q6_WIN[1])
+             & (disc >= 50_000) & (disc <= 70_000) & (qty < 24))
+        rev = np.floor(df["l_extendedprice"].to_numpy(np.float64)[m]
+                       * dv[m] * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame({"revenue_cents": [int(rev.sum())],
+                             "n_items": [int(m.sum())]})
+
+    tot = (_read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+           .map_batches(partial, batch_format="pandas").to_pandas())
+    return pd.DataFrame({
+        "revenue_cents": np.array([tot["revenue_cents"].sum()],
+                                  np.int64),
+        "n_items": np.array([tot["n_items"].sum()], np.int64)})
+
+
+# --- T164: group share vs global threshold, TPC-H Q11 shape -----------
+
+# keep parts above 3/2 × the average per-part value — relative to the
+# average (not a fixed fraction of the total as TPC-H's 0.0001/SF),
+# so selectivity is scale-invariant: 2 / 29 / 252 parts at
+# sf0.001/0.01/0.1
+Q11_NUM, Q11_DEN = 3, 2
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — the HAVING-vs-global-scalar archetype:
+    parts whose total lineitem value exceeds 3/2 of the average
+    per-part value (partsupp is absent, so lineitem value stands in
+    for ps_supplycost·ps_availqty; the plan shape is unchanged).
+    One partkey-bucketed reduce builds per-part totals; the global
+    (total, n_parts) scalars fold off the SAME materialized result
+    (no second scan) and the compare value·n·2 > total·3 runs in
+    HUGEINT-safe python ints. Only (partkey, cents) rows shuffle."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    nb = 32
+
+    def partial(df):
+        pc = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                      * 100 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"p": df["l_partkey"].to_numpy(np.int64),
+                            "v": pc})
+        g = out.groupby("p", as_index=False).agg(v=("v", "sum"))
+        g["bucket"] = (g["p"] % nb).astype("int32")
+        return g
+
+    per_part = (li.map_batches(partial, batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(lambda g: g.groupby("p", as_index=False)
+                            .agg(v=("v", "sum")),
+                            batch_format="pandas")
+                ).materialize()  # per-part totals, dimension-sized
+    parts = per_part.map_batches(
+        lambda df: pd.DataFrame({"t": [int(df["v"].sum())],
+                                 "n": [len(df)]}),
+        batch_format="pandas").take_all()
+    total = sum(r["t"] for r in parts)
+    n_parts = sum(r["n"] for r in parts)
+
+    def keep(df, _tot=total, _n=n_parts):
+        m = [int(v) * _n * Q11_DEN > _tot * Q11_NUM
+             for v in df["v"].to_numpy(np.int64)]
+        out = df.loc[np.asarray(m, bool), ["p", "v"]]
+        return out.rename(columns={"p": "p_partkey",
+                                   "v": "value_cents"})
+
+    return per_part.map_batches(keep, batch_format="pandas")
+
+
 # --- T161: hard-negative mining for contrastive training -------------
 
 
@@ -9190,6 +9285,8 @@ def queries() -> dict:
         "bpe_vocab": q_bpe_vocab,
         "hard_negatives": q_hard_negatives,
         "class_balance_plan": q_class_balance_plan,
+        "filtered_revenue": q_filtered_revenue,
+        "important_parts": q_important_parts,
         # -- (0a2) new last session (T143–T149), never checked --------
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
@@ -11904,6 +12001,37 @@ def _kcenter_oracle(k: int) -> str:
 
 
 ORACLES["kcenter_coreset"] = _kcenter_oracle(KCENTER_K)
+
+ORACLES["filtered_revenue"] = """
+    WITH x AS (
+      SELECT l_shipdate,
+             CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)
+                 AS disc,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                  AS BIGINT) AS rc
+      FROM lineitem)
+    SELECT CAST(COALESCE(sum(rc), 0) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM x
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND disc BETWEEN 50000 AND 70000 AND qty < 24
+"""
+
+ORACLES["important_parts"] = f"""
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS value_cents
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(value_cents) AS tot,
+                 CAST(count(*) AS BIGINT) AS np FROM pv)
+    SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM pv, t
+    WHERE CAST(value_cents AS HUGEINT) * np * {Q11_DEN}
+          > CAST(tot AS HUGEINT) * {Q11_NUM}
+"""
 
 ORACLES["hard_negatives"] = f"""
     WITH q AS (SELECT vec_id, label, embedding FROM embeddings

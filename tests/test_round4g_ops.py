@@ -312,3 +312,32 @@ def test_class_balance_plan_invariants(ray_session):
     assert (got["n_after"] - got["n_vecs"] < mx).all()
     assert (got["repeat_factor"]
             == -(-mx // got["n_vecs"])).all()
+
+
+def test_filtered_revenue_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _to_df(Q.q_filtered_revenue(SF))
+    want = _duck(SF).execute(Q.ORACLES["filtered_revenue"]).df()
+    assert int(got["revenue_cents"][0]) == int(want["revenue_cents"][0])
+    assert int(got["n_items"][0]) == int(want["n_items"][0])
+    assert int(got["n_items"][0]) > 0  # predicate non-degenerate
+
+
+def test_important_parts_vs_duckdb(ray_session):
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = (_to_df(Q.q_important_parts(SF))
+           .sort_values("p_partkey").reset_index(drop=True))
+    want = (_duck(SF).execute(Q.ORACLES["important_parts"]).df()
+            .sort_values("p_partkey").reset_index(drop=True))
+    assert len(want) >= 1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every kept part strictly exceeds 3/2 x the average
+    import duckdb
+    tot, np_ = _duck(SF).execute(
+        "SELECT sum(v), count(*) FROM (SELECT sum(CAST(floor("
+        "l_extendedprice*100+0.5) AS BIGINT)) v FROM lineitem "
+        "GROUP BY l_partkey)").fetchone()
+    assert all(int(v) * int(np_) * Q.Q11_DEN > int(tot) * Q.Q11_NUM
+               for v in got["value_cents"])
