@@ -67,6 +67,13 @@ class ExtractConfig:
     # OFF by default: the byte-identity contract vs the reference
     # fixtures holds only for unredacted output.
     redact_pii: bool = False
+    # opt-in quality gate (C4-style curation at extraction time): OK
+    # rows whose extracted markdown has fewer whitespace tokens than
+    # this are reclassified ok=false / error_kind="low_quality" with
+    # the payload dropped — failures-as-rows (M12), so the shard rows
+    # invariant (ok + errors == rows) and the manifest schema are
+    # untouched. 0 = off (default).
+    min_quality_tokens: int = 0
 
     # fields that change WHAT is extracted (affect output bytes); the
     # remaining fields are execution sizing only — output-invariant, so
@@ -75,7 +82,7 @@ class ExtractConfig:
         "link_density_pct", "min_block_chars", "text_density_pct",
         "pdf_heading_ratio_pct", "pdf_line_tol_milli",
         "pdf_column_gap_milli", "num_partitions", "max_gunzip_bytes",
-        "redact_pii",
+        "redact_pii", "min_quality_tokens",
     )
 
     def fingerprint(self) -> str:

@@ -33,6 +33,7 @@ from ..stages.extract import (
     OUTPUT_SCHEMA,
     PdfExtractor,
     SniffAndExtractHtml,
+    quality_gate_batch,
     redact_pii_batch,
 )
 from ..state import manifest as mf
@@ -246,6 +247,14 @@ def build_extract_ds(
         # runs never cross-resume)
         ds = ds.map_batches(
             redact_pii_batch, batch_format="pyarrow", batch_size=None)
+    if cfg.min_quality_tokens > 0:
+        # opt-in quality gate AFTER redaction (token count of the
+        # final payload); semantic config like redact_pii — gated and
+        # ungated runs never cross-resume
+        mq = cfg.min_quality_tokens
+        ds = ds.map_batches(
+            lambda b, _m=mq: quality_gate_batch(b, _m),
+            batch_format="pyarrow", batch_size=None)
     return ds
 
 

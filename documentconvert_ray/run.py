@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     # runs keep separate resume manifests)
     ap.add_argument("--redact-pii", action="store_true",
                     help="redact emails/phones/IPv4 in extracted text")
+    # opt-in quality gate: OK rows below this whitespace-token count
+    # become ok=false / error_kind="low_quality" rows (semantic
+    # config — gated and ungated runs keep separate resume manifests)
+    ap.add_argument("--min-quality-tokens", type=int, default=0,
+                    metavar="N",
+                    help="drop extracted docs with fewer than N "
+                         "tokens (recorded as low_quality rows)")
     args = ap.parse_args(argv)
 
     import ray
@@ -106,10 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             input_path = args.dedup_urls_to
 
         cfg = DEFAULT_CONFIG
-        if args.redact_pii:
+        if args.redact_pii or args.min_quality_tokens > 0:
             import dataclasses
 
-            cfg = dataclasses.replace(cfg, redact_pii=True)
+            cfg = dataclasses.replace(
+                cfg, redact_pii=args.redact_pii,
+                min_quality_tokens=args.min_quality_tokens)
 
         t0 = time.monotonic()
         metrics = run_extract_job(

@@ -107,6 +107,50 @@ def _sha256(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
 
 
+def quality_gate_batch(batch: pa.Table, min_tokens: int) -> pa.Table:
+    """Opt-in output transform (cfg.min_quality_tokens > 0): OK rows
+    whose extracted markdown has fewer than ``min_tokens`` whitespace
+    tokens become ok=false / error_kind="low_quality" rows with the
+    payload dropped — the C4-style length gate applied at extraction
+    time, recorded as failures-as-rows (M12) so downstream counts and
+    the shard rows invariant are preserved rather than rows silently
+    vanishing. Shuffle-free map stage; untouched batches return
+    as-is. Token contract: functions/textstats.tokens (the RE2 ∩
+    Python whitespace class every token oracle uses)."""
+    from ..functions.textstats import token_count as _tc
+
+    oks = batch.column("ok").to_pylist()
+    mds = batch.column("text_md").to_pylist()
+    low = [i for i, (o, t) in enumerate(zip(oks, mds))
+           if o and _tc(t) < min_tokens]
+    if not low:
+        return batch
+    lowset = set(low)
+    kinds = batch.column("error_kind").to_pylist()
+    errs = batch.column("error").to_pylist()
+    shas, nbs = (batch.column("text_sha256").to_pylist(),
+                 batch.column("n_md_bytes").to_pylist())
+    empty_sha = _sha256("")
+    for i in lowset:
+        oks[i] = False
+        kinds[i] = "low_quality"
+        errs[i] = f"below min_quality_tokens={min_tokens}"
+        mds[i] = ""
+        shas[i] = empty_sha
+        nbs[i] = 0
+    for name, arr in (
+        ("ok", pa.array(oks, pa.bool_())),
+        ("error_kind", pa.array(kinds, pa.string())),
+        ("error", pa.array(errs, pa.string())),
+        ("text_md", pa.array(mds, pa.string())),
+        ("text_sha256", pa.array(shas, pa.string())),
+        ("n_md_bytes", pa.array(nbs, pa.int64())),
+    ):
+        batch = batch.set_column(
+            batch.schema.get_field_index(name), name, arr)
+    return batch
+
+
 def redact_pii_batch(batch: pa.Table) -> pa.Table:
     """Opt-in output transform (cfg.redact_pii): scrub emails / NANP
     phones / IPv4 from the extracted markdown and recompute the
