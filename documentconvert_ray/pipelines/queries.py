@@ -9257,6 +9257,451 @@ def q_class_balance_plan(sf_dir: str):
         drop=True)
 
 
+# --- T165: bigram language-model NLL quality scoring ------------------
+
+# bigram-model broadcast gate (the tfidf/pmi size-gate precedent):
+# ≤ this many distinct bigrams → the (bigram → nll) map broadcasts
+# once and scoring is map-side; above it, the model stays a Dataset
+# and the probe side hash-joins. Env-overridable so the pytest gate
+# can pin both paths equal on the same corpus.
+LM_BCAST_MAX_BIGRAMS = 2_000_000
+
+
+def q_bigram_lm_nll(sf_dir: str):
+    """Per-document BIGRAM LM scoring — the KenLM-style fluency /
+    quality signal a web-scale training pipeline ranks documents by
+    (CCNet, Wenzek et al. 2020 use LM perplexity exactly this way):
+    each doc's average negative log-likelihood -log2 P(w2|w1) under
+    the corpus's OWN MLE bigram model. Carried in exact integer
+    log2-micros — per bigram instance
+    nll = floor(log2(c(w1·))·10⁶) − floor(log2(c(w1,w2))·10⁶)
+    (the token_entropy/geo_mean libm-parity contract), so per-doc
+    sums are order-independent and the DuckDB oracle matches
+    bit-for-bit. Every doc bigram exists in the model by construction
+    (trained on the same corpus), so MLE needs no smoothing here; a
+    held-out scorer would add it in the dict-build step only.
+
+    Shape: pass 1 = one corpus scan emitting bigram-count partials →
+    crc-bucketed vectorized reduce (model is Heaps-law vocab-sized;
+    the exchange carries (w1, w2, c) rows only). Left-context totals
+    c(w1·) fold off the SAME materialized counts. Pass 2 re-reads the
+    corpus (the oov_rate build-broadcast-score precedent) and scores
+    map-side against the broadcast (bigram → nll) map; corpora whose
+    bigram domain exceeds the gate instead keep the model distributed
+    and attach nll via one composite-key hash join + a doc-bucketed
+    reduce. Payload text never enters any exchange."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions import textstats as ts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    nb = dd.derive_buckets(n_docs, rows_per_doc=32)
+
+    def bigram_partials(df):
+        from collections import Counter
+
+        bi: Counter = Counter()
+        for text in df["text"]:
+            tk = ts.tokens(text.lower())
+            bi.update(zip(tk[:-1], tk[1:]))
+        return pd.DataFrame({
+            "w1": [p[0] for p in bi], "w2": [p[1] for p in bi],
+            "c": np.asarray([bi[p] for p in bi], np.int64)})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("w1"), t.column("w2"), "\x00")
+        return _crc_bucket_col(t.append_column("k", key), "k", nb)
+
+    def reduce_counts(g):
+        s = g.groupby(["w1", "w2"], as_index=False).agg(c=("c", "sum"))
+        return s.astype({"c": "int64"})
+
+    counts = (
+        ds.map_batches(bigram_partials, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .drop_columns(["k"])
+        .groupby("bucket")
+        .map_groups(reduce_counts, batch_format="pandas")
+        .materialize()  # vocab-sized; reused as c1 source + model
+    )
+    gate = int(os.environ.get("LM_BCAST_MAX_BIGRAMS",
+                              LM_BCAST_MAX_BIGRAMS))
+
+    if counts.count() <= gate:
+        # SMALL-MODEL fast path: fold c1 and the per-bigram nll on the
+        # driver (vocab-sized), broadcast one dict, score map-side.
+        cpd = counts.to_pandas()
+        c1 = cpd.groupby("w1")["c"].transform("sum").to_numpy(np.int64)
+        lg = lambda a: np.floor(  # noqa: E731 — shared libm contract
+            np.log2(a.astype(np.float64)) * 1_000_000).astype(np.int64)
+        nll = lg(c1) - lg(cpd["c"].to_numpy(np.int64))
+        model_ref = ray.put(dict(zip(zip(cpd["w1"], cpd["w2"]),
+                                     nll.tolist())))
+
+        def score(df):
+            m = sim.resolve_broadcast(model_ref, key="lm-nll")
+            ids, nbi, tot = [], [], []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                tk = ts.tokens(text.lower())
+                if len(tk) < 2:
+                    continue
+                ids.append(doc_id)
+                nbi.append(len(tk) - 1)
+                tot.append(sum(map(m.__getitem__,
+                                   zip(tk[:-1], tk[1:]))))
+            return pd.DataFrame({
+                "doc_id": np.asarray(ids, np.int64),
+                "n_bigrams": np.asarray(nbi, np.int64),
+                "nll_log2_micro": np.asarray(
+                    [t // n for t, n in zip(tot, nbi)], np.int64)})
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # OPEN-DOMAIN path: model stays distributed. c1 attaches to the
+    # counts via a w1-bucketed reduce-and-merge, the per-bigram nll is
+    # computed model-side ONCE, the probe (doc bigram multiplicities)
+    # hash-joins on the composite key, and a doc-bucketed reduce
+    # finishes. Exchange: O(model) + O(distinct doc bigrams).
+    def attach_c1(g):
+        s = g.copy()
+        s["c1"] = s.groupby("w1")["c"].transform("sum")
+        lg = lambda a: np.floor(  # noqa: E731
+            np.log2(a.to_numpy(np.float64)) * 1_000_000).astype(np.int64)
+        s["nll"] = lg(s["c1"]) - lg(s["c"])
+        return s[["w1", "w2", "nll"]]
+
+    model = (counts.map_batches(
+        lambda t: _crc_bucket_col(t, "w1", nb), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_c1, batch_format="pandas"))
+
+    def probe_rows(df):
+        from collections import Counter
+
+        rows: list[tuple] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            tk = ts.tokens(text.lower())
+            if len(tk) < 2:
+                continue
+            for (w1, w2), k in Counter(zip(tk[:-1], tk[1:])).items():
+                rows.append((doc_id, w1, w2, k))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "w1", "w2", "k"]).astype(
+            {"doc_id": "int64", "k": "int64"})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(nb, cpus // 2))
+    j = ds.map_batches(probe_rows, batch_format="pandas").join(
+        model, "inner", n_part, on=("w1", "w2"),
+        aggregator_ray_remote_args=_join_remote_args(n_part))
+
+    def doc_partial(df):
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": df["k"].to_numpy(np.int64),
+            "tot": df["k"].to_numpy(np.int64)
+            * df["nll"].to_numpy(np.int64)})
+        g = out.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), tot=("tot", "sum"))
+        g["bucket"] = (g["doc_id"] % nb).astype("int32")
+        return g
+
+    def doc_final(g):
+        s = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), tot=("tot", "sum"))
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].astype("int64"),
+            "n_bigrams": s["n_bigrams"].astype("int64"),
+            "nll_log2_micro": (s["tot"].to_numpy(np.int64)
+                               // s["n_bigrams"].to_numpy(np.int64))})
+
+    return (j.map_batches(doc_partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(doc_final, batch_format="pandas"))
+
+
+# --- T166: near-dup cluster representative selection -------------------
+
+
+def q_cluster_reps(sf_dir: str):
+    """Cluster REPRESENTATIVE selection — the keep-list step a dedup
+    pipeline runs after clustering (q_near_dup_clusters): per
+    connected component keep the LONGEST document (chars; ties →
+    smallest doc_id), reporting the kept doc, its length and the
+    cluster size. Labels are pair-bounded (candidates ≪ corpus by the
+    LSH construction), so the argmax folds driver-side over the label
+    table; each clustered doc's length attaches via ONE map-side
+    filtered corpus scan against the broadcast clustered-id set — no
+    text ever leaves the scan stage, nothing shuffles."""
+    import pandas as pd
+
+    labels = q_near_dup_clusters(sf_dir)
+    lpd = (labels.to_pandas()
+           if hasattr(labels, "to_pandas") else labels)
+    if not isinstance(lpd, pd.DataFrame):
+        lpd = lpd.to_pandas()
+    if len(lpd) == 0:
+        return pd.DataFrame({
+            "rep_doc_id": pd.Series([], dtype="int64"),
+            "keep_doc_id": pd.Series([], dtype="int64"),
+            "keep_chars": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64")})
+    ids = np.sort(lpd["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+
+    def lengths(df):
+        keys = sim.resolve_broadcast(ids_ref, key="creps-ids")
+        d = df["doc_id"].to_numpy(np.int64)
+        idx = np.searchsorted(keys, d)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = keys[idx_c] == d
+        return pd.DataFrame({
+            "doc_id": d[hit],
+            "n_chars": df["text"].str.len().to_numpy(np.int64)[hit]})
+
+    lens = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(lengths, batch_format="pandas")
+            .to_pandas())  # one row per clustered doc — pair-bounded
+    m = lpd.merge(lens, on="doc_id")
+    m = m.sort_values(["rep_doc_id", "n_chars", "doc_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    sizes = m.groupby("rep_doc_id")["doc_id"].size()
+    keep = m.drop_duplicates("rep_doc_id")
+    return pd.DataFrame({
+        "rep_doc_id": keep["rep_doc_id"].astype("int64").to_numpy(),
+        "keep_doc_id": keep["doc_id"].astype("int64").to_numpy(),
+        "keep_chars": keep["n_chars"].astype("int64").to_numpy(),
+        "n_docs": sizes.loc[keep["rep_doc_id"]].astype(
+            "int64").to_numpy()}).reset_index(drop=True)
+
+
+# --- T167: profit by nation and order year, TPC-H Q9 shape ------------
+
+PROFIT_PART_WORD = "plate"  # p_name substring filter (Q9's LIKE '%green%')
+
+
+def q_nation_year_profit(sf_dir: str):
+    """TPC-H Q9 shape ADAPTED — profit by (supplier nation, order
+    year) for one part family. partsupp is absent from this schema,
+    so profit is l_extendedprice·(1−l_discount) without the
+    ps_supplycost term — the PLAN shape (two dimension broadcasts
+    pruning the fact map-side, ONE big-big orderkey exchange, a tiny
+    (nation × year) rollup) is Q9's. The part filter drops ~87% of
+    lineitem before the exchange; supplier→nation attaches from a
+    broadcast array (dimension tables are 10⁻⁵ of the fact at any
+    TPC-H sf, safe in the object store at 100 TB corpus scale)."""
+    import pandas as pd
+
+    ppd = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    p_keys = np.sort(ppd.loc[
+        ppd["p_name"].str.contains(PROFIT_PART_WORD, regex=False),
+        "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(p_keys)
+
+    spd = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = np.sort(spd["s_suppkey"].to_numpy(np.int64))
+    s_nat = spd.set_index("s_suppkey")["s_nationkey"].astype(
+        np.int64).sort_index().to_numpy()
+    sref = ray.put((s_keys, s_nat))
+
+    def li_map(df):
+        pk = sim.resolve_broadcast(pref, key="nyp-part")
+        sk, sn = sim.resolve_broadcast(sref, key="nyp-supp")
+        part = df["l_partkey"].to_numpy(np.int64)
+        idx = np.searchsorted(pk, part)
+        idx_c = np.minimum(idx, len(pk) - 1) if len(pk) else idx
+        hit = (pk[idx_c] == part) if len(pk) else np.zeros(
+            len(part), bool)
+        supp = df["l_suppkey"].to_numpy(np.int64)[hit]
+        nat = sn[np.searchsorted(sk, supp)]
+        profit = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[hit]
+            * (1.0 - df["l_discount"].to_numpy(np.float64)[hit])
+            * 1_000_000 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64)[hit],
+            "supp_nat": nat, "profit_micro": profit})
+
+    lfil = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"]
+                 ).map_batches(li_map, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+                   ).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(
+        _read(sf_dir, "orders", ["o_orderkey"]).count()), cpus // 2))
+    j = lfil.join(
+        orders, "inner", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part))
+
+    small = (j.map_batches(
+        lambda df: df.groupby(["supp_nat", "o_year"],
+                              as_index=False).agg(
+            profit_micro=("profit_micro", "sum")),
+        batch_format="pandas")
+        .groupby(["supp_nat", "o_year"])
+        .aggregate(Sum("profit_micro", alias_name="profit_micro"))
+        .to_pandas())  # ≤ nations × years rows
+    nm = _read(sf_dir, "nation", ["n_nationkey", "n_name"]
+               ).to_pandas().set_index("n_nationkey")["n_name"]
+    out = pd.DataFrame({
+        "nation": small["supp_nat"].map(nm).astype(str),
+        "o_year": small["o_year"].astype("int64"),
+        "profit_micro": small["profit_micro"].astype("int64")})
+    return out.sort_values(
+        ["nation", "o_year"], ascending=[True, False],
+        kind="mergesort").reset_index(drop=True)
+
+
+# --- T168: line counts by ship-delay class, TPC-H Q12 shape -----------
+
+SHIPMODE_YEAR = "1997"        # receipt-year window stand-in
+SHIPMODE_SLOW_DAYS = 30       # delay ≥ this → 'slow' class
+
+
+def q_ship_delay_modes(sf_dir: str):
+    """TPC-H Q12 shape ADAPTED — l_shipmode/commitdate/receiptdate
+    are absent from this schema, so the 'ship mode' classes derive
+    from the one date pair available: delay = l_shipdate −
+    o_orderdate, class 'slow' when ≥ 30 days else 'fast'. The payload
+    semantics are Q12's exactly: per class, the CASE-sum split of
+    line counts into high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders, over one ship-year. Lineitem prunes to the year map-side,
+    then ONE orderkey exchange against the (orderkey, date, priority)
+    projection; the rollup key space is 2, folded per-batch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(pd.Timestamp(f"{SHIPMODE_YEAR}-01-01"),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{int(SHIPMODE_YEAR) + 1}-01-01"),
+                   pa.timestamp("us"))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]
+               ).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = max(8, min(dd.derive_buckets(
+        _read(sf_dir, "orders", ["o_orderkey"]).count()), cpus // 2))
+    j = li.join(
+        orders, "inner", n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args=_join_remote_args(n_part))
+
+    def partial(df):
+        delay = (df["l_shipdate"].to_numpy("datetime64[D]")
+                 - df["o_orderdate"].to_numpy("datetime64[D]")
+                 ).astype(np.int64)
+        slow = delay >= SHIPMODE_SLOW_DAYS
+        high = df["o_orderpriority"].isin(
+            ["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame({
+            "ship_class": np.where(slow, "slow", "fast"),
+            "high_line_count": high.astype(np.int64),
+            "low_line_count": (~high).astype(np.int64),
+        }).groupby("ship_class", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"))
+
+    return (j.map_batches(partial, batch_format="pandas")
+            .groupby("ship_class")
+            .aggregate(Sum("high_line_count",
+                           alias_name="high_line_count"),
+                       Sum("low_line_count",
+                           alias_name="low_line_count")))
+
+
+# --- T169: suppliers with excess shipped volume, TPC-H Q20 shape ------
+
+EXCESS_PART_PREFIX = "red"   # p_name prefix filter (Q20's 'forest%')
+EXCESS_YEAR = "1997"
+EXCESS_QTY = 400             # per-supplier shipped-qty threshold
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape ADAPTED — partsupp/ps_availqty are absent, so
+    the nested-aggregate semi-join chain runs on shipped volume:
+    suppliers whose total shipped quantity of 'red%' parts in one
+    year exceeds a threshold, returning their name and account
+    balance. The part keyset broadcasts (map-side prune before any
+    exchange), the per-supplier rollup is a tiny native aggregate
+    (supplier count is 10⁻⁴ of lineitem at any sf), and the HAVING
+    survivors fetch their names via a map-side filtered supplier
+    read — the Q18/Q20 broadcast-survivors plan, zero hash joins."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ppd = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    p_keys = np.sort(ppd.loc[
+        ppd["p_name"].str.startswith(EXCESS_PART_PREFIX),
+        "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(p_keys)
+    lo = pa.scalar(pd.Timestamp(f"{EXCESS_YEAR}-01-01"),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{int(EXCESS_YEAR) + 1}-01-01"),
+                   pa.timestamp("us"))
+
+    def li_map(df):
+        pk = sim.resolve_broadcast(pref, key="exsup-part")
+        part = df["l_partkey"].to_numpy(np.int64)
+        idx = np.searchsorted(pk, part)
+        idx_c = np.minimum(idx, len(pk) - 1) if len(pk) else idx
+        hit = (pk[idx_c] == part) if len(pk) else np.zeros(
+            len(part), bool)
+        qty = np.floor(df["l_quantity"].to_numpy(np.float64)
+                       + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "s_suppkey": df["l_suppkey"].to_numpy(np.int64)[hit],
+            "qty": qty[hit]})
+
+    per_supp = (_read(sf_dir, "lineitem",
+                      ["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"])
+                .map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi))),
+        batch_format="pyarrow")
+        .map_batches(li_map, batch_format="pandas")
+        .map_batches(
+        lambda df: df.groupby("s_suppkey", as_index=False).agg(
+            qty=("qty", "sum")),
+        batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .to_pandas())  # ≤ |supplier| rows
+    winners = per_supp[per_supp["total_qty"] > EXCESS_QTY]
+    keys = pa.array(np.sort(winners["s_suppkey"].to_numpy(np.int64)))
+    names = _read(sf_dir, "supplier",
+                  ["s_suppkey", "s_name", "s_acctbal"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"), keys)),
+        batch_format="pyarrow").to_pandas()
+    out = winners.merge(names, on="s_suppkey")
+    out["acctbal_cents"] = np.floor(
+        out["s_acctbal"].to_numpy(np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    return (out[["s_suppkey", "s_name", "acctbal_cents", "total_qty"]]
+            .astype({"s_suppkey": "int64", "total_qty": "int64"})
+            .sort_values("s_name", kind="mergesort")
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9271,7 +9716,13 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a1) new this session (T150–T157), never checked --------
+        # -- (0a0) new this session (T165–T169), never checked --------
+        "bigram_lm_nll": q_bigram_lm_nll,
+        "cluster_reps": q_cluster_reps,
+        "nation_year_profit": q_nation_year_profit,
+        "ship_delay_modes": q_ship_delay_modes,
+        "excess_suppliers": q_excess_suppliers,
+        # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
         "cheapest_supplier": q_cheapest_supplier,
@@ -12200,6 +12651,103 @@ ORACLES["embedding_quantize"] = """
            CAST(sum(c.code * c.code) AS BIGINT) AS code_sq_sum
     FROM c JOIN v ON c.vec_id = v.vec_id
     GROUP BY v.vec_id, v.mn, v.mx
+"""
+
+ORACLES["bigram_lm_nll"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2),
+    cnt AS (SELECT w1, w2, count(*)::BIGINT AS c
+            FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c)::BIGINT AS cl FROM cnt GROUP BY 1),
+    sc AS (
+      SELECT bi.doc_id,
+             CAST(floor(log2(CAST(c1.cl AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+           - CAST(floor(log2(CAST(cnt.c AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS nll
+      FROM bi
+      JOIN cnt ON bi.w1 = cnt.w1 AND bi.w2 = cnt.w2
+      JOIN c1 ON bi.w1 = c1.w1)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           CAST(sum(nll) // count(*) AS BIGINT) AS nll_log2_micro
+    FROM sc GROUP BY 1
+"""
+
+# cluster_reps extends the near_dup_clusters component SQL: its final
+# SELECT becomes a `labs` CTE, then the per-cluster argmax (longest
+# doc, ties → smallest id) attaches lengths from the documents table.
+ORACLES["cluster_reps"] = ORACLES["near_dup_clusters"].rstrip().replace(
+    "SELECT a AS doc_id,",
+    ", labs AS (\n          SELECT a AS doc_id,", 1) + """)
+        SELECT rep_doc_id, keep_doc_id, keep_chars, n_docs FROM (
+          SELECT l.rep_doc_id,
+                 l.doc_id AS keep_doc_id,
+                 CAST(length(d.text) AS BIGINT) AS keep_chars,
+                 CAST(count(*) OVER (PARTITION BY l.rep_doc_id)
+                      AS BIGINT) AS n_docs,
+                 row_number() OVER (
+                   PARTITION BY l.rep_doc_id
+                   ORDER BY length(d.text) DESC, l.doc_id) AS rn
+          FROM labs l JOIN documents d ON l.doc_id = d.doc_id)
+        WHERE rn = 1
+"""
+
+ORACLES["nation_year_profit"] = f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_micro
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%{PROFIT_PART_WORD}%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+ORACLES["ship_delay_modes"] = f"""
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                     >= {SHIPMODE_SLOW_DAYS}
+                THEN 'slow' ELSE 'fast' END AS ship_class,
+           CAST(count(*) FILTER (WHERE o_orderpriority IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT)
+               AS high_line_count,
+           CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '{SHIPMODE_YEAR}-01-01'
+      AND l_shipdate < DATE '{int(SHIPMODE_YEAR) + 1}-01-01'
+    GROUP BY 1
+"""
+
+ORACLES["excess_suppliers"] = f"""
+    WITH w AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '{EXCESS_PART_PREFIX}%'
+        AND l_shipdate >= DATE '{EXCESS_YEAR}-01-01'
+        AND l_shipdate < DATE '{int(EXCESS_YEAR) + 1}-01-01'
+      GROUP BY 1
+      HAVING total_qty > {EXCESS_QTY})
+    SELECT s_suppkey, s_name,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+               AS acctbal_cents,
+           total_qty
+    FROM w JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY s_name
 """
 
 
