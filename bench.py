@@ -31,6 +31,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "bigram_lm_nll",
+    "cluster_reps",
+    "nation_year_profit",
+    "ship_delay_modes",
+    "excess_suppliers",
     "kcenter_coreset",
     "embedding_quantize",
     "cheapest_supplier",

@@ -74,15 +74,23 @@ class ExtractConfig:
     # invariant (ok + errors == rows) and the manifest schema are
     # untouched. 0 = off (default).
     min_quality_tokens: int = 0
+    # output serialization: "parquet" (default — columnar, the query
+    # layer's native input) or "jsonl" (gzip'd JSON Lines, the format
+    # most LLM training loaders consume; mirrors the reference's
+    # .json artifact leg, services/document_service.py result writers).
+    # Binary image payloads base64-encode; timestamps render ISO-8601.
+    output_format: str = "parquet"
 
     # fields that change WHAT is extracted (affect output bytes); the
     # remaining fields are execution sizing only — output-invariant, so
-    # they must NOT invalidate resume manifests
+    # they must NOT invalidate resume manifests. output_format changes
+    # the artifact bytes/layout, so jsonl and parquet runs of the same
+    # input never cross-resume.
     _SEMANTIC_FIELDS = (
         "link_density_pct", "min_block_chars", "text_density_pct",
         "pdf_heading_ratio_pct", "pdf_line_tol_milli",
         "pdf_column_gap_milli", "num_partitions", "max_gunzip_bytes",
-        "redact_pii", "min_quality_tokens",
+        "redact_pii", "min_quality_tokens", "output_format",
     )
 
     def fingerprint(self) -> str:

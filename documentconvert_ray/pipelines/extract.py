@@ -280,8 +280,40 @@ class ShardWriter:
     lost data.
     """
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, fmt: str = "parquet") -> None:
+        if fmt not in ("parquet", "jsonl"):
+            raise ValueError(f"unknown output format {fmt!r}")
         self.out_dir = out_dir
+        self.fmt = fmt
+
+    @staticmethod
+    def _jsonl_bytes(sub: pa.Table) -> bytes:
+        """Serialize a shard slice as gzip'd JSON Lines — binary image
+        payloads base64-encode, timestamps render ISO-8601, key order
+        follows OUTPUT_SCHEMA. mtime=0 in the gzip header keeps the
+        bytes a pure function of the rows (same idempotent-retry
+        contract as the content-addressed parquet leg)."""
+        import base64
+        import gzip
+        import io
+        import json as _json
+
+        cols = [f.name for f in OUTPUT_SCHEMA]
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            for row in sub.to_pylist():
+                ts = row.get("warc_ts")
+                if ts is not None:
+                    row["warc_ts"] = ts.isoformat()
+                for im in row.get("images") or []:
+                    if im.get("data") is not None:
+                        im["data"] = base64.b64encode(
+                            im["data"]).decode("ascii")
+                gz.write(_json.dumps(
+                    {k: row[k] for k in cols}, ensure_ascii=False,
+                    sort_keys=False).encode("utf-8"))
+                gz.write(b"\n")
+        return buf.getvalue()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib as _h
@@ -294,6 +326,7 @@ class ShardWriter:
         # blocks differ, and every parquet file in a shard dir must
         # carry the same schema
         data = data.select([f.name for f in OUTPUT_SCHEMA])
+        ext = ".parquet" if self.fmt == "parquet" else ".jsonl.gz"
         out_parts: list[pa.Table] = []
         for sid in sorted(set(shard_col)):
             mask = pa.array([s == sid for s in shard_col])
@@ -307,16 +340,24 @@ class ShardWriter:
                 hh.update(s.encode())
                 hh.update(b"\x01")
             stem = hh.hexdigest()[:16]
-            final = os.path.join(d, f"part-{stem}.parquet")
+            final = os.path.join(d, f"part-{stem}{ext}")
             if mf.is_uri(self.out_dir):
                 # object stores: per-object atomic PUT, no rename/fsync
                 fs, p = mf.fs_for(final)
                 fs.create_dir(mf.fs_for(d)[1], recursive=True)
-                _pq.write_table(sub, p, filesystem=fs)
+                if self.fmt == "parquet":
+                    _pq.write_table(sub, p, filesystem=fs)
+                else:
+                    with fs.open_output_stream(p) as f:
+                        f.write(self._jsonl_bytes(sub))
             else:
                 os.makedirs(d, exist_ok=True)
                 tmp = final + f".tmp-{os.getpid()}"
-                _pq.write_table(sub, tmp)
+                if self.fmt == "parquet":
+                    _pq.write_table(sub, tmp)
+                else:
+                    with open(tmp, "wb") as f:
+                        f.write(self._jsonl_bytes(sub))
                 with open(tmp, "rb") as f:
                     os.fsync(f.fileno())
                 os.replace(tmp, final)
@@ -609,7 +650,8 @@ def run_extract_job(
         # partial stats; the consumed result is one tiny row per
         # (block, shard), never the data itself
         stats_ds = ds.map_batches(
-            ShardWriter(out_dir), batch_format="pyarrow", batch_size=None
+            ShardWriter(out_dir, fmt=cfg.output_format),
+            batch_format="pyarrow", batch_size=None
         )
         partials = stats_ds.to_pandas()  # tiny: one row per (block, shard)
         if stats_sink is not None:

@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="N",
                     help="drop extracted docs with fewer than N "
                          "tokens (recorded as low_quality rows)")
+    # output serialization (semantic config: jsonl and parquet runs
+    # keep separate resume manifests — the artifact bytes differ)
+    ap.add_argument("--output-format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="shard artifact format: columnar parquet "
+                         "(default) or gzip'd JSON Lines (training-"
+                         "loader friendly; images base64)")
     args = ap.parse_args(argv)
 
     import ray
@@ -113,12 +120,14 @@ def main(argv: list[str] | None = None) -> int:
             input_path = args.dedup_urls_to
 
         cfg = DEFAULT_CONFIG
-        if args.redact_pii or args.min_quality_tokens > 0:
+        if (args.redact_pii or args.min_quality_tokens > 0
+                or args.output_format != "parquet"):
             import dataclasses
 
             cfg = dataclasses.replace(
                 cfg, redact_pii=args.redact_pii,
-                min_quality_tokens=args.min_quality_tokens)
+                min_quality_tokens=args.min_quality_tokens,
+                output_format=args.output_format)
 
         t0 = time.monotonic()
         metrics = run_extract_job(

@@ -129,8 +129,10 @@ def completed_shards(out_dir: str, shards: dict[str, int],
 
 
 def _shard_has_data(out_dir: str, sid: int) -> bool:
-    import glob as _glob
-
+    # either artifact format counts as data (cfg.output_format is part
+    # of the fingerprint, so a matching manifest implies the format
+    # that produced these files)
+    exts = (".parquet", ".jsonl.gz")
     d = shard_data_dir(out_dir, sid)
     if is_uri(out_dir):
         import pyarrow.fs as pafs
@@ -140,8 +142,10 @@ def _shard_has_data(out_dir: str, sid: int) -> bool:
             infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
         except (OSError, FileNotFoundError):
             return False
-        return any(i.path.endswith(".parquet") for i in infos)
-    return bool(_glob.glob(os.path.join(d, "*.parquet")))
+        return any(i.path.endswith(exts) for i in infos)
+    import glob as _glob
+
+    return any(_glob.glob(os.path.join(d, f"*{e}")) for e in exts)
 
 
 def clean_partial_shards(out_dir: str, shards_to_run: set[int]) -> None:

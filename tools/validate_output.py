@@ -21,17 +21,31 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def shard_digest(files: list[str]) -> tuple[int, int]:
-    """(row_count, sum-mod-2^256 digest) from the small columns only."""
+def _small_cols(f: str):
+    """Yield (url, text_sha256) rows from either artifact format."""
+    if f.endswith(".jsonl.gz"):
+        import gzip
+        import json as _json
+
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                r = _json.loads(line)
+                yield r["url"], r["text_sha256"]
+        return
     import pyarrow.parquet as pq
 
+    t = pq.read_table(f, columns=["url", "text_sha256"])
+    yield from zip(t.column("url").to_pylist(),
+                   t.column("text_sha256").to_pylist())
+
+
+def shard_digest(files: list[str]) -> tuple[int, int]:
+    """(row_count, sum-mod-2^256 digest) from the small columns only."""
     digest = 0
     rows = 0
     for f in sorted(files):
-        t = pq.read_table(f, columns=["url", "text_sha256"])
-        rows += t.num_rows
-        for url, sha in zip(t.column("url").to_pylist(),
-                            t.column("text_sha256").to_pylist()):
+        for url, sha in _small_cols(f):
+            rows += 1
             h = hashlib.sha256((url + "\x00" + sha).encode()).hexdigest()
             digest = (digest + int(h, 16)) % (1 << 256)
     return rows, digest
@@ -46,9 +60,9 @@ def validate(out_dir: str) -> list[str]:
         with open(mp) as f:
             m = json.load(f)
         sid = m["shard"]
-        files = glob.glob(
-            os.path.join(out_dir, "data", f"shard={sid}", "*.parquet")
-        )
+        d = os.path.join(out_dir, "data", f"shard={sid}")
+        files = (glob.glob(os.path.join(d, "*.parquet"))
+                 + glob.glob(os.path.join(d, "*.jsonl.gz")))
         if not files and m.get("rows", 0) > 0:
             problems.append(f"shard {sid}: manifest but no data files")
             continue
