@@ -31,6 +31,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    "uniform_sample_k",
+    "quality_calibration",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

@@ -9702,6 +9702,114 @@ def q_excess_suppliers(sf_dir: str):
             .reset_index(drop=True))
 
 
+# --- T170: deterministic uniform sample of exactly k docs -------------
+
+SAMPLE_K = 100
+
+
+def q_uniform_sample_k(sf_dir: str):
+    """Deterministic UNIFORM SAMPLE of exactly k documents — the
+    eval-set / human-review draw every curation pipeline needs,
+    without a global shuffle: keep the k smallest md5(doc_id) values
+    (a uniform permutation position, reproducible across runs and
+    partitionings). Per-batch partial top-k (k·n_blocks candidate
+    rows reach the driver — never the corpus), final fold + rank.
+    The hash is DuckDB's md5_number_upper convention
+    (functions/textstats._md5_u64), so the oracle is the same ORDER
+    BY hash LIMIT k."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        h = np.array([_md5_u64(b"smp:%d" % i) for i in ids.tolist()],
+                     np.uint64)
+        keep = np.lexsort((ids, h))[:SAMPLE_K]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": b.column("lang").take(pa.array(keep)),
+            "n_chars": b.column("n_chars").take(pa.array(keep)),
+            "h": pa.array(h[keep], pa.uint64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["h", "doc_id"], kind="mergesort"
+                            ).head(SAMPLE_K)
+    return pd.DataFrame({
+        "rnk": np.arange(1, len(cand) + 1, dtype=np.int64),
+        "doc_id": cand["doc_id"].astype("int64").to_numpy(),
+        "lang": cand["lang"].astype(str).to_numpy(),
+        "n_chars": cand["n_chars"].astype("int64").to_numpy()})
+
+
+# --- T171: quality-classifier calibration / lift table -----------------
+
+CAL_BIN_MILLI = 2000        # score-bin width (milli-units)
+CAL_LONG_CHARS = 300        # independent signal: doc is "long"
+CAL_OFF = 1_000_000_000     # shift to keep // floor-semantics equal
+#                             between numpy (floor) and DuckDB
+#                             (truncation) — both sides nonnegative
+
+
+def q_quality_calibration(sf_dir: str):
+    """Classifier CALIBRATION / LIFT table — the held-out sanity check
+    run before a quality gate ships: bin the T137 linear-model score
+    into fixed-width bins and tabulate, per bin, the doc count, how
+    many docs carry an INDEPENDENT quality signal (length ≥
+    CAL_LONG_CHARS chars), and the score mass. A monotone n_long/n
+    across bins is the go signal; flat means the model is noise. Pure
+    map-side scoring + binning (the quality_lr kernel) → per-batch
+    partials → a ≤|bins| native fold; ZERO data exchange. The bin
+    arithmetic offsets scores positive before integer division so
+    numpy's floor and the oracle's truncating // agree exactly."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64, tokens as _tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins, long_, sc = [], [], []
+        for t, nc in zip(b.column("text").to_pylist(),
+                         b.column("n_chars").to_pylist()):
+            tk = _tokens((t or "").lower())
+            if not tk:
+                continue
+            s = 0
+            for w in tk:
+                s += (_md5_u64(b"lrw:" + w.encode("utf-8")) % 2001) - 1000
+            bins.append((s + CAL_OFF) // CAL_BIN_MILLI)
+            long_.append(1 if nc >= CAL_LONG_CHARS else 0)
+            sc.append(s)
+        df = pd.DataFrame({"bin": bins, "n_long": long_, "s": sc})
+        g = df.groupby("bin", as_index=False).agg(
+            n_docs=("s", "size"), n_long=("n_long", "sum"),
+            sum_score_milli=("s", "sum"))
+        return pa.Table.from_pandas(
+            g.astype({"bin": "int64", "n_docs": "int64",
+                      "n_long": "int64", "sum_score_milli": "int64"}),
+            preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_long", alias_name="n_long"),
+                      Sum("sum_score_milli",
+                          alias_name="sum_score_milli")))
+
+    def final(df):
+        b = df["bin"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bin_lo_milli": b * CAL_BIN_MILLI - CAL_OFF,
+            "n_docs": df["n_docs"].astype("int64"),
+            "n_long": df["n_long"].astype("int64"),
+            "sum_score_milli": df["sum_score_milli"].astype("int64")})
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9716,12 +9824,14 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a0) new this session (T165–T169), never checked --------
+        # -- (0a0) new this session (T165–T171), never checked --------
         "bigram_lm_nll": q_bigram_lm_nll,
         "cluster_reps": q_cluster_reps,
         "nation_year_profit": q_nation_year_profit,
         "ship_delay_modes": q_ship_delay_modes,
         "excess_suppliers": q_excess_suppliers,
+        "uniform_sample_k": q_uniform_sample_k,
+        "quality_calibration": q_quality_calibration,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -12748,6 +12858,37 @@ ORACLES["excess_suppliers"] = f"""
            total_qty
     FROM w JOIN supplier ON l_suppkey = s_suppkey
     ORDER BY s_name
+"""
+
+ORACLES["uniform_sample_k"] = f"""
+    SELECT CAST(row_number() OVER (
+               ORDER BY md5_number_upper('smp:' || doc_id::VARCHAR),
+                        doc_id) AS BIGINT) AS rnk,
+           doc_id, lang, n_chars
+    FROM documents
+    ORDER BY md5_number_upper('smp:' || doc_id::VARCHAR), doc_id
+    LIMIT {SAMPLE_K}
+"""
+
+ORACLES["quality_calibration"] = f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, t.tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)),
+    sc AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars,
+             sum(CAST(md5_number_upper('lrw:' || tok) % 2001
+                      AS BIGINT) - 1000) AS s
+      FROM toks GROUP BY doc_id)
+    SELECT CAST(((s + {CAL_OFF}) // {CAL_BIN_MILLI})
+                * {CAL_BIN_MILLI} - {CAL_OFF} AS BIGINT)
+               AS bin_lo_milli,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_chars >= {CAL_LONG_CHARS})
+                AS BIGINT) AS n_long,
+           CAST(sum(s) AS BIGINT) AS sum_score_milli
+    FROM sc GROUP BY 1
 """
 
 

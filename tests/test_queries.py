@@ -113,6 +113,13 @@ SQL_QUERIES = [
     "multimodal_resize",
     "multimodal_features",
     "frame_sample",
+    "bigram_lm_nll",
+    "cluster_reps",
+    "nation_year_profit",
+    "ship_delay_modes",
+    "excess_suppliers",
+    "uniform_sample_k",
+    "quality_calibration",
 ]
 
 
