@@ -33,6 +33,8 @@ SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 QUERY_NAMES = [
     "uniform_sample_k",
     "quality_calibration",
+    "weighted_sample_k",
+    "funnel_conversion",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

@@ -9810,6 +9810,120 @@ def q_quality_calibration(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+# --- T172: weighted sample (A-ES) — token-budget-proportional draw ----
+
+WSAMPLE_K = 100
+
+
+def q_weighted_sample_k(sf_dir: str):
+    """WEIGHTED sample of exactly k docs, probability ∝ length —
+    Efraimidis-Spirakis A-ES (2006): keep the k largest u^(1/w) ⇔ the
+    k largest log2(u)/w, with u a deterministic md5-derived uniform —
+    the length-proportional draw a token-budget subsample uses
+    (sampling docs ∝ tokens ≈ sampling tokens uniformly). The sort
+    key is the SAME IEEE double on both sides (libm-log2 parity
+    contract; the float never leaves the ranking — output is integer
+    rank + attributes). Per-batch partial top-k → k·n_blocks fold;
+    no shuffle, corpus streams once."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key_of(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        h = np.array([_md5_u64(b"wsmp:%d" % i) for i in ids.tolist()],
+                     np.uint64)
+        return (np.log2(h.astype(np.float64) + 1.0) - 64.0) / w
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        w = b.column("n_chars").to_numpy().astype(np.float64)
+        key = key_of(ids, w)
+        keep = np.lexsort((ids, -key))[:WSAMPLE_K]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_chars": b.column("n_chars").take(pa.array(keep)),
+            "key": pa.array(key[keep], pa.float64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(WSAMPLE_K)
+    return pd.DataFrame({
+        "rnk": np.arange(1, len(cand) + 1, dtype=np.int64),
+        "doc_id": cand["doc_id"].astype("int64").to_numpy(),
+        "n_chars": cand["n_chars"].astype("int64").to_numpy()})
+
+
+# --- T173: ordered funnel conversion (click → later purchase) ---------
+
+
+def q_funnel_conversion(sf_dir: str):
+    """ORDERED-SEQUENCE funnel — the product-analytics aggregate the
+    event battery lacked: of users with ≥1 click, how many later
+    purchased (strictly after their FIRST click), plus the exact
+    summed first-click→first-qualifying-purchase delay in micros.
+    Order-dependence makes this non-commutative: clicks pre-combine
+    map-side (min is safe) but purchase candidates must ride WHOLE to
+    the user's bucket (a batch-min purchase may precede the global
+    first click while a later one qualifies) — the exchange is
+    O(purchase events) projected to 16-byte rows, never all events.
+    Per-bucket vectorized two-pass reduce, ≤1-row partials, 1-row
+    fold."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        # unit-pinned: pandas may carry ns or us depending on the
+        # Arrow→pandas path; epoch MICROS is the oracle's epoch_us
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy(np.int64)
+        is_c = (df["event_type"] == "click").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        c = (pd.DataFrame({"user_id": uid[is_c], "ts_us": us[is_c]})
+             .groupby("user_id", as_index=False).agg(
+                 ts_us=("ts_us", "min")))
+        c["is_click"] = True
+        p = pd.DataFrame({"user_id": uid[is_p], "ts_us": us[is_p]})
+        p["is_click"] = False
+        out = pd.concat([c, p], ignore_index=True)
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out.astype({"user_id": "int64", "ts_us": "int64"})
+
+    def reduce_bucket(g):
+        n_users = n_conv = 0
+        delay = 0
+        clicks = g[g["is_click"]].groupby("user_id")["ts_us"].min()
+        pur = g[~g["is_click"]]
+        by_u = dict(iter(pur.groupby("user_id")["ts_us"]))
+        for u, t1 in clicks.items():
+            n_users += 1
+            ts = by_u.get(u)
+            if ts is None:
+                continue
+            after = ts[ts > t1]
+            if len(after):
+                n_conv += 1
+                delay += int(after.min() - t1)
+        return pd.DataFrame({
+            "n_click_users": np.array([n_users], np.int64),
+            "n_converted": np.array([n_conv], np.int64),
+            "sum_delay_micro": np.array([delay], np.int64)})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(reduce_bucket, batch_format="pandas")
+             .to_pandas())  # ≤ n_buckets rows
+    return pd.DataFrame({
+        "n_click_users": np.array([parts["n_click_users"].sum()],
+                                  np.int64),
+        "n_converted": np.array([parts["n_converted"].sum()], np.int64),
+        "sum_delay_micro": np.array([parts["sum_delay_micro"].sum()],
+                                    np.int64)})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9832,6 +9946,8 @@ def queries() -> dict:
         "excess_suppliers": q_excess_suppliers,
         "uniform_sample_k": q_uniform_sample_k,
         "quality_calibration": q_quality_calibration,
+        "weighted_sample_k": q_weighted_sample_k,
+        "funnel_conversion": q_funnel_conversion,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -12889,6 +13005,37 @@ ORACLES["quality_calibration"] = f"""
                 AS BIGINT) AS n_long,
            CAST(sum(s) AS BIGINT) AS sum_score_milli
     FROM sc GROUP BY 1
+"""
+
+ORACLES["weighted_sample_k"] = f"""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             (log2(CAST(md5_number_upper('wsmp:' || doc_id::VARCHAR)
+                        AS DOUBLE) + 1) - 64) / n_chars AS key
+      FROM documents)
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                AS BIGINT) AS rnk,
+           doc_id, n_chars
+    FROM k
+    ORDER BY key DESC, doc_id
+    LIMIT {WSAMPLE_K}
+"""
+
+ORACLES["funnel_conversion"] = """
+    WITH c AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY 1),
+    p AS (
+      SELECT c.user_id, c.t1, min(e.ts) AS t2
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY 1, 2)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_users,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)
+                AS BIGINT) AS sum_delay_micro
+    FROM p
 """
 
 

@@ -120,6 +120,8 @@ SQL_QUERIES = [
     "excess_suppliers",
     "uniform_sample_k",
     "quality_calibration",
+    "weighted_sample_k",
+    "funnel_conversion",
 ]
 
 
