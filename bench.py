@@ -35,6 +35,7 @@ QUERY_NAMES = [
     "quality_calibration",
     "weighted_sample_k",
     "funnel_conversion",
+    "column_profile",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

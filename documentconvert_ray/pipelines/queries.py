@@ -9924,6 +9924,78 @@ def q_funnel_conversion(sf_dir: str):
                                     np.int64)})
 
 
+# --- T174: per-column data-profiling audit -----------------------------
+
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
+                "props"]
+
+
+def q_column_profile(sf_dir: str):
+    """DATA-PROFILING audit — the per-column (rows, nulls, EXACT
+    distinct) table every ingestion pipeline runs before trusting a
+    new feed. One scan: per batch each column emits one counter row
+    (rows, nulls) plus its batch-distinct value keys (shortest
+    round-trip repr — injective for doubles, so distinct-count
+    semantics match SQL's count(DISTINCT)); a crc-bucketed reduce
+    counts unique keys per column (a (col, value) never splits across
+    buckets) and sums counters; a cols×buckets driver fold finishes.
+    Exchange is O(batch-distinct values) string rows, never the
+    table. NaN/None both count as SQL NULL."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", PROFILE_COLS)
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        col_l, key_l, nr, nn = [], [], [], []
+        for c in PROFILE_COLS:
+            s = df[c]
+            col_l.append(c)
+            key_l.append("")  # counter sentinel
+            nr.append(len(s))
+            nn.append(int(s.isna().sum()))
+            for v in pd.unique(s.dropna()):
+                col_l.append(c)
+                key_l.append(repr(v))
+                nr.append(0)
+                nn.append(0)
+        return pd.DataFrame({
+            "col": col_l, "key": key_l,
+            "n_rows": np.asarray(nr, np.int64),
+            "n_nulls": np.asarray(nn, np.int64)})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("col"), t.column("key"), "\x00")
+        return _crc_bucket_col(t.append_column("k", k), "k", nb)
+
+    def reduce_bucket(g):
+        cnt = g[g["key"] == ""].groupby("col", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"))
+        dis = (g[g["key"] != ""].drop_duplicates(["col", "key"])
+               .groupby("col", as_index=False).agg(
+                   n_distinct=("key", "size")))
+        out = cnt.merge(dis, on="col", how="outer").fillna(0)
+        return out.astype({"n_rows": "int64", "n_nulls": "int64",
+                           "n_distinct": "int64"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .map_batches(bucketize, batch_format="pyarrow")
+             .drop_columns(["k"])
+             .groupby("bucket")
+             .map_groups(reduce_bucket, batch_format="pandas")
+             .to_pandas())  # ≤ cols × buckets rows
+    out = parts.groupby("col", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+        n_distinct=("n_distinct", "sum"))
+    return (out.rename(columns={"col": "column"})
+            .astype({"n_rows": "int64", "n_nulls": "int64",
+                     "n_distinct": "int64"})
+            .sort_values("column", kind="mergesort")
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9948,6 +10020,7 @@ def queries() -> dict:
         "quality_calibration": q_quality_calibration,
         "weighted_sample_k": q_weighted_sample_k,
         "funnel_conversion": q_funnel_conversion,
+        "column_profile": q_column_profile,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13037,6 +13110,14 @@ ORACLES["funnel_conversion"] = """
                 AS BIGINT) AS sum_delay_micro
     FROM p
 """
+
+ORACLES["column_profile"] = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events"""
+    for c in PROFILE_COLS)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -122,6 +122,7 @@ SQL_QUERIES = [
     "quality_calibration",
     "weighted_sample_k",
     "funnel_conversion",
+    "column_profile",
 ]
 
 
