@@ -36,6 +36,8 @@ QUERY_NAMES = [
     "weighted_sample_k",
     "funnel_conversion",
     "column_profile",
+    "embedding_covariance",
+    "bpe_encode_counts",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

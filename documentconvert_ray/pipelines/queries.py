@@ -9996,6 +9996,119 @@ def q_column_profile(sf_dir: str):
             .reset_index(drop=True))
 
 
+# --- T175: exact integer embedding covariance (Gram) matrix -----------
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Embedding GRAM / covariance matrix — the PCA / whitening prep
+    pass an embedding pipeline runs before dimensionality reduction:
+    Σ x_i x_iᵀ over all vectors in EXACT integers (components floor
+    to micros; int64 matmul per batch — products ≤ 10¹² × n_vecs,
+    overflow-documented ≫ any gate sf). The map-side combiner is the
+    whole trick: each batch collapses to ONE dims×dims partial
+    (X_microᵀ·X_micro via np.matmul), so the exchange is
+    O(blocks·dims²) regardless of corpus size; a two-level
+    repartition tree folds the partials (the embedding_outliers
+    idiom — a native aggregate pays per-key overhead at dims² keys).
+    Output: upper triangle as (di ≤ dj) long rows + the vector
+    count."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df):
+        m = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            * 1e6).astype(np.int64)
+        g = m.T @ m  # dims×dims, exact int64
+        iu, ju = np.triu_indices(m.shape[1])
+        return pd.DataFrame({
+            "di": iu.astype(np.int64), "dj": ju.astype(np.int64),
+            "sum_prod_micro2": g[iu, ju],
+            "n_vecs": np.int64(m.shape[0])})
+
+    def sum_block(df):
+        return df.groupby(["di", "dj"], as_index=False).agg(
+            sum_prod_micro2=("sum_prod_micro2", "sum"),
+            n_vecs=("n_vecs", "sum"))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb_c = max(4, min(16, cpus // 2))
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .repartition(nb_c)
+           .map_batches(sum_block, batch_format="pandas")
+           .repartition(1)
+           .map_batches(sum_block, batch_format="pandas")
+           .to_pandas())  # dims×(dims+1)/2 rows — tiny
+    # each batch emits every pair exactly once carrying its batch row
+    # count, so the per-pair n_vecs sum IS the total vector count
+    return (out.astype({"di": "int64", "dj": "int64",
+                     "sum_prod_micro2": "int64", "n_vecs": "int64"})
+            .sort_values(["di", "dj"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+# --- T176: BPE tokenizer APPLICATION over the corpus -------------------
+
+
+def q_bpe_encode_counts(sf_dir: str):
+    """TOKENIZER APPLICATION at corpus scale — encode every document
+    with the merge table the T160 trainer learned (same corpus, the
+    GPT-2 deployment loop: train once, broadcast the rules, encode
+    everywhere): per doc the word count and the resulting subword
+    count. The merge list is rank-ordered and applied sequentially
+    per word (reference Sennrich §3.2 semantics); a per-actor word →
+    length memo makes the cost O(distinct words) per batch, not
+    O(tokens). Pure map-side after one broadcast; the only exchange
+    is the trainer's own vocab-sized count reduce. Iterative string
+    rewriting → no SQL oracle (the bpe_vocab precedent); pytest
+    re-encodes the raw parquet with an independent encoder."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+
+    merges = q_bpe_vocab(sf_dir)
+    rules = list(zip(merges["left"], merges["right"]))
+    rules_ref = ray.put(rules)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode_len(word: str, rules: list, memo: dict) -> int:
+        n = memo.get(word)
+        if n is not None:
+            return n
+        sym = list(word)
+        for la, rb in rules:
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == la
+                        and sym[i + 1] == rb):
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        memo[word] = len(sym)
+        return memo[word]
+
+    def score(df):
+        rules = sim.resolve_broadcast(rules_ref, key="bpe-rules")
+        memo: dict[str, int] = {}
+        ids, nw, nsw = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            tk = ts.tokens(text)
+            ids.append(doc_id)
+            nw.append(len(tk))
+            nsw.append(sum(encode_len(w, rules, memo) for w in tk))
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "n_words": np.asarray(nw, np.int64),
+            "n_subwords": np.asarray(nsw, np.int64)})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10021,6 +10134,8 @@ def queries() -> dict:
         "weighted_sample_k": q_weighted_sample_k,
         "funnel_conversion": q_funnel_conversion,
         "column_profile": q_column_profile,
+        "embedding_covariance": q_embedding_covariance,
+        "bpe_encode_counts": q_bpe_encode_counts,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13109,6 +13224,20 @@ ORACLES["funnel_conversion"] = """
            CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)
                 AS BIGINT) AS sum_delay_micro
     FROM p
+"""
+
+ORACLES["embedding_covariance"] = """
+    WITH x AS (
+      SELECT vec_id, CAST(r.i AS BIGINT) AS i,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS r(i))
+    SELECT a.i - 1 AS di, b.i - 1 AS dj,
+           CAST(sum(a.v * b.v) AS BIGINT) AS sum_prod_micro2,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
 """
 
 ORACLES["column_profile"] = "\n    UNION ALL\n".join(

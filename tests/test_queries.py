@@ -123,6 +123,7 @@ SQL_QUERIES = [
     "weighted_sample_k",
     "funnel_conversion",
     "column_profile",
+    "embedding_covariance",
 ]
 
 

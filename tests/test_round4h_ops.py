@@ -80,6 +80,68 @@ def test_bigram_lm_nll_matches_bruteforce(registry, ray_session):
     assert got.equals(want)
 
 
+def test_bpe_encode_counts_matches_bruteforce(registry, ray_session):
+    """Independent re-encode of the raw parquet with the merge rules
+    the trainer returns: same per-doc word and subword counts."""
+    from documentconvert_ray.functions.textstats import tokens
+
+    qs, _ = registry
+    merges = qs["bpe_vocab"](SF)
+    merges = (merges.to_pandas()
+              if hasattr(merges, "to_pandas") else merges)
+    rules = list(zip(merges["left"], merges["right"]))
+    assert len(rules) > 0
+
+    def enc(word):
+        sym = list(word)
+        for la, rb in rules:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    got = _canon(qs["bpe_encode_counts"](SF))
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        tk = tokens(text)
+        rows.append((doc_id, len(tk), sum(enc(w) for w in tk)))
+    want = _canon(pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_subwords"]
+    ).astype("int64"))
+    assert len(want) > 0
+    # merges must actually fire: subwords < raw character count
+    n_chars = sum(len(w) for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        for w in tokens(text))
+    assert want["n_subwords"].sum() < n_chars
+    assert got.equals(want)
+
+
+def test_embedding_covariance_matches_numpy(registry, ray_session):
+    """Whole-table numpy recompute of the integer Gram matrix."""
+    qs, _ = registry
+    got = _canon(qs["embedding_covariance"](SF))
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.floor(np.stack(t.column("embedding").to_pylist())
+                 .astype(np.float64) * 1e6).astype(np.int64)
+    g = m.T @ m
+    iu, ju = np.triu_indices(m.shape[1])
+    want = _canon(pd.DataFrame({
+        "di": iu.astype(np.int64), "dj": ju.astype(np.int64),
+        "sum_prod_micro2": g[iu, ju],
+        "n_vecs": np.full(len(iu), m.shape[0], np.int64)}))
+    assert got.equals(want)
+
+
 def test_cluster_reps_invariants(registry, ray_session):
     """Each representative row names a doc INSIDE its component, with
     the component's maximum length (ties -> smallest id) and the
