@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "column_profile",
     "embedding_covariance",
     "bpe_encode_counts",
+    "fk_integrity",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

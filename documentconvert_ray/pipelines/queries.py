@@ -10109,6 +10109,86 @@ def q_bpe_encode_counts(sf_dir: str):
     return ds.map_batches(score, batch_format="pandas")
 
 
+# --- T177: referential-integrity (orphan FK) audit ---------------------
+
+FK_EDGES = [
+    # (edge label, fact table, fk col, dim table, dim key col)
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+]
+
+
+def q_fk_integrity(sf_dir: str):
+    """REFERENTIAL-INTEGRITY audit — the orphan-foreign-key check an
+    ingestion pipeline runs next to the T174 column profile: per FK
+    edge, the fact row count plus how many rows / distinct keys
+    reference a missing dimension row. NO broadcast and NO join
+    actor: both sides pre-aggregate map-side (fact → batch-local
+    (key, n_rows); dim → batch-distinct keys with n=0 sentinels) and
+    meet in ONE key-hash bucketed exchange per edge, where a
+    vectorized isin against the bucket's dim keys counts orphans —
+    exchange O(batch-distinct keys), exact at any skew. All-zero
+    orphans on sane data is the point: the oracle proves the zeros."""
+    import pandas as pd
+
+    out_rows = []
+    for label, fact, fk, dim, dk in FK_EDGES:
+        fds = _read(sf_dir, fact, [fk])
+        nb = dd.derive_buckets(fds.count())
+
+        def fact_partial(df, fk=fk):
+            g = df.groupby(fk, as_index=False).size()
+            return pd.DataFrame({
+                "key": g[fk].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+                "is_dim": np.zeros(len(g), bool)})
+
+        def dim_partial(df, dk=dk):
+            k = df[dk].drop_duplicates().to_numpy(np.int64)
+            return pd.DataFrame({
+                "key": k, "n": np.zeros(len(k), np.int64),
+                "is_dim": np.ones(len(k), bool)})
+
+        def bucketed(df):
+            df = df.copy()
+            df["bucket"] = (df["key"] % nb).astype("int32")
+            return df
+
+        def reduce_bucket(g):
+            dimk = g.loc[g["is_dim"], "key"].unique()
+            f = g[~g["is_dim"]]
+            fsum = f.groupby("key", as_index=False).agg(n=("n", "sum"))
+            orphan = ~fsum["key"].isin(dimk)
+            return pd.DataFrame({
+                "n_fk_rows": np.array([fsum["n"].sum()], np.int64),
+                "n_orphan_rows": np.array(
+                    [fsum.loc[orphan, "n"].sum()], np.int64),
+                "n_orphan_keys": np.array([orphan.sum()], np.int64)})
+
+        parts = (
+            fds.map_batches(fact_partial, batch_format="pandas")
+            .union(_read(sf_dir, dim, [dk]).map_batches(
+                dim_partial, batch_format="pandas"))
+            .map_batches(bucketed, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas())  # ≤ n_buckets rows
+        out_rows.append((
+            label, int(parts["n_fk_rows"].sum()),
+            int(parts["n_orphan_rows"].sum()),
+            int(parts["n_orphan_keys"].sum())))
+    return pd.DataFrame(
+        out_rows, columns=["fk_edge", "n_fk_rows", "n_orphan_rows",
+                           "n_orphan_keys"]).astype(
+        {"n_fk_rows": "int64", "n_orphan_rows": "int64",
+         "n_orphan_keys": "int64"}).sort_values(
+        "fk_edge", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10136,6 +10216,7 @@ def queries() -> dict:
         "column_profile": q_column_profile,
         "embedding_covariance": q_embedding_covariance,
         "bpe_encode_counts": q_bpe_encode_counts,
+        "fk_integrity": q_fk_integrity,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13239,6 +13320,18 @@ ORACLES["embedding_covariance"] = """
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
 """
+
+ORACLES["fk_integrity"] = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_fk_rows,
+           CAST(count(*) FILTER (WHERE d.{dk} IS NULL) AS BIGINT)
+               AS n_orphan_rows,
+           CAST(count(DISTINCT f.{fk})
+                FILTER (WHERE d.{dk} IS NULL) AS BIGINT)
+               AS n_orphan_keys
+    FROM {fact} f LEFT JOIN {dim} d ON f.{fk} = d.{dk}"""
+    for label, fact, fk, dim, dk in FK_EDGES)
 
 ORACLES["column_profile"] = "\n    UNION ALL\n".join(
     f"""

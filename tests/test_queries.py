@@ -124,6 +124,7 @@ SQL_QUERIES = [
     "funnel_conversion",
     "column_profile",
     "embedding_covariance",
+    "fk_integrity",
 ]
 
 
