@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "embedding_covariance",
     "bpe_encode_counts",
     "fk_integrity",
+    "token_drift_kl",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

@@ -10189,6 +10189,91 @@ def q_fk_integrity(sf_dir: str):
         "fk_edge", kind="mergesort").reset_index(drop=True)
 
 
+# --- T178: corpus distribution-drift monitor (smoothed KL) -------------
+
+
+def q_token_drift_kl(sf_dir: str):
+    """DISTRIBUTION-DRIFT monitor — the data-drift alarm a production
+    ingestion runs between corpus snapshots: add-one-smoothed
+    KL(P_even ‖ P_odd) between the token distributions of the two
+    doc_id-parity halves (a deterministic stand-in for
+    yesterday/today). Exact integers end-to-end: each token's term is
+    (c1+1)·[L((c1+1)·(n2+V)) − L((c2+1)·(n1+V))] with
+    L(x) = floor(log2(x)·10⁶) on exact-double integer inputs (the
+    libm-parity contract; products ≤ ~10¹⁴ ≪ 2⁵³ at any gate sf —
+    re-derive the bound before corpora beyond ~10⁹ tokens). The
+    UNDIVIDED term sum is returned next to the denominators (a
+    slightly-negative smoothed sum would hit the DuckDB-truncation /
+    numpy-floor division mismatch; callers divide by n1+V).
+
+    Shape: ONE corpus scan → (token, half) count partials →
+    crc-bucketed vocab-sized reduce (the word-count exchange); the
+    three scalars (n1, n2, V) fold off the SAME materialized counts;
+    the term pass is a map-side vectorized sweep over the counts.
+    Exchange O(vocab), corpus read once."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions import textstats as ts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = dd.derive_buckets(ds.count(), rows_per_doc=16)
+
+    def partials(df):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            half = int(doc_id) % 2
+            for w in ts.tokens(text.lower()):
+                c[(w, half)] += 1
+        w_l = [k[0] for k in c]
+        return pd.DataFrame({
+            "w": w_l,
+            "c1": np.asarray(
+                [c[k] if k[1] == 0 else 0 for k in c], np.int64),
+            "c2": np.asarray(
+                [c[k] if k[1] == 1 else 0 for k in c], np.int64)})
+
+    def reduce_counts(g):
+        s = g.groupby("w", as_index=False).agg(
+            c1=("c1", "sum"), c2=("c2", "sum"))
+        return s.astype({"c1": "int64", "c2": "int64"})
+
+    counts = (
+        ds.map_batches(partials, batch_format="pandas")
+        .map_batches(lambda t: _crc_bucket_col(t, "w", nb),
+                     batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_counts, batch_format="pandas")
+        .materialize()  # vocab-sized; scalars + term pass reuse it
+    )
+    n1 = int(counts.sum("c1") or 0)
+    n2 = int(counts.sum("c2") or 0)
+    v = counts.count()
+
+    def term(df):
+        c1 = df["c1"].to_numpy(np.int64)
+        c2 = df["c2"].to_numpy(np.int64)
+        la = np.floor(np.log2(
+            ((c1 + 1) * (n2 + v)).astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        lb = np.floor(np.log2(
+            ((c2 + 1) * (n1 + v)).astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "t": np.array([int(((c1 + 1) * (la - lb)).sum())],
+                          np.int64)})
+
+    tsum = int(counts.map_batches(
+        term, batch_format="pandas").sum("t") or 0)
+    return pd.DataFrame({
+        "n1_tokens": np.array([n1], np.int64),
+        "n2_tokens": np.array([n2], np.int64),
+        "vocab_union": np.array([v], np.int64),
+        "kl_sum_micro": np.array([tsum], np.int64)})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10217,6 +10302,7 @@ def queries() -> dict:
         "embedding_covariance": q_embedding_covariance,
         "bpe_encode_counts": q_bpe_encode_counts,
         "fk_integrity": q_fk_integrity,
+        "token_drift_kl": q_token_drift_kl,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13319,6 +13405,34 @@ ORACLES["embedding_covariance"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLES["token_drift_kl"] = """
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, t.tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)),
+    cnt AS (
+      SELECT tok,
+             CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c2
+      FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM cnt),
+    term AS (
+      SELECT (c1 + 1)
+             * (CAST(floor(log2(CAST((c1 + 1) * (n2 + v) AS DOUBLE))
+                           * 1000000) AS BIGINT)
+              - CAST(floor(log2(CAST((c2 + 1) * (n1 + v) AS DOUBLE))
+                           * 1000000) AS BIGINT)) AS t
+      FROM cnt CROSS JOIN tot)
+    SELECT tot.n1 AS n1_tokens, tot.n2 AS n2_tokens,
+           tot.v AS vocab_union,
+           CAST((SELECT sum(t) FROM term) AS BIGINT) AS kl_sum_micro
+    FROM tot
 """
 
 ORACLES["fk_integrity"] = "\n    UNION ALL\n".join(

@@ -125,6 +125,7 @@ SQL_QUERIES = [
     "column_profile",
     "embedding_covariance",
     "fk_integrity",
+    "token_drift_kl",
 ]
 
 
