@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "bpe_encode_counts",
     "fk_integrity",
     "token_drift_kl",
+    "winsorized_value_mean",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

@@ -10274,6 +10274,65 @@ def q_token_drift_kl(sf_dir: str):
         "kl_sum_micro": np.array([tsum], np.int64)})
 
 
+# --- T179: winsorized (robust) mean per group --------------------------
+
+WINSOR_LO_MICRO = 50_000    # 5th percentile (micro-units of q)
+WINSOR_HI_MICRO = 950_000   # 95th percentile
+
+
+def q_winsorized_value_mean(sf_dir: str):
+    """ROBUST (winsorized) grouped mean — the outlier-resistant
+    aggregate a metrics pipeline uses when heavy tails poison plain
+    means: per event type, clip values to the exact discrete
+    p5/p95 (DuckDB quantile_disc semantics, index ceil(q·N)−1) and
+    take the clipped integer mean. Rides the value_quantiles
+    histogram-combiner shape unchanged: per-batch (type, value_micro,
+    n) partials → ONE shuffle → a per-type weighted-cumsum reduce
+    that finds both bounds AND folds the clipped sum in the same
+    pass. Exchange O(batch-distinct values), never events; floor
+    division is safe (sums of clipped micros are sign-stable: the
+    mean of clipped values keeps the clipped sum's sign, and the
+    oracle divides the SAME nonneg-shifted sum)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        df = df.assign(v=_micro_int_col(df["value"]))
+        g = (df.groupby(["event_type", "v"], as_index=False)
+             .agg(n=("v", "size")))
+        g["n"] = g["n"].astype("int64")
+        return g[["event_type", "v", "n"]]
+
+    def reduce_type(g):
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+
+        def qd(q_micro: int) -> int:
+            target = -(-q_micro * total // 1_000_000) - 1
+            return int(v[np.searchsorted(cum, target + 1)])
+
+        lo, hi = qd(WINSOR_LO_MICRO), qd(WINSOR_HI_MICRO)
+        clipped = np.clip(v, lo, hi)
+        s = int((clipped * c).sum())
+        # nonneg shift before // so numpy floor == DuckDB truncation
+        off = 10_000_000_000
+        mean = (s + off * total) // total - off
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([total], np.int64),
+            "lo_micro": np.array([lo], np.int64),
+            "hi_micro": np.array([hi], np.int64),
+            "winsor_mean_micro": np.array([mean], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(reduce_type, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10303,6 +10362,7 @@ def queries() -> dict:
         "bpe_encode_counts": q_bpe_encode_counts,
         "fk_integrity": q_fk_integrity,
         "token_drift_kl": q_token_drift_kl,
+        "winsorized_value_mean": q_winsorized_value_mean,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13405,6 +13465,26 @@ ORACLES["embedding_covariance"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLES["winsorized_value_mean"] = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+             CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type)
+    SELECT e.event_type, b.n AS n_events,
+           b.lo AS lo_micro, b.hi AS hi_micro,
+           CAST((sum(least(greatest(e.v, b.lo), b.hi))
+                 + 10000000000 * b.n) // b.n - 10000000000
+                AS BIGINT) AS winsor_mean_micro
+    FROM e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.n, b.lo, b.hi
 """
 
 ORACLES["token_drift_kl"] = """

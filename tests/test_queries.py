@@ -126,6 +126,7 @@ SQL_QUERIES = [
     "embedding_covariance",
     "fk_integrity",
     "token_drift_kl",
+    "winsorized_value_mean",
 ]
 
 
