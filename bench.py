@@ -41,6 +41,8 @@ QUERY_NAMES = [
     "fk_integrity",
     "token_drift_kl",
     "winsorized_value_mean",
+    "regex_token_counts",
+    "value_mad",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

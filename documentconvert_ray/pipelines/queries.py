@@ -10333,6 +10333,105 @@ def q_winsorized_value_mean(sf_dir: str):
             .map_groups(reduce_type, batch_format="pandas"))
 
 
+# --- T180: BPE-ish regex pre-tokenizer stats ---------------------------
+
+# letter runs | digit runs | single other-glyph — the GPT-2-style
+# pre-tokenization split, restricted to EXPLICIT ASCII classes so
+# Python re and DuckDB's RE2 agree on any input (Python \s is
+# Unicode-wide, RE2's is not — the ADVICE-r3 divergence class)
+REGEX_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
+
+
+def q_regex_token_counts(sf_dir: str):
+    """BPE-ish REGEX pre-tokenization stats — the GPT-2-family
+    pre-tokenizer (letter runs / digit runs / punctuation glyphs)
+    next to the whitespace tokenizer: per doc both token counts plus
+    the per-class split. One compiled-regex map-side pass (compiled
+    once per actor via the module-level cache), zero exchange.
+    Classes are explicit ASCII so the RE2 oracle matches on ANY
+    corpus, not just an ASCII one."""
+    import re as _re
+
+    import pandas as pd
+
+    from ..functions.textstats import tokens as _tokens
+
+    pat = _re.compile(REGEX_TOK)
+
+    def stats(df):
+        ids, nws, nrx, nw, nd, no = [], [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            t = text or ""
+            toks = pat.findall(t)
+            w = sum(1 for x in toks if x[0].isalpha())
+            d = sum(1 for x in toks if x[0].isdigit())
+            ids.append(doc_id)
+            nws.append(len(_tokens(t)))
+            nrx.append(len(toks))
+            nw.append(w)
+            nd.append(d)
+            no.append(len(toks) - w - d)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "n_ws_tokens": np.asarray(nws, np.int64),
+            "n_regex_tokens": np.asarray(nrx, np.int64),
+            "n_word_runs": np.asarray(nw, np.int64),
+            "n_digit_runs": np.asarray(nd, np.int64),
+            "n_other_glyphs": np.asarray(no, np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas")
+
+
+# --- T181: median absolute deviation (robust scale) per group ----------
+
+
+def q_value_mad(sf_dir: str):
+    """MAD — median absolute deviation, the robust SCALE companion to
+    the T179 winsorized mean: per event type the exact discrete
+    median and median(|v − median|). The second-order statistic costs
+    NO second exchange: both fold inside the same per-type reduce
+    over the (value, n) histogram (median from the weighted cumsum,
+    then the |v−med| histogram re-sorts the SAME arrays). Exchange
+    O(batch-distinct values) once; quantile_disc semantics both
+    sides."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df):
+        df = df.assign(v=_micro_int_col(df["value"]))
+        g = (df.groupby(["event_type", "v"], as_index=False)
+             .agg(n=("v", "size")))
+        g["n"] = g["n"].astype("int64")
+        return g[["event_type", "v", "n"]]
+
+    def reduce_type(g):
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        total = int(c.sum())
+
+        def wq(vals, wts, q_micro=500_000):
+            order = np.argsort(vals, kind="mergesort")
+            vals, wts = vals[order], wts[order]
+            cum = np.cumsum(wts)
+            target = -(-q_micro * total // 1_000_000) - 1
+            return int(vals[np.searchsorted(cum, target + 1)])
+
+        med = wq(v, c)
+        mad = wq(np.abs(v - med), c)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([total], np.int64),
+            "median_micro": np.array([med], np.int64),
+            "mad_micro": np.array([mad], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(reduce_type, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10363,6 +10462,8 @@ def queries() -> dict:
         "fk_integrity": q_fk_integrity,
         "token_drift_kl": q_token_drift_kl,
         "winsorized_value_mean": q_winsorized_value_mean,
+        "regex_token_counts": q_regex_token_counts,
+        "value_mad": q_value_mad,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13465,6 +13566,39 @@ ORACLES["embedding_covariance"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLES["regex_token_counts"] = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text),
+                '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{REGEX_TOK}'))
+                AS BIGINT) AS n_regex_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                AS BIGINT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '[0-9]+'))
+                AS BIGINT) AS n_digit_runs,
+           CAST(len(regexp_extract_all(text,
+                '[^A-Za-z0-9 \\t\\n\\r\\f\\v]')) AS BIGINT)
+               AS n_other_glyphs
+    FROM documents
+"""
+
+ORACLES["value_mad"] = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(quantile_disc(v, 0.5) AS BIGINT) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type)
+    SELECT e.event_type, m.n AS n_events, m.med AS median_micro,
+           CAST(quantile_disc(abs(e.v - m.med), 0.5) AS BIGINT)
+               AS mad_micro
+    FROM e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.n, m.med
 """
 
 ORACLES["winsorized_value_mean"] = """

@@ -127,6 +127,8 @@ SQL_QUERIES = [
     "fk_integrity",
     "token_drift_kl",
     "winsorized_value_mean",
+    "regex_token_counts",
+    "value_mad",
 ]
 
 
