@@ -43,6 +43,7 @@ QUERY_NAMES = [
     "winsorized_value_mean",
     "regex_token_counts",
     "value_mad",
+    "global_row_ids",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

@@ -10432,6 +10432,78 @@ def q_value_mad(sf_dir: str):
             .map_groups(reduce_type, batch_format="pandas"))
 
 
+# --- T182: global stable row enumeration (distributed zipWithIndex) ----
+
+ROWID_RANGE_BUCKETS = 64
+
+
+def q_global_row_ids(sf_dir: str):
+    """GLOBAL STABLE ENUMERATION — contiguous training-example ids in
+    (lang, doc_id) order, the zipWithIndex primitive Ray Data lacks,
+    WITHOUT a global sort: rank(row) = Σ counts of strictly-smaller
+    (lang, range-bucket) cells + the row's rank inside its own cell.
+    Phase 1 folds the tiny (lang × range-bucket) count grid off one
+    map-side pass (doc_id value-range buckets, so cell order IS key
+    order); the exclusive prefix sum over the grid broadcasts; phase
+    2 ranks each cell independently inside a bucketed reduce and adds
+    its offset. Two scans of a 2-int projection, one cell-hash
+    exchange; no all-to-all sort of the data itself. Ids are
+    partitioning-independent and dense 1..N."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    n = ds.count()
+    span = max(1, (int(_read(sf_dir, "documents", ["doc_id"])
+                       .max("doc_id") or 0) + ROWID_RANGE_BUCKETS)
+               // ROWID_RANGE_BUCKETS)
+
+    def cell_counts(df):
+        out = pd.DataFrame({
+            "lang": df["lang"],
+            "rb": (df["doc_id"].to_numpy(np.int64) // span)})
+        g = out.groupby(["lang", "rb"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"rb": "int64", "n": "int64"})
+
+    grid = (ds.map_batches(cell_counts, batch_format="pandas")
+            .groupby(["lang", "rb"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # ≤ langs × buckets rows
+    grid = grid.sort_values(["lang", "rb"], kind="mergesort")
+    offs = np.concatenate(
+        ([0], np.cumsum(grid["n"].to_numpy(np.int64))[:-1]))
+    off_ref = ray.put({(la, int(rb)): int(o) for la, rb, o in zip(
+        grid["lang"], grid["rb"], offs)})
+
+    def rank_cell(g):
+        m = sim.resolve_broadcast(off_ref, key="rowid-offsets")
+        g = g.sort_values("doc_id", kind="mergesort")
+        out = []
+        for (la, rb), sub in g.groupby(["lang", "rb"], sort=False):
+            base = m[(la, int(rb))]
+            out.append(pd.DataFrame({
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "global_id": base + 1 + np.arange(len(sub),
+                                                  dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    def keyed(df):
+        df = df.copy()
+        df["rb"] = df["doc_id"].to_numpy(np.int64) // span
+        # cell-hash bucket via crc32 (process-stable — python hash()
+        # is seed-randomized per worker): one cell never splits, so
+        # in-cell ranks are globally exact
+        lh = df["lang"].map(
+            lambda s: zlib.crc32(s.encode())).astype(np.int64)
+        df["bucket"] = ((df["rb"] * 131 + lh)
+                        % ROWID_RANGE_BUCKETS).astype("int32")
+        return df
+
+    return (ds.map_batches(keyed, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(rank_cell, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10464,6 +10536,7 @@ def queries() -> dict:
         "winsorized_value_mean": q_winsorized_value_mean,
         "regex_token_counts": q_regex_token_counts,
         "value_mad": q_value_mad,
+        "global_row_ids": q_global_row_ids,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13566,6 +13639,13 @@ ORACLES["embedding_covariance"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLES["global_row_ids"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT)
+               AS global_id
+    FROM documents
 """
 
 ORACLES["regex_token_counts"] = f"""

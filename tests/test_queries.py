@@ -129,6 +129,7 @@ SQL_QUERIES = [
     "winsorized_value_mean",
     "regex_token_counts",
     "value_mad",
+    "global_row_ids",
 ]
 
 
