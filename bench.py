@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "regex_token_counts",
     "value_mad",
     "global_row_ids",
+    "user_entropy",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

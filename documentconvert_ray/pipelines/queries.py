@@ -10504,6 +10504,56 @@ def q_global_row_ids(sf_dir: str):
             .map_groups(rank_cell, batch_format="pandas"))
 
 
+# --- T183: per-user behavioral entropy ---------------------------------
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-ENTITY behavioral entropy — the bot/spam signal (a user
+    whose event-type mix has near-zero entropy is single-action
+    automation; T148 token_entropy's formula applied per user over
+    the event stream instead of per doc over tokens): Shannon entropy
+    of each user's event-type distribution in exact integer
+    log2-micros (per-type term floor(n·log2(tot/n)·10⁶), sum // tot —
+    the established libm contract). Per-batch (user, type, n) count
+    partials → ONE user-hash bucketed exchange (a user never splits,
+    so per-bucket sums are final) → vectorized per-bucket entropy.
+    Exchange O(batch-distinct pairs), never events."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        g = df.groupby(["user_id", "event_type"],
+                       as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["bucket"] = (g["user_id"] % nb).astype("int32")
+        return g.astype({"user_id": "int64", "n": "int64"})
+
+    def reduce_bucket(g):
+        c = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        tot = c.groupby("user_id")["n"].transform("sum").to_numpy(
+            np.int64)
+        n = c["n"].to_numpy(np.int64)
+        term = np.floor(
+            n * np.log2(tot.astype(np.float64) / n) * 1_000_000
+        ).astype(np.int64)
+        out = (pd.DataFrame({"user_id": c["user_id"], "t": term,
+                             "tot": tot})
+               .groupby("user_id", as_index=False)
+               .agg(t=("t", "sum"), tot=("tot", "first")))
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["tot"].astype("int64"),
+            "entropy_micro": (out["t"].to_numpy(np.int64)
+                              // out["tot"].to_numpy(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10537,6 +10587,7 @@ def queries() -> dict:
         "regex_token_counts": q_regex_token_counts,
         "value_mad": q_value_mad,
         "global_row_ids": q_global_row_ids,
+        "user_entropy": q_user_entropy,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13639,6 +13690,23 @@ ORACLES["embedding_covariance"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs
     FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
+"""
+
+ORACLES["user_entropy"] = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, sum(n)::BIGINT AS tot FROM c GROUP BY 1),
+    e AS (
+      SELECT c.user_id,
+             sum(CAST(floor(c.n * log2(CAST(s.tot AS DOUBLE) / c.n)
+                            * 1000000) AS BIGINT)) AS ent_sum,
+             any_value(s.tot) AS tot
+      FROM c JOIN s ON c.user_id = s.user_id
+      GROUP BY c.user_id)
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+           CAST(ent_sum // tot AS BIGINT) AS entropy_micro
+    FROM e
 """
 
 ORACLES["global_row_ids"] = """

@@ -130,6 +130,7 @@ SQL_QUERIES = [
     "regex_token_counts",
     "value_mad",
     "global_row_ids",
+    "user_entropy",
 ]
 
 
