@@ -10279,7 +10279,6 @@ def q_token_drift_kl(sf_dir: str):
     the term pass is a map-side vectorized sweep over the counts.
     Exchange O(vocab), corpus read once."""
     import pandas as pd
-    import pyarrow.compute as pc
 
     from ..functions import textstats as ts
 
