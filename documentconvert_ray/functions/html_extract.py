@@ -581,8 +581,38 @@ class ExtractResult:
     images: tuple = ()
 
 
+# embedded data-URI images (<img src="data:image/png;base64,...">) —
+# harvested with a raw-text pre-pass, deliberately INDEPENDENT of the
+# boilerplate pruning (a real pipeline keeps image payloads even when
+# the surrounding block is pruned; reference M5 semantics move images
+# to output/images regardless of layout). Caps turn hostile payloads
+# into skips, never errors or OOM.
+_DATA_IMG_RE = re.compile(
+    r'src="data:image/(png|jpeg|gif|bmp);base64,([A-Za-z0-9+/=]*)"')
+MAX_EMBED_IMAGES = 16
+MAX_EMBED_B64 = 6 * 1024 * 1024  # ~4.5 MB decoded per image
+
+
+def _harvest_data_images(text: str) -> tuple:
+    import base64
+
+    out: list = []
+    for m in _DATA_IMG_RE.finditer(text):
+        if len(out) >= MAX_EMBED_IMAGES:
+            break
+        b64 = m.group(2)
+        if not b64 or len(b64) > MAX_EMBED_B64:
+            continue
+        try:
+            data = base64.b64decode(b64, validate=True)
+        except Exception:  # noqa: BLE001 — malformed base64: skip
+            continue
+        out.append((f"embed-{len(out)}.{m.group(1)}", data))
+    return tuple(out)
+
+
 def extract_html(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
-    """bytes → (text_md, spans) for an HTML payload. Never raises."""
+    """bytes → (text_md, spans, images) for an HTML payload. Never raises."""
     try:
         text, _enc = decode_bytes(raw)
         root = parse_html(text)
@@ -591,6 +621,7 @@ def extract_html(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResu
         if pruned is not None:
             _emit_blocks(pruned, blocks, cfg)
         text_md, spans = render(blocks)
-        return ExtractResult(True, text_md, spans)
+        return ExtractResult(True, text_md, spans,
+                             images=_harvest_data_images(text))
     except Exception as e:  # noqa: BLE001 — row-level error capture (M12)
         return ExtractResult(False, "", [], "html_parse_error", str(e)[:200])

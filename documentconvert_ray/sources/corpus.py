@@ -165,12 +165,34 @@ def make_html(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         f"<script>var x_{doc_id} = {r.randint(0, 9999)};</script>",
         f"<style>.c{doc_id} {{ color: #333; }}</style>",
     ]
+    # embedded data-URI images (real pages inline small PNGs/BMPs):
+    # SEPARATE rng stream keyed by doc_id (the `related` precedent —
+    # adding the slice perturbs no existing draw). doc_id%9==4 gets
+    # 1-2 valid embeds; %27==13 additionally gets a TRUNCATED base64
+    # the extractor must skip without erroring.
+    imgs = ""
+    if doc_id % 9 == 4:
+        import base64 as _b64
+
+        ri = random.Random(doc_id * 7_777_777 + 5)
+        pieces = []
+        for j in range(1 + ri.randrange(2)):
+            fmt = ri.choice(("png", "bmp"))
+            fill = bytes([ri.randrange(256) for _ in range(3)])
+            payload = synth_image(fmt, 4 + ri.randrange(5),
+                                  3 + ri.randrange(4), fill)
+            b64 = _b64.b64encode(payload).decode("ascii")
+            pieces.append(f'<img src="data:image/{fmt};base64,{b64}">')
+        if doc_id % 27 == 13:
+            # invalid padding → b64decode(validate=True) raises → skip
+            pieces.append('<img src="data:image/png;base64,AAABB">')
+        imgs = "".join(pieces)
     if variant < 0.02:
         body = ""  # empty body
     elif variant < 0.04:
         body = "".join(boiler)  # 100% boilerplate → expected text_md == ""
     else:
-        body = boiler[0] + boiler[1] + boiler[2] + f'<div id="content">{main}</div>' + "".join(boiler[3:])
+        body = boiler[0] + boiler[1] + boiler[2] + f'<div id="content">{main}{imgs}</div>' + "".join(boiler[3:])
 
     charset_decl = '<meta charset="utf-8">'
     doc = (

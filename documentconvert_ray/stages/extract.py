@@ -241,6 +241,9 @@ class SniffAndExtractHtml:
                 cols["error"][i] = res.error
                 cols["text_md"][i] = res.text_md
                 cols["spans"][i] = res.spans
+                if res.images:  # data-URI embeds (M5 semantics)
+                    cols["images"][i] = [
+                        {"name": nm, "data": d} for nm, d in res.images]
                 cols["text_sha256"][i] = _sha256(res.text_md)
             elif dt == DOC_PDF:
                 pdf_payloads[i] = raw  # finished by the actor stage
