@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "value_mad",
     "global_row_ids",
     "user_entropy",
+    "embedded_image_stats",
     "bigram_lm_nll",
     "cluster_reps",
     "nation_year_profit",

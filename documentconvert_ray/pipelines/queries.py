@@ -10620,6 +10620,78 @@ def q_user_entropy(sf_dir: str):
             .map_groups(reduce_bucket, batch_format="pandas"))
 
 
+# --- T184: embedded data-URI image inventory ----------------------------
+
+_EMBED_IMG_RE = re.compile(
+    rb'src="data:image/(png|jpeg|gif|bmp);base64,([A-Za-z0-9+/=]*)"')
+# the exact base64 grammar b64decode(validate=True) accepts — mirrored
+# structurally in the oracle so both sides skip the same embeds
+_B64_OK_RE = re.compile(
+    rb"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|"
+    rb"[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})$")
+
+
+from ..functions.html_extract import MAX_EMBED_IMAGES  # noqa: E402
+
+
+def q_embedded_image_stats(sf_dir: str):
+    """Embedded data-URI IMAGE INVENTORY over the raw crawl — the
+    capacity-planning audit run before enabling the T-multimodal legs
+    (how many inline images, which formats, how many payload bytes):
+    per format the embed count, docs touched, and total DECODED bytes
+    (computed arithmetically from base64 length — no decode needed
+    for an inventory). Validity mirrors the extractor's
+    b64decode(validate=True) via the structural base64 grammar, so
+    this op, the extraction harvest and the SQL oracle all skip the
+    SAME malformed embeds; gzip-wrapped transport rows are skipped on
+    both sides (the link_domains blob-scan precedent). Map-side regex
+    over the payload bytes → tiny per-format fold; zero exchange."""
+    import pandas as pd
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["html"])
+
+    def inventory(b: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for raw in b.column("html").to_pylist():
+            raw = raw or b""
+            if raw[:2] == b"\x1f\x8b":
+                continue  # transport-gzip rows: oracle can't inflate
+            seen = set()
+            n_in_doc = 0
+            for m in _EMBED_IMG_RE.finditer(raw):
+                if n_in_doc >= MAX_EMBED_IMAGES:
+                    break
+                b64 = m.group(2)
+                if not b64 or not _B64_OK_RE.match(b64):
+                    continue
+                n_in_doc += 1
+                fmt = m.group(1).decode()
+                dec = len(b64) * 3 // 4 - b64.count(b"=")
+                a = agg.setdefault(fmt, [0, 0, 0])
+                a[0] += 1
+                a[1] += dec
+                if fmt not in seen:
+                    a[2] += 1
+                    seen.add(fmt)
+        fmts = sorted(agg)
+        return pa.Table.from_pydict({
+            "fmt": pa.array(fmts, pa.string()),
+            "n_images": pa.array([agg[f][0] for f in fmts], pa.int64()),
+            "decoded_bytes": pa.array([agg[f][1] for f in fmts],
+                                      pa.int64()),
+            "n_docs": pa.array([agg[f][2] for f in fmts], pa.int64())})
+
+    parts = ds.map_batches(inventory, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("fmt", as_index=False).agg(
+        n_images=("n_images", "sum"),
+        decoded_bytes=("decoded_bytes", "sum"),
+        n_docs=("n_docs", "sum"))
+    return (out.astype({"n_images": "int64", "decoded_bytes": "int64",
+                        "n_docs": "int64"})
+            .sort_values("fmt", kind="mergesort").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10654,6 +10726,7 @@ def queries() -> dict:
         "value_mad": q_value_mad,
         "global_row_ids": q_global_row_ids,
         "user_entropy": q_user_entropy,
+        "embedded_image_stats": q_embedded_image_stats,
         # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
@@ -13917,6 +13990,42 @@ def oracle_sql() -> dict[str, str]:
     # blob → varchar renders non-printables (and quotes) as \xNN
     # escapes, so an all-ASCII href pattern scans the BYTES exactly —
     # the double-quote before https becomes the literal text \x22
+    out["embedded_image_stats"] = f"""
+        WITH src AS (
+          SELECT url, CAST(html AS VARCHAR) AS body
+          FROM read_parquet('{glob}')
+          WHERE substr(hex(html), 1, 4) <> '1F8B'),
+        l AS (
+          SELECT url, regexp_extract_all(body,
+              'src=\\\\x22data:image/(png|jpeg|gif|bmp);base64,'
+              || '[A-Za-z0-9+/=]*\\\\x22') AS ms
+          FROM src),
+        m AS (
+          SELECT url, t.i AS idx, ms[t.i] AS s
+          FROM l, unnest(range(1, len(ms) + 1)) AS t(i)),
+        p AS (
+          SELECT url, idx,
+                 regexp_extract(s, 'data:image/([a-z]+);', 1) AS fmt,
+                 regexp_extract(s, ';base64,([A-Za-z0-9+/=]*)', 1)
+                     AS b64
+          FROM m),
+        v AS (
+          SELECT url, fmt, b64,
+                 row_number() OVER (PARTITION BY url ORDER BY idx)
+                     AS rn
+          FROM p
+          WHERE b64 <> '' AND regexp_full_match(b64,
+              '([A-Za-z0-9+/]{{4}})*([A-Za-z0-9+/]{{2}}==|'
+              || '[A-Za-z0-9+/]{{3}}=|[A-Za-z0-9+/]{{4}})'))
+        SELECT fmt,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(len(b64) * 3 // 4
+                    - (len(b64) - len(replace(b64, '=', ''))))
+                    AS BIGINT) AS decoded_bytes,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+        FROM v WHERE rn <= {MAX_EMBED_IMAGES}
+        GROUP BY fmt
+    """
     out["link_domains"] = f"""
         WITH src AS (
           SELECT regexp_extract(url, 'https://([^/]+)/', 1)

@@ -131,6 +131,7 @@ SQL_QUERIES = [
     "value_mad",
     "global_row_ids",
     "user_entropy",
+    "embedded_image_stats",
 ]
 
 
