@@ -348,7 +348,10 @@ class ShardWriter:
                 if self.fmt == "parquet":
                     _pq.write_table(sub, p, filesystem=fs)
                 else:
-                    with fs.open_output_stream(p) as f:
+                    # compression=None: the payload is ALREADY gzip —
+                    # pyarrow's default 'detect' would re-gzip by the
+                    # .gz extension (double-compressed artifacts)
+                    with fs.open_output_stream(p, compression=None) as f:
                         f.write(self._jsonl_bytes(sub))
             else:
                 os.makedirs(d, exist_ok=True)

@@ -73,6 +73,26 @@ def test_jsonl_job_matches_parquet(ray_session, tmp_path):
                 if f.endswith(".jsonl.gz")]
 
 
+def test_jsonl_uri_output(ray_session, tmp_path):
+    """The object-store leg (atomic PUT via pyarrow.fs, no
+    rename/fsync) writes the same jsonl artifacts through a file://
+    URI."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, 100, rows_per_file=100)
+    cfg = ExtractConfig(output_format="jsonl")
+    out_local = str(tmp_path / "out_local")
+    out_uri = "file://" + str(tmp_path / "out_uri")
+    ml = run_extract_job(corpus, out_local, cfg)
+    mu = run_extract_job(corpus, out_uri, cfg)
+    assert mu["rows"] == ml["rows"] and mu["ok"] == ml["ok"]
+    lr = {r["url"]: r for r in _jsonl_rows(out_local)}
+    ur = {r["url"]: r for r in _jsonl_rows(str(tmp_path / "out_uri"))}
+    assert lr == ur and len(lr) == ml["rows"]
+    # resume works through the URI too
+    m2 = run_extract_job(corpus, out_uri, cfg)
+    assert m2["processed_shards"] == 0 and m2["resumed_shards"] == 1
+
+
 def test_jsonl_resume(ray_session, tmp_path):
     corpus = str(tmp_path / "in")
     write_corpus(corpus, 100, rows_per_file=100)
