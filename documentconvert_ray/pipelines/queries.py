@@ -10692,6 +10692,517 @@ def q_embedded_image_stats(sf_dir: str):
             .sort_values("fmt", kind="mergesort").reset_index(drop=True))
 
 
+# --- T185: Gopher quality-rule battery -------------------------------
+
+# Rae et al. 2021 (arXiv:2112.11446, Gopher) rule constants — the
+# document-level filter battery beyond what quality_scores (T9) and
+# repetition_stats (T31) cover: word-count band, mean word length
+# band, symbol-to-word ratio, bullet/ellipsis line fractions,
+# alphabetic-word fraction. All integer micro/ppm so the SQL oracle
+# is equality-exact.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN_MICRO = 3_000_000
+GOPHER_MAX_WLEN_MICRO = 10_000_000
+GOPHER_MAX_SYM_PPM = 100_000
+GOPHER_MAX_BULLET_PPM = 900_000
+GOPHER_MAX_ELLIPSIS_PPM = 300_000
+GOPHER_MIN_ALPHA_PPM = 800_000
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def q_gopher_rules(sf_dir: str):
+    """Full GOPHER quality-rule battery per document (Rae et al.
+    2021) — the canonical pre-training document filter, complementing
+    T9 (length/punct/stopword ratios) and T31 (repetition): word-count
+    band, mean-word-length band, symbol-to-word ratio ('#' chars +
+    non-overlapping '...' runs), bullet-start and ellipsis-end line
+    fractions, alphabetic-word fraction, and the conjunctive pass
+    flag. All ratios are exact integer ppm (floor-div), the line rule
+    uses raw '\\n' splits and the token rule the RE2-exact tokenizer,
+    so the SQL oracle matches byte-for-byte on any corpus. Pure
+    map-side, zero exchange."""
+    from ..functions.textstats import tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rules(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        rows: list[list[int]] = []
+        for t in b.column("text").to_pylist():
+            toks = tokens(t)
+            nw = len(toks)
+            sum_len = sum(len(w) for w in toks)
+            n_alpha = sum(1 for w in toks if _ALPHA_RE.search(w))
+            lines = t.split("\n")
+            nl = len(lines)  # >= 1 ('' splits to [''])
+            n_bullet = sum(
+                1 for ln in lines if ln.startswith(("- ", "* ")))
+            n_ellip = sum(1 for ln in lines if ln.endswith("..."))
+            n_sym = t.count("#") + t.count("...")
+            mean_wlen = sum_len * 1_000_000 // nw if nw else 0
+            sym_ppm = n_sym * 1_000_000 // nw if nw else 0
+            alpha_ppm = n_alpha * 1_000_000 // nw if nw else 0
+            rows.append([
+                nw, mean_wlen, sym_ppm,
+                n_bullet * 1_000_000 // nl,
+                n_ellip * 1_000_000 // nl,
+                alpha_ppm,
+            ])
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        nw_a, mw_a, sy_a, bu_a, el_a, al_a = [
+            np.asarray(c, np.int64) for c in cols]
+        passes = (
+            (nw_a >= GOPHER_MIN_WORDS) & (nw_a <= GOPHER_MAX_WORDS)
+            & (mw_a >= GOPHER_MIN_WLEN_MICRO)
+            & (mw_a <= GOPHER_MAX_WLEN_MICRO)
+            & (sy_a <= GOPHER_MAX_SYM_PPM)
+            & (bu_a <= GOPHER_MAX_BULLET_PPM)
+            & (el_a <= GOPHER_MAX_ELLIPSIS_PPM)
+            & (al_a >= GOPHER_MIN_ALPHA_PPM)
+        )
+        return pa.Table.from_pydict({
+            "doc_id": ids,
+            "n_words": pa.array(nw_a, pa.int64()),
+            "mean_wlen_micro": pa.array(mw_a, pa.int64()),
+            "sym_ppm": pa.array(sy_a, pa.int64()),
+            "bullet_ppm": pa.array(bu_a, pa.int64()),
+            "ellipsis_ppm": pa.array(el_a, pa.int64()),
+            "alpha_ppm": pa.array(al_a, pa.int64()),
+            "passes": pa.array(passes, pa.bool_()),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+# --- T186: domain concentration Gini ----------------------------------
+
+
+def q_domain_gini(sf_dir: str):
+    """Domain-CONCENTRATION Gini over the crawl — the corpus-diversity
+    scalar data-mix work monitors (a crawl where 1% of hosts carry 90%
+    of documents trains differently from a flat one). Exact integer
+    Gini in ppm via the rank-sum identity G = (2·Σᵢ i·c₍ᵢ₎ − (n+1)·T)
+    / (n·T) over ASCENDING per-domain counts — computed from the
+    counts-of-counts HISTOGRAM (for count value v with multiplicity m
+    over rank run [r+1, r+m]: Σ i·v = v·(m·r + m(m+1)/2)), which is
+    tie-order invariant, so no per-domain sort is needed anywhere.
+
+    Shape: map-side per-batch domain counts → crc-bucketed per-domain
+    reduce emitting per-bucket (count value, n_domains) histogram
+    partials → driver fold over the tiny distinct-count-value axis in
+    Python bigints. The corpus never shuffles; the exchange is
+    O(batch-distinct domains), the driver set O(distinct count
+    values) — both corpus-size independent for a fixed host axis."""
+    import pandas as pd
+    import re as _re
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["url"])
+    dom_re = _re.compile(r"https://([^/]+)/")
+    nb = dd.width_floor()
+
+    def partial(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        doms = [m.group(1) if (m := dom_re.search(u)) else ""
+                for u in urls]
+        s = pd.Series(doms).value_counts()
+        t = pa.Table.from_pydict({
+            "domain": pa.array(s.index.to_list(), pa.string()),
+            "n": pa.array(s.to_numpy(np.int64), pa.int64())})
+        return _crc_bucket_col(t, "domain", nb)
+
+    def hist_reduce(g):
+        per_dom = g.groupby("domain", as_index=False).agg(c=("n", "sum"))
+        h = per_dom.groupby("c", as_index=False).size()
+        return pd.DataFrame({"c": h["c"].astype("int64"),
+                             "m": h["size"].astype("int64")})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(hist_reduce, batch_format="pandas")
+             .to_pandas())
+    hist = parts.groupby("c")["m"].sum().sort_index()
+    rank, src, tot, n = 0, 0, 0, 0
+    for v, m in hist.items():  # ascending count values, Python bigints
+        v, m = int(v), int(m)
+        src += v * (m * rank + m * (m + 1) // 2)
+        rank += m
+        tot += v * m
+    n = rank
+    gini_ppm = (2 * src - (n + 1) * tot) * 1_000_000 // (n * tot) \
+        if n and tot else 0
+    return pd.DataFrame({"n_domains": pd.Series([n], dtype="int64"),
+                         "n_docs": pd.Series([tot], dtype="int64"),
+                         "gini_ppm": pd.Series([gini_ppm],
+                                               dtype="int64")})
+
+
+# --- T187: inference padding-waste audit ------------------------------
+
+PAD_BATCH = 32  # oracle-mirrored; production derives from the serving
+                # engine's max-batch config
+
+
+def q_padding_waste(sf_dir: str):
+    """LENGTH-BUCKETED BATCHING audit — the inference/training serving
+    question 'how much compute does padding burn if we batch PAD_BATCH
+    docs in token-sorted order': documents rank by (n_tokens, doc_id),
+    consecutive ranks form batches, each batch pads every member to
+    its max. Reports per batch the doc count, max/sum token counts and
+    padded-slot fraction in exact ppm.
+
+    Global ranks WITHOUT a global sort (the T182 machinery on the
+    token-count axis): scan 1 folds a value-domain histogram of
+    n_tokens (distinct token counts ≪ corpus); the driver's exclusive
+    prefix over it broadcasts; scan 2 buckets rows BY VALUE (a value
+    never splits), ranks within each value by doc_id via one
+    vectorized argsort, adds the offset, and emits (batch_id, n_tok)
+    int rows; a batch_id-hash bucketed reduce folds per-batch stats.
+    Exchange is O(corpus rows) of 2-int rows — inherent (every doc
+    must learn its rank) — and the text never shuffles."""
+    import pandas as pd
+
+    from ..functions.textstats import tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        nt = [len(tokens(t)) for t in b.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "n_tok": pa.array(nt, pa.int64())})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    # scan 1: value-domain histogram → exclusive-prefix offsets
+    def hist(b: pa.Table) -> pa.Table:
+        v, c = np.unique(b.column("n_tok").to_numpy(), return_counts=True)
+        return pa.Table.from_pydict({
+            "v": pa.array(v, pa.int64()),
+            "m": pa.array(c.astype(np.int64), pa.int64())})
+
+    h = (toks.map_batches(hist, batch_format="pyarrow")
+         .to_pandas().groupby("v")["m"].sum().sort_index())
+    vals = h.index.to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(h.to_numpy(np.int64))[:-1]])
+    off_ref = ray.put((vals, offs))
+
+    nbv = dd.width_floor()
+    nb2 = dd.derive_buckets(int(h.sum()))
+
+    def by_value(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tok").to_numpy()
+        return b.append_column(
+            "bucket", pa.array((nt % nbv).astype(np.int32)))
+
+    def rank_group(g):
+        va, of = sim.resolve_broadcast(off_ref, key="pad-offsets")
+        out = []
+        for v, sub in g.groupby("n_tok"):
+            ids = np.sort(sub["doc_id"].to_numpy(np.int64))
+            base = int(of[np.searchsorted(va, v)])
+            rk = base + np.arange(len(ids), dtype=np.int64)
+            out.append(pd.DataFrame({
+                "batch_id": rk // PAD_BATCH,
+                "n_tok": np.full(len(ids), v, np.int64)}))
+        res = pd.concat(out) if out else pd.DataFrame(
+            {"batch_id": pd.Series(dtype="int64"),
+             "n_tok": pd.Series(dtype="int64")})
+        res["b2"] = (res["batch_id"] % nb2).astype("int32")
+        return res
+
+    def batch_stats(g):
+        s = g.groupby("batch_id", as_index=False).agg(
+            n_docs=("n_tok", "size"), max_tok=("n_tok", "max"),
+            sum_tok=("n_tok", "sum"))
+        cap = s["n_docs"].to_numpy(np.int64) * s["max_tok"].to_numpy(
+            np.int64)
+        pad = np.where(
+            cap > 0,
+            (cap - s["sum_tok"].to_numpy(np.int64)) * 1_000_000
+            // np.maximum(cap, 1), 0)
+        s["pad_ppm"] = pad.astype(np.int64)
+        return s.astype({"n_docs": "int64", "max_tok": "int64",
+                         "sum_tok": "int64"})
+
+    return (toks.map_batches(by_value, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(rank_group, batch_format="pandas")
+            .groupby("b2")
+            .map_groups(batch_stats, batch_format="pandas"))
+
+
+# --- T188: cross-slice embedding decontamination ----------------------
+
+EVAL_SLICE_MOD = 20   # eval slice = vec_id % MOD == 0 (oracle-mirrored)
+CONTAM_COS_MIN = 0.4  # same τ/float contract as T5
+
+
+def q_embedding_contamination(sf_dir: str):
+    """SEMANTIC DECONTAMINATION across corpus slices — flag training
+    vectors too close (cosine ≥ τ) to ANY held-out eval vector, the
+    embedding-space twin of T32's n-gram benchmark decontamination
+    (catches paraphrased leakage that exact grams miss). The eval
+    slice (vec_id % EVAL_SLICE_MOD == 0 — stand-in for a real
+    benchmark table) is SMALL BY CONSTRUCTION (the decontamination
+    contract: benchmarks are thousands of rows, corpora billions), so
+    its normalized float64 matrix broadcasts once via ray.put and
+    every training batch takes one matmul + row-max — zero exchange,
+    the corpus streams. Per-label flagged counts fold from per-batch
+    partials. Float contract: same normalized-matmul-vs-
+    list_cosine_similarity equivalence T5/T135 rely on (data is
+    well-separated at τ; nearest observed margin ~1e-3). Above the
+    broadcast gate the same shape runs IVF-bucketed (T21's path);
+    that variant is approximate, so this entry stays gated instead of
+    silently switching."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def eval_only(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        return b.filter(pa.array(ids % EVAL_SLICE_MOD == 0))
+
+    evals = (ds.map_batches(eval_only, batch_format="pyarrow")
+             .to_pandas())
+    if len(evals) > EXACT_SWEEP_MAX_VECS:
+        raise ValueError(
+            "eval slice exceeds the broadcast gate "
+            f"({len(evals)} > {EXACT_SWEEP_MAX_VECS}); run the "
+            "IVF-bucketed variant (T21 path) for approximate "
+            "decontamination at this size")
+    emat = sim.normalize(np.stack(
+        [np.asarray(v, np.float64) for v in evals["embedding"]])) \
+        if len(evals) else np.empty((0, 0))
+    eref = ray.put(emat)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        keep = ids % EVAL_SLICE_MOD != 0
+        lab = b.column("label").to_numpy().astype(np.int64)[keep]
+        if not keep.any():
+            return pa.Table.from_pydict({
+                "label": pa.array([], pa.int64()),
+                "n_train": pa.array([], pa.int64()),
+                "n_contaminated": pa.array([], pa.int64())})
+        m = sim.normalize(sim._mat(b.column("embedding")))[keep]
+        em = sim.resolve_broadcast(eref, key="contam-eval")
+        mx = (m @ em.T).max(axis=1) if em.size else np.zeros(len(m))
+        df = pd.DataFrame({"label": lab,
+                           "cont": (mx >= CONTAM_COS_MIN)
+                           .astype(np.int64)})
+        g = df.groupby("label", as_index=False).agg(
+            n_train=("cont", "size"), n_contaminated=("cont", "sum"))
+        return pa.Table.from_pandas(
+            g.astype({"label": "int64", "n_train": "int64",
+                      "n_contaminated": "int64"}),
+            preserve_index=False)
+
+    parts = (ds.map_batches(score, batch_format="pyarrow",
+                            batch_size=512).to_pandas())
+    out = parts.groupby("label", as_index=False).agg(
+        n_train=("n_train", "sum"),
+        n_contaminated=("n_contaminated", "sum"))
+    return out.astype({"label": "int64", "n_train": "int64",
+                       "n_contaminated": "int64"})
+
+
+# --- T189: UT1-style host-blocklist filter ----------------------------
+
+BLK_MOD = 7  # deterministic stand-in blocklist: a dot-suffix of the
+             # host is blocked iff md5_number_upper('blk:'||sfx) % 7
+             # == 0 (the real deployment broadcasts a curated list —
+             # UT1/adult-domain style; the hash rule keeps the oracle
+             # closed-form while exercising identical plumbing)
+
+
+def q_url_host_rules(sf_dir: str):
+    """Crawl-hygiene URL filter with SUBDOMAIN-AWARE host blocklists
+    (the UT1-blocklist stage every CC pipeline runs before extraction;
+    reference S5's url parse feeding a policy decision): a url is
+    'blocked_domain' when ANY dot-boundary suffix of its host is on
+    the blocklist (blocking 'example' blocks 'a.b.example' — suffix
+    semantics, not equality), else 'flagged_path' when the path
+    carries a flag segment ('/junk/'), else 'kept'. Reports per
+    reason the url count and payload bytes (what the filter saves
+    downstream). Pure map-side: per-batch the ≤L suffix hashes per
+    UNIQUE domain (domains ≪ rows per batch), byte lengths counted in
+    place — payloads never leave the read task; tiny 3-row fold."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import re as _re
+
+    from ..functions.textstats import _md5_u64
+
+    files = expand_input_files(_corpus_dir())
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+    dom_re = _re.compile(r"https://([^/]+)/")
+
+    def blocked(domain: str) -> bool:
+        parts = domain.split(".")
+        return any(
+            _md5_u64(b"blk:" + ".".join(parts[i:]).encode()) % BLK_MOD
+            == 0
+            for i in range(len(parts)))
+
+    def classify(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        nb = pc.binary_length(b.column("html")).to_numpy() \
+            .astype(np.int64)
+        doms = [m.group(1) if (m := dom_re.search(u)) else ""
+                for u in urls]
+        blk_map = {d: blocked(d) for d in set(doms)}
+        reasons = [
+            "blocked_domain" if blk_map[d]
+            else ("flagged_path" if "/junk/" in u else "kept")
+            for u, d in zip(urls, doms)]
+        g = pd.DataFrame({"reason": reasons, "nb": nb}).groupby(
+            "reason", as_index=False).agg(
+                n_urls=("nb", "size"), sum_bytes=("nb", "sum"))
+        return pa.Table.from_pandas(
+            g.astype({"n_urls": "int64", "sum_bytes": "int64"}),
+            preserve_index=False)
+
+    parts = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("reason", as_index=False).agg(
+        n_urls=("n_urls", "sum"), sum_bytes=("sum_bytes", "sum"))
+    return (out.astype({"n_urls": "int64", "sum_bytes": "int64"})
+            .sort_values("reason", kind="mergesort")
+            .reset_index(drop=True))
+
+
+# --- T190: Unicode NFC normalization audit ----------------------------
+
+
+def q_nfc_audit(sf_dir: str):
+    """Unicode NFC HYGIENE audit per language — the pre-tokenization
+    check every multilingual corpus runs (decomposed accents — 'e' +
+    U+0301 vs 'é' — split tokenizer vocab entries and break exact
+    dedup across crawls that normalized differently): per lang the
+    doc count, docs whose NFC form differs from the stored text, and
+    the total char counts before/after NFC. stdlib
+    unicodedata.normalize('NFC') mirrors DuckDB's utf8proc-backed
+    nfc_normalize (both implement UAX #15 canonical composition;
+    equality on the pinned crafted inputs is asserted in pytest —
+    the ASCII sf corpus is trivially NFC-invariant, so the crafted
+    table carries the real signal). Pure map-side per-batch combiner
+    → ≤|langs| fold; zero exchange."""
+    import unicodedata
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        rows = []
+        for lang, t in zip(langs, b.column("text").to_pylist()):
+            n = unicodedata.normalize("NFC", t)
+            rows.append((lang, 1, int(n != t), len(t), len(n)))
+        df = pd.DataFrame(rows, columns=[
+            "lang", "n_docs", "n_changed", "sum_chars",
+            "sum_nfc_chars"])
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g.astype({"n_docs": "int64", "n_changed": "int64",
+                      "sum_chars": "int64", "sum_nfc_chars": "int64"}),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    return out.astype({"n_docs": "int64", "n_changed": "int64",
+                       "sum_chars": "int64", "sum_nfc_chars": "int64"})
+
+
+# --- T191: fuzzy train/eval contamination (cross-slice Jaccard) -------
+
+FUZZY_EVAL_MOD = 10  # eval slice = doc_id % 10 == 0 (oracle-mirrored;
+                     # wider than T32's BENCH_MOD=100 so the cross-pair
+                     # set is non-trivial at every test sf)
+
+
+def q_fuzzy_contamination(sf_dir: str):
+    """FUZZY train/eval decontamination — the RefinedWeb/Dolma stage
+    between T32 (exact 8-gram overlap) and T188 (embedding cosine):
+    flag every TRAINING document whose shingle Jaccard with ANY
+    eval-slice document reaches τ = 0.6, reporting the match count
+    and max similarity (the keep-list input for a leakage-aware
+    training run). Composes the prefix-filter exact-Jaccard join
+    (T127 — exact, so the oracle is closed-form; LSH would trade
+    that for recall) exactly as near_dup_clusters composes T2: the
+    pair set is candidates ≪ corpus by the length/prefix filters,
+    the cross-slice projection and per-train-doc rollup are a tiny
+    map + fold on top. Exchange = the prefix join's posting rows;
+    nothing new shuffles."""
+    import pandas as pd
+
+    pairs = _prefix_jaccard(sf_dir, use_df_order=False)
+    df = pairs.to_pandas()  # verified-pair-sized (prefix-join contract)
+    if not len(df):
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "n_eval_matches": pd.Series(dtype="int64"),
+            "max_jaccard_micro": pd.Series(dtype="int64")})
+    a = df["doc_id_a"].to_numpy(np.int64)
+    b = df["doc_id_b"].to_numpy(np.int64)
+    a_ev = a % FUZZY_EVAL_MOD == 0
+    b_ev = b % FUZZY_EVAL_MOD == 0
+    cross = a_ev != b_ev
+    train = np.where(a_ev, b, a)[cross]
+    jac = df["jaccard_micro"].to_numpy(np.int64)[cross]
+    out = (pd.DataFrame({"doc_id": train, "jaccard_micro": jac})
+           .groupby("doc_id", as_index=False)
+           .agg(n_eval_matches=("jaccard_micro", "size"),
+                max_jaccard_micro=("jaccard_micro", "max")))
+    return out.astype({"doc_id": "int64", "n_eval_matches": "int64",
+                       "max_jaccard_micro": "int64"})
+
+
+# --- T192: sentence-level code-switch audit ---------------------------
+
+
+def q_sentence_lang_mismatch(sf_dir: str):
+    """CODE-SWITCH detection — per document, how many sentences the
+    lang-ID heuristic assigns a DIFFERENT language than the document's
+    stored label (mixed-language pages poison per-language corpora;
+    this is the sentence-granular audit run before per-lang
+    splitting). Composes T67's sentence explode with T8's lang-ID,
+    both already SQL-mirrored: per doc the sentence count, sentences
+    with a confident prediction (pred ≠ ''), mismatching confident
+    sentences, and mismatch ppm over ALL sentences. Pure map-side
+    (split + per-sentence marker scoring inside one batch pass, the
+    lang tables warm per process); zero exchange."""
+    from ..functions.textstats import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def audit(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        langs = b.column("lang").to_pylist()
+        rows = []
+        for lang, t in zip(langs, b.column("text").to_pylist()):
+            sents = [s for s in _SENT_RE.split(t) if s != ""]
+            preds = [lang_id(s) for s in sents]
+            n_pred = sum(1 for p in preds if p != "")
+            n_mis = sum(1 for p in preds if p != "" and p != lang)
+            ns = len(sents)
+            rows.append((ns, n_pred, n_mis,
+                         n_mis * 1_000_000 // ns if ns else 0))
+        cols = list(zip(*rows)) if rows else [[]] * 4
+        return pa.Table.from_pydict({
+            "doc_id": ids,
+            "lang": pa.array(langs, pa.string()),
+            "n_sents": pa.array(cols[0], pa.int64()),
+            "n_pred": pa.array(cols[1], pa.int64()),
+            "n_mismatch": pa.array(cols[2], pa.int64()),
+            "mismatch_ppm": pa.array(cols[3], pa.int64()),
+        })
+
+    return ds.map_batches(audit, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10706,6 +11217,15 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
+        # -- (0a-1) NEW this session (T185–T192), never checked -------
+        "nfc_audit": q_nfc_audit,
+        "fuzzy_contamination": q_fuzzy_contamination,
+        "sentence_lang_mismatch": q_sentence_lang_mismatch,
+        "gopher_rules": q_gopher_rules,
+        "domain_gini": q_domain_gini,
+        "padding_waste": q_padding_waste,
+        "embedding_contamination": q_embedding_contamination,
+        "url_host_rules": q_url_host_rules,
         # -- (0a0) new this session (T165–T171), never checked --------
         "bigram_lm_nll": q_bigram_lm_nll,
         "cluster_reps": q_cluster_reps,
@@ -10952,14 +11472,20 @@ _MINHASH_PAIRS_CTE = """
         )"""
 
 
-def _lang_id_sql() -> str:
-    """Build the lang_id oracle from the SAME marker tables the Python
-    heuristic uses (functions/textstats._LANG_MARKERS) — one source of
-    truth; tie-break = first language in ascending name order with the
-    max score, exactly the Python scan order."""
+def _lang_pred_sql(src: str, keys: tuple[str, ...] = ("doc_id",),
+                   text_col: str = "text") -> str:
+    """Build a lang-prediction SELECT over ANY (keys…, text) relation
+    from the SAME marker tables the Python heuristic uses
+    (functions/textstats._LANG_MARKERS) — one source of truth;
+    tie-break = first language in ascending name order with the max
+    score, exactly the Python scan order. ``src`` may be a table name
+    or a parenthesized subquery; the T192 sentence audit reuses this
+    with (doc_id, sent_idx) keys over the exploded sentence
+    relation."""
     from ..functions.textstats import _LANG_MARKERS
 
     langs = sorted(_LANG_MARKERS)
+    kl = ", ".join(keys)
 
     def markers(lang: str) -> str:
         return "(" + ",".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + ")"
@@ -10974,27 +11500,28 @@ def _lang_id_sql() -> str:
             + " END")
     return f"""
         WITH t AS (
-          SELECT doc_id, text,
+          SELECT {kl}, {text_col} AS text,
                  list_transform(
                    list_filter(
-                     string_split_regex(lower(substr(text,1,4000)), '\\s+'),
+                     string_split_regex(lower(substr({text_col},1,4000)),
+                                        '\\s+'),
                      x -> x <> ''),
                    x -> trim(x, '.,!?;:()[]"''')) AS toks
-          FROM documents
+          FROM {src}
         ),
         s AS (
-          SELECT doc_id, text, len(toks) AS n_toks,
+          SELECT {kl}, text, len(toks) AS n_toks,
                {scores}
           FROM t
         ),
         cjk AS (
-          SELECT doc_id,
-                 length(regexp_replace(substr(text,1,2000),
+          SELECT {kl},
+                 length(regexp_replace(substr({text_col},1,2000),
                         '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk,
-                 least(length(text), 2000) AS n_head
-          FROM documents
+                 least(length({text_col}), 2000) AS n_head
+          FROM {src}
         )
-        SELECT s.doc_id AS doc_id,
+        SELECT {kl},
                CASE
                  WHEN length(s.text) = 0 THEN ''
                  WHEN cjk.n_cjk * 10 >= cjk.n_head THEN 'zh'
@@ -11002,8 +11529,12 @@ def _lang_id_sql() -> str:
                  WHEN {best} * 50 < s.n_toks THEN ''
                  ELSE {pick}
                END AS lang_pred
-        FROM s JOIN cjk USING (doc_id)
+        FROM s JOIN cjk USING ({kl})
     """
+
+
+def _lang_id_sql() -> str:
+    return _lang_pred_sql("documents")
 
 # rolling_fingerprint's SQL mirror: per-window polynomial hash
 # Σ byte·257^(7−j) mod 2^61−1 as a HUGEINT sum of ascii() terms.
@@ -13957,6 +14488,163 @@ ORACLES["column_profile"] = "\n    UNION ALL\n".join(
     for c in PROFILE_COLS)
 
 
+ORACLES["nfc_audit"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE nfc_normalize(text) <> text)
+               AS BIGINT) AS n_changed,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(length(nfc_normalize(text))) AS BIGINT)
+               AS sum_nfc_chars
+    FROM documents GROUP BY lang
+"""
+
+# cross-slice projection of the prefix-join exact pair set (τ=0.6):
+# eval side = doc_id % FUZZY_EVAL_MOD == 0, train doc = the other end
+ORACLES["fuzzy_contamination"] = """
+    WITH {cte},
+    crossp AS (
+      SELECT CASE WHEN doc_id_a % {mod} = 0 THEN doc_id_b
+                  ELSE doc_id_a END AS doc_id,
+             jaccard_micro
+      FROM mpairs
+      WHERE (doc_id_a % {mod} = 0) <> (doc_id_b % {mod} = 0))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_eval_matches,
+           CAST(max(jaccard_micro) AS BIGINT) AS max_jaccard_micro
+    FROM crossp GROUP BY doc_id
+""".format(cte=_MINHASH_PAIRS_CTE.replace("700000", "600000"),
+           mod=FUZZY_EVAL_MOD)
+
+# T192: T67's sentence explode feeding T8's lang predictor (the
+# generalized _lang_pred_sql with (doc_id, sent_idx) keys), LEFT JOIN
+# back so 0-sentence docs keep a row
+ORACLES["sentence_lang_mismatch"] = f"""
+    WITH sents AS (
+      SELECT doc_id, r.i - 1 AS sent_idx, sents[r.i] AS sentence
+      FROM (SELECT doc_id,
+                   list_filter(
+                     string_split_regex(text,
+                                        '[.!?]+[ \\t\\n\\r\\f\\v]+'),
+                     x -> x <> '') AS sents
+            FROM documents) l,
+           unnest(range(1, len(sents) + 1)) AS r(i)),
+    preds AS (
+      {_lang_pred_sql("sents", keys=("doc_id", "sent_idx"),
+                      text_col="sentence")}),
+    roll AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_sents,
+             CAST(count(*) FILTER (WHERE p.lang_pred <> '')
+                 AS BIGINT) AS n_pred,
+             CAST(count(*) FILTER (WHERE p.lang_pred <> ''
+                  AND p.lang_pred <> d.lang) AS BIGINT) AS n_mismatch
+      FROM preds p JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY p.doc_id)
+    SELECT d.doc_id, d.lang,
+           COALESCE(r.n_sents, 0) AS n_sents,
+           COALESCE(r.n_pred, 0) AS n_pred,
+           COALESCE(r.n_mismatch, 0) AS n_mismatch,
+           CAST(CASE WHEN COALESCE(r.n_sents, 0) = 0 THEN 0
+                ELSE r.n_mismatch * 1000000 // r.n_sents END
+               AS BIGINT) AS mismatch_ppm
+    FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
+"""
+
+ORACLES["gopher_rules"] = f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                  x -> length(x))), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                 AS n_alpha,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  x -> x LIKE '- %' OR x LIKE '* %')) AS BIGINT)
+                 AS n_bullet,
+             CAST(len(list_filter(lines, x -> x LIKE '%...'))
+                 AS BIGINT) AS n_ellip,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', '')))
+                    // 3 AS BIGINT) AS n_sym
+      FROM w),
+    p AS (
+      SELECT doc_id, n_words,
+             CAST(CASE WHEN n_words = 0 THEN 0
+                  ELSE sum_len * 1000000 // n_words END AS BIGINT)
+                 AS mean_wlen_micro,
+             CAST(CASE WHEN n_words = 0 THEN 0
+                  ELSE n_sym * 1000000 // n_words END AS BIGINT)
+                 AS sym_ppm,
+             CAST(n_bullet * 1000000 // n_lines AS BIGINT)
+                 AS bullet_ppm,
+             CAST(n_ellip * 1000000 // n_lines AS BIGINT)
+                 AS ellipsis_ppm,
+             CAST(CASE WHEN n_words = 0 THEN 0
+                  ELSE n_alpha * 1000000 // n_words END AS BIGINT)
+                 AS alpha_ppm
+      FROM t)
+    SELECT doc_id, n_words, mean_wlen_micro, sym_ppm, bullet_ppm,
+           ellipsis_ppm, alpha_ppm,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_wlen_micro >= {GOPHER_MIN_WLEN_MICRO}
+            AND mean_wlen_micro <= {GOPHER_MAX_WLEN_MICRO}
+            AND sym_ppm <= {GOPHER_MAX_SYM_PPM}
+            AND bullet_ppm <= {GOPHER_MAX_BULLET_PPM}
+            AND ellipsis_ppm <= {GOPHER_MAX_ELLIPSIS_PPM}
+            AND alpha_ppm >= {GOPHER_MIN_ALPHA_PPM}) AS passes
+    FROM p
+"""
+
+ORACLES["padding_waste"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rk
+      FROM t)
+    SELECT CAST(rk // {PAD_BATCH} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(CASE WHEN max(n_tok) = 0 THEN 0
+                ELSE (count(*) * max(n_tok) - sum(n_tok)) * 1000000
+                     // (count(*) * max(n_tok)) END AS BIGINT)
+               AS pad_ppm
+    FROM r GROUP BY 1
+"""
+
+ORACLES["embedding_contamination"] = f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % {EVAL_SLICE_MOD} = 0),
+    tr AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {EVAL_SLICE_MOD} <> 0),
+    f AS (
+      SELECT tr.vec_id, tr.label,
+             max(list_cosine_similarity(tr.v, e.v)) AS mx
+      FROM tr CROSS JOIN e GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (WHERE mx >= {CONTAM_COS_MIN})
+               AS BIGINT) AS n_contaminated
+    FROM f GROUP BY label
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # built lazily: the CTE embeds the (engine-versioned) corpus path
@@ -13986,6 +14674,44 @@ def oracle_sql() -> dict[str, str]:
                    AS n_office,
                CAST(sum(nb) AS BIGINT) AS sum_bytes
         FROM src GROUP BY domain
+    """
+    out["domain_gini"] = f"""
+        WITH d AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM read_parquet('{glob}') GROUP BY 1),
+        r AS (SELECT c, row_number() OVER (ORDER BY c, domain) AS rn
+              FROM d),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(c) AS HUGEINT) AS t,
+                     CAST(sum(rn * c) AS HUGEINT) AS src FROM r)
+        SELECT CAST(n AS BIGINT) AS n_domains,
+               CAST(t AS BIGINT) AS n_docs,
+               CAST((2 * src - (n + 1) * t) * 1000000 // (n * t)
+                   AS BIGINT) AS gini_ppm
+        FROM s
+    """
+    out["url_host_rules"] = f"""
+        WITH u AS (
+          SELECT url,
+                 regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                 octet_length(html) AS nb
+          FROM read_parquet('{glob}')),
+        s AS (SELECT url, domain, nb,
+                     string_split(domain, '.') AS parts FROM u),
+        b AS (
+          SELECT url, nb,
+                 len(list_filter(range(1, len(parts) + 1),
+                     i -> md5_number_upper('blk:' || array_to_string(
+                              list_slice(parts, i, len(parts)), '.'))
+                          % {BLK_MOD} = 0)) > 0 AS blocked
+          FROM s)
+        SELECT CASE WHEN blocked THEN 'blocked_domain'
+                    WHEN url LIKE '%/junk/%' THEN 'flagged_path'
+                    ELSE 'kept' END AS reason,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(nb) AS BIGINT) AS sum_bytes
+        FROM b GROUP BY 1
     """
     # blob → varchar renders non-printables (and quotes) as \xNN
     # escapes, so an all-ASCII href pattern scans the BYTES exactly —
