@@ -31,6 +31,58 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_ROWS = max(300_000, BENCH_CORPUS_ROWS)
 
 QUERY_NAMES = [
+    # r3-era battery FIRST, in its round-3 run order: these are the
+    # queries every BENCH_r* shares, and per-query timings in a long
+    # mixed battery depend on what ran before (idle task workers get
+    # evicted by actor/shuffle-heavy neighbors and the next query
+    # repays worker spawn+import) -- keeping the shared prefix in the
+    # same order keeps the cross-round comparison apples-to-apples.
+    "doc_stats_by_lang",
+    "token_counts",
+    "exact_dedup",
+    "ngram_top20",
+    "minhash_dup_pairs",
+    "near_dup_clusters",
+    "simhash_near_dups",
+    "ngram_jaccard_dups",
+    "embedding_near_dups",
+    "embedding_near_dups_ivf",
+    "hash_sample",
+    "sentence_split",
+    "bloom_semi_join",
+    "moving_sum",
+    "dup_gram_mass",
+    "tfidf_top_terms",
+    "per_lang_top5",
+    "term_scrub",
+    "repetition_stats",
+    "benchmark_contamination",
+    "sequence_pack",
+    "events_hourly",
+    "events_sliding",
+    "value_quantiles",
+    "corpus_curation",
+    "purchase_attribution",
+    "event_value_bands",
+    "user_sessions",
+    "user_running_total",
+    "big_orders",
+    "pricing_summary",
+    "top_customers",
+    "order_revenue_join",
+    "latest_orders",
+    "filter_regex",
+    "knn_cosine",
+    "ann_ivf",
+    # everything added after round 3, oldest first
+    "gopher_rules",
+    "nfc_audit",
+    "padding_waste",
+    "domain_gini",
+    "url_host_rules",
+    "embedding_contamination",
+    "fuzzy_contamination",
+    "sentence_lang_mismatch",
     "uniform_sample_k",
     "quality_calibration",
     "weighted_sample_k",
@@ -91,47 +143,10 @@ QUERY_NAMES = [
     "link_domains",
     "domain_degrees",
     "reciprocal_links",
-    "doc_stats_by_lang",
-    "token_counts",
-    "exact_dedup",
-    "ngram_top20",
-    "minhash_dup_pairs",
-    "near_dup_clusters",
-    "simhash_near_dups",
-    "ngram_jaccard_dups",
-    "embedding_near_dups",
-    "embedding_near_dups_ivf",
-    "hash_sample",
-    "sentence_split",
-    "bloom_semi_join",
-    "moving_sum",
-    "dup_gram_mass",
-    "tfidf_top_terms",
-    "per_lang_top5",
-    "term_scrub",
     "pii_scrub",
     "training_shuffle",
-    "repetition_stats",
-    "benchmark_contamination",
-    "sequence_pack",
-    "events_hourly",
-    "events_sliding",
-    "value_quantiles",
-    "corpus_curation",
-    "purchase_attribution",
     "asof_last_order",
     "lineitem_unpivot",
-    "event_value_bands",
-    "user_sessions",
-    "user_running_total",
-    "big_orders",
-    "pricing_summary",
-    "top_customers",
-    "order_revenue_join",
-    "latest_orders",
-    "filter_regex",
-    "knn_cosine",
-    "ann_ivf",
     "fuzzy_prefix_dups",
     "sample_k_per_lang",
     "window_dedup",
@@ -178,6 +193,8 @@ QUERY_NAMES = [
     "peak_concurrency",
     "inverted_index",
     "purchase_ffill",
+    "session_duration_stats",
+    "intra_domain_link_ratio",
 ]
 
 
@@ -245,7 +262,8 @@ def run_only_query(name: str) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS,
-             include_dashboard=False, logging_level="ERROR")
+             include_dashboard=False, logging_level="ERROR",
+             _system_config={"num_workers_soft_limit": NUM_CPUS * 5})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -275,6 +293,15 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # The raylet's idle-worker soft cap defaults to num_cpus TOTAL
+        # processes; every actor-pool query then evicts the plain task
+        # workers, and the next task query repays worker spawn + numpy/
+        # pandas import INSIDE its timing (measured: token_counts 0.6 s
+        # warm vs 6.1 s right after a heavy actor stage). Raising the
+        # cap keeps both populations resident across a mixed battery —
+        # ~150 idle python workers ≈ 20 GB on a 128 GB host, fine here;
+        # a production cluster sizes this per node instead.
+        _system_config={"num_workers_soft_limit": NUM_CPUS * 5},
     )
     from ray.data import DataContext
 

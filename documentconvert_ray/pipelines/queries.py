@@ -11203,6 +11203,121 @@ def q_sentence_lang_mismatch(sf_dir: str):
     return ds.map_batches(audit, batch_format="pyarrow")
 
 
+# --- T193: session duration distribution ------------------------------
+
+
+def q_session_duration_stats(sf_dir: str):
+    """SESSION-DURATION distribution — the behavioral-metrics rollup
+    OVER the derived windows T14 builds (a second-order aggregate:
+    sessionize first, then summarize the sessions): count, exact
+    discrete p50/p90 (quantile_disc semantics), floor-div mean and
+    max of session length in µs, one output row. Same 30-min gap
+    rule as user_sessions.
+
+    Shape: user-hash co-partition (a timeline never splits) → per
+    bucket ONE sort + vectorized gap/cumsum session ids + per-session
+    min/max → per-bucket VALUE HISTOGRAM of durations (the T26/T131
+    idiom: distinct (duration, n) rows shuffle, never the sessions) →
+    driver fold over the tiny value domain in exact ints."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = dd.derive_buckets(ds.count())
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        return b.append_column(
+            "bucket", pa.array((uid % nb).astype(np.int32)))
+
+    def dur_hist(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        prev = g.groupby("user_id")["ts"].shift()
+        ns = prev.isna() | ((g["ts"] - prev) > pd.Timedelta(minutes=30))
+        sid = ns.cumsum()  # unique per (user, session): user-sorted
+        # explicit µs (inputs may arrive as ns- or µs-unit timestamps)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        d = (pd.DataFrame({"sid": sid, "us": us})
+             .groupby("sid")["us"].agg(["min", "max"]))
+        dur = (d["max"] - d["min"]).to_numpy(np.int64)
+        v, m = np.unique(dur, return_counts=True)
+        return pd.DataFrame({"v": v.astype("int64"),
+                             "m": m.astype("int64")})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(dur_hist, batch_format="pandas")
+             .to_pandas())
+    hist = parts.groupby("v")["m"].sum().sort_index()
+    vals = hist.index.to_numpy(np.int64)
+    cnts = hist.to_numpy(np.int64)
+    n = int(cnts.sum())
+    if n == 0:
+        return pd.DataFrame({
+            "n_sessions": pd.Series([0], dtype="int64"),
+            "p50_us": pd.Series([0], dtype="int64"),
+            "p90_us": pd.Series([0], dtype="int64"),
+            "mean_us": pd.Series([0], dtype="int64"),
+            "max_us": pd.Series([0], dtype="int64")})
+    cum = np.cumsum(cnts)
+
+    def q_disc(q: float) -> int:
+        import math
+
+        k = math.ceil(q * n)  # 1-based rank, quantile_disc semantics
+        return int(vals[np.searchsorted(cum, k)])
+
+    total = int((vals * cnts).sum())
+    return pd.DataFrame({
+        "n_sessions": pd.Series([n], dtype="int64"),
+        "p50_us": pd.Series([q_disc(0.5)], dtype="int64"),
+        "p90_us": pd.Series([q_disc(0.9)], dtype="int64"),
+        "mean_us": pd.Series([total // n], dtype="int64"),
+        "max_us": pd.Series([int(vals[-1])], dtype="int64")})
+
+
+# --- T194: intra-domain link ratio ------------------------------------
+
+
+def q_intra_domain_link_ratio(sf_dir: str):
+    """Crawl INSULARITY per domain — the fraction of a host's
+    outgoing links that point back at itself (navigation-heavy
+    template sites score high; link farms and hubs score low): per
+    src domain the total outgoing links, self-links (dst == src) and
+    self ppm. Rides the T115 edge scan contract (byte-transparent
+    href scan, gzip rows excluded both sides); the aggregated edge
+    set maps to (src, total, self) partials and a domain-hash
+    bucketed reduce folds them — exchange O(unique edges), the
+    domain axis never lands on the driver."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir)
+    nb = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["self_links"] = np.where(
+            df["src_domain"] == df["dst_domain"], df["n_links"], 0)
+        g = df.groupby("src_domain", as_index=False).agg(
+            n_links=("n_links", "sum"), self_links=("self_links", "sum"))
+        g["bucket"] = pd.Series(
+            [zlib.crc32(s.encode()) % nb for s in g["src_domain"]],
+            dtype="int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_dom(g):
+        s = g.groupby("src_domain", as_index=False).agg(
+            n_links=("n_links", "sum"), self_links=("self_links", "sum"))
+        s["self_ppm"] = (s["self_links"].to_numpy(np.int64) * 1_000_000
+                         // s["n_links"].to_numpy(np.int64))
+        return s.astype({"n_links": "int64", "self_links": "int64",
+                         "self_ppm": "int64"})
+
+    return (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_dom, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11217,7 +11332,9 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a-1) NEW this session (T185–T192), never checked -------
+        # -- (0a-1) NEW this session (T185–T194), never checked -------
+        "session_duration_stats": q_session_duration_stats,
+        "intra_domain_link_ratio": q_intra_domain_link_ratio,
         "nfc_audit": q_nfc_audit,
         "fuzzy_contamination": q_fuzzy_contamination,
         "sentence_lang_mismatch": q_sentence_lang_mismatch,
@@ -14488,6 +14605,36 @@ ORACLES["column_profile"] = "\n    UNION ALL\n".join(
     for c in PROFILE_COLS)
 
 
+ORACLES["session_duration_stats"] = """
+    WITH l AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pts
+      FROM events),
+    f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN pts IS NULL
+                       OR ts - pts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM l),
+    s AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+    d AS (
+      SELECT user_id, sid,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(dur, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(dur, 0.9) AS BIGINT) AS p90_us,
+           CAST(sum(dur) // count(*) AS BIGINT) AS mean_us,
+           CAST(max(dur) AS BIGINT) AS max_us
+    FROM d
+"""
+
 ORACLES["nfc_audit"] = """
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -14785,6 +14932,17 @@ def oracle_sql() -> dict[str, str]:
         edges AS (
           SELECT src_domain, dst_domain, count(*) AS n_links
           FROM ex GROUP BY 1, 2)
+    """
+    out["intra_domain_link_ratio"] = edges_cte + """
+        SELECT src_domain,
+               CAST(sum(n_links) AS BIGINT) AS n_links,
+               CAST(COALESCE(sum(n_links)
+                    FILTER (WHERE src_domain = dst_domain), 0)
+                   AS BIGINT) AS self_links,
+               CAST(COALESCE(sum(n_links)
+                    FILTER (WHERE src_domain = dst_domain), 0)
+                    * 1000000 // sum(n_links) AS BIGINT) AS self_ppm
+        FROM edges GROUP BY src_domain
     """
     out["domain_degrees"] = edges_cte + """
         , o AS (

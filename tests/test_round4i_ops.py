@@ -239,6 +239,74 @@ def test_sentence_lang_mismatch_code_switch(ray_session, tmp_path):
         by_id.loc[3, "mismatch_ppm"] == 0
 
 
+def test_session_duration_stats_hand_case(ray_session, tmp_path):
+    """User 1: events at 0/10/41 min (31-min gap splits → sessions of
+    10 min and 0); user 2: one event (0). Exactly-30-min gaps do NOT
+    split (rule is strictly greater). quantile_disc: n=3 → p50 = 2nd
+    smallest, p90 = 3rd."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    mins = [0, 10, 41]
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.int64(1),
+        "ts": pd.to_datetime(
+            [f"2024-01-01 00:{m:02d}:00" for m in mins]
+            + ["2024-01-01 05:00:00"]),
+        "event_type": "click",
+        "value": 1.0,
+        "props": "{}",
+    })
+    df.loc[3, "user_id"] = np.int64(2)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = _canon(Q.q_session_duration_stats(str(tmp_path))).iloc[0]
+    assert got["n_sessions"] == 3
+    assert got["p50_us"] == 0                    # durs: 0, 0, 600s
+    assert got["p90_us"] == 600 * 1_000_000
+    assert got["mean_us"] == 600 * 1_000_000 // 3
+    assert got["max_us"] == 600 * 1_000_000
+
+    # 30-min boundary: gap == 30 min keeps one session
+    df2 = df.iloc[:2].copy()
+    df2.loc[1, "ts"] = pd.Timestamp("2024-01-01 00:30:00")
+    pq.write_table(pa.Table.from_pandas(df2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got2 = _canon(Q.q_session_duration_stats(str(tmp_path))).iloc[0]
+    assert got2["n_sessions"] == 1
+    assert got2["max_us"] == 30 * 60 * 1_000_000
+
+
+def test_intra_domain_link_ratio_bruteforce(ray_session):
+    """Self-link counts recomputed independently over the corpus
+    parquet (same byte-transparent scan contract) == the engine's
+    bucketed reduce; the corpus carries real self-links."""
+    from documentconvert_ray.pipelines import queries as Q
+
+    got = _canon(Q.q_intra_domain_link_ratio(SF))
+
+    glob = os.path.join(Q._corpus_dir(), "*.parquet")
+    want = _canon(duckdb.sql(f"""
+        WITH src AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS s,
+                 CAST(html AS VARCHAR) AS body
+          FROM read_parquet('{glob}')
+          WHERE substr(hex(html), 1, 4) <> '1F8B'),
+        e AS (SELECT s, unnest(regexp_extract_all(body,
+                  'href=\\\\x22https://(site-[0-9]+\\.example)/', 1))
+                  AS d FROM src)
+        SELECT s AS src_domain,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(*) FILTER (WHERE s = d) AS BIGINT)
+                   AS self_links,
+               CAST(count(*) FILTER (WHERE s = d) * 1000000
+                    // count(*) AS BIGINT) AS self_ppm
+        FROM e GROUP BY s
+    """).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["self_links"].sum() > 0
+
+
 def test_embedding_contamination_bruteforce(ray_session):
     """Numpy recompute: eval slice by vec_id mod, max cosine per train
     vector, per-label counts."""
