@@ -80,6 +80,14 @@ class ExtractConfig:
     # .json artifact leg, services/document_service.py result writers).
     # Binary image payloads base64-encode; timestamps render ISO-8601.
     output_format: str = "parquet"
+    # opt-in UT1-style host blocklist (crawl-hygiene policy gate at
+    # extraction time): a row whose url host has ANY dot-suffix in
+    # this set (blocking "example" blocks "a.b.example" — subdomain
+    # semantics) becomes ok=false / error_kind="blocked_host" BEFORE
+    # sniff/extraction, so no payload is decoded, no parser runs and
+    # the PDF leg never sees the bytes — failures-as-rows (M12), row
+    # counts and manifest schema untouched. () = off (default).
+    block_hosts: tuple = ()
 
     # fields that change WHAT is extracted (affect output bytes); the
     # remaining fields are execution sizing only — output-invariant, so
@@ -91,6 +99,7 @@ class ExtractConfig:
         "pdf_heading_ratio_pct", "pdf_line_tol_milli",
         "pdf_column_gap_milli", "num_partitions", "max_gunzip_bytes",
         "redact_pii", "min_quality_tokens", "output_format",
+        "block_hosts",
     )
 
     def fingerprint(self) -> str:

@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="N",
                     help="drop extracted docs with fewer than N "
                          "tokens (recorded as low_quality rows)")
+    # opt-in crawl-hygiene host blocklist (UT1-style; semantic
+    # config — blocked and unblocked runs keep separate manifests):
+    # one host suffix per line, '#' comments; a url whose host has
+    # ANY dot-suffix in the list becomes a blocked_host row before
+    # decode/extraction
+    ap.add_argument("--block-hosts", metavar="FILE", default=None,
+                    help="file of host suffixes to block (one per "
+                         "line; subdomains of a listed suffix are "
+                         "blocked too)")
     # output serialization (semantic config: jsonl and parquet runs
     # keep separate resume manifests — the artifact bytes differ)
     ap.add_argument("--output-format", choices=("parquet", "jsonl"),
@@ -119,15 +128,23 @@ def main(argv: list[str] | None = None) -> int:
             dedup_input_urls(ds).write_parquet(args.dedup_urls_to)
             input_path = args.dedup_urls_to
 
+        block_hosts: tuple = ()
+        if args.block_hosts:
+            with open(args.block_hosts, encoding="utf-8") as f:
+                block_hosts = tuple(sorted({
+                    ln.strip() for ln in f
+                    if ln.strip() and not ln.lstrip().startswith("#")}))
+
         cfg = DEFAULT_CONFIG
         if (args.redact_pii or args.min_quality_tokens > 0
-                or args.output_format != "parquet"):
+                or args.output_format != "parquet" or block_hosts):
             import dataclasses
 
             cfg = dataclasses.replace(
                 cfg, redact_pii=args.redact_pii,
                 min_quality_tokens=args.min_quality_tokens,
-                output_format=args.output_format)
+                output_format=args.output_format,
+                block_hosts=block_hosts)
 
         t0 = time.monotonic()
         metrics = run_extract_job(

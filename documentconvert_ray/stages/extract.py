@@ -26,10 +26,14 @@ per-row python extractor calls are the useful compute, not overhead.
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# url host for the block_hosts policy gate (scheme-agnostic)
+_HOST_RE = re.compile(r"[a-z][a-z0-9+.-]*://([^/]+)")
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions.doc_extract import extract_ole2
@@ -208,6 +212,29 @@ class SniffAndExtractHtml:
                  shard_of_path=None) -> None:
         self.cfg = cfg
         self.shard_of_path = shard_of_path or {}
+        # UT1-style host blocklist (cfg.block_hosts): frozen suffix
+        # set + host regex bound once; per-batch host→verdict memo in
+        # __call__ (hosts ≪ rows per batch)
+        self._blk = frozenset(cfg.block_hosts)
+
+    def _host_blocked(self, url: str, memo: dict) -> str | None:
+        """Returns the matched blocked suffix, or None. Subdomain
+        semantics: ANY dot-suffix of the host may match (blocking
+        'example' blocks 'a.b.example') — the url_host_rules (T189)
+        rule, applied as an extraction policy."""
+        m = _HOST_RE.match(url)
+        host = m.group(1) if m else ""
+        if host in memo:
+            return memo[host]
+        hit = None
+        parts = host.split(".")
+        for i in range(len(parts)):
+            sfx = ".".join(parts[i:])
+            if sfx in self._blk:
+                hit = sfx
+                break
+        memo[host] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -216,8 +243,20 @@ class SniffAndExtractHtml:
         payloads = batch.column("html").to_pylist()
         cols = _result_columns(n)
         pdf_payloads: list[bytes | None] = [None] * n
+        blk_memo: dict = {}
 
         for i in range(n):
+            if self._blk and (
+                    sfx := self._host_blocked(urls[i], blk_memo)):
+                # policy gate BEFORE decode/sniff: the payload is
+                # never inflated or parsed, and the PDF leg never
+                # sees it — the whole point of a crawl blocklist
+                cols["doc_type"][i] = "blocked"
+                cols["ok"][i] = False
+                cols["error_kind"][i] = "blocked_host"
+                cols["error"][i] = f"host blocked by policy: {sfx}"
+                cols["text_sha256"][i] = _sha256("")
+                continue
             raw = payloads[i] or b""
             if raw[:2] == GZIP_MAGIC:
                 # transport gzip (CC-style stored pages): inflate

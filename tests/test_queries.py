@@ -14,6 +14,16 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 SQL_QUERIES = [
+    "gopher_rules",
+    "nfc_audit",
+    "padding_waste",
+    "domain_gini",
+    "url_host_rules",
+    "embedding_contamination",
+    "fuzzy_contamination",
+    "sentence_lang_mismatch",
+    "session_duration_stats",
+    "intra_domain_link_ratio",
     "new_users_daily",
     "heavy_hitters_cms",
     "lang_confusion",
