@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "purchase_ffill",
     "session_duration_stats",
     "intra_domain_link_ratio",
+    "hourly_anomaly",
 ]
 
 

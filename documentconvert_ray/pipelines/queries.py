@@ -11318,6 +11318,52 @@ def q_intra_domain_link_ratio(sf_dir: str):
             .map_groups(reduce_dom, batch_format="pandas"))
 
 
+# --- T195: hour-of-week traffic anomaly flags -------------------------
+
+ANOM_K = 3  # flag buckets beyond K standard deviations (3σ rule)
+HOW_BUCKETS = 168  # 7 days × 24 hours — the fixed calendar axis
+
+
+def q_hourly_anomaly(sf_dir: str):
+    """TRAFFIC-ANOMALY monitor over the hour-of-week profile — the
+    pipeline-health check run before trusting a new events feed (a
+    bucket 3σ above profile is a bot burst or replayed shard; 3σ
+    below is an ingestion gap): per (dow, hour) bucket the event
+    count and an EXACT-integer anomaly flag. No float sqrt anywhere:
+    z² > K² ⟺ H·(H·c_b − S)² > K²·Σ_j(H·c_j − S)² with H=168 fixed,
+    S=Σc — both sides exact in Python bigints (HUGEINT in the
+    oracle), so the flag is equality-safe cross-engine. Empty buckets
+    count 0 (the calendar grid is fixed, not observed). Shape:
+    per-batch (bucket, n) combiner → 168-row driver fold; exchange
+    O(batches·168), corpus never moves."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df):
+        dow = ((df["ts"].dt.dayofweek + 1) % 7).astype("int64")
+        hb = dow * 24 + df["ts"].dt.hour.astype("int64")
+        g = hb.value_counts()
+        return pd.DataFrame({
+            "hb": g.index.to_numpy(np.int64),
+            "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = np.zeros(HOW_BUCKETS, np.int64)
+    if len(parts):
+        agg = parts.groupby("hb")["n"].sum()
+        cnt[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    s_tot = int(cnt.sum())
+    devs = [HOW_BUCKETS * int(c) - s_tot for c in cnt]
+    ssq = sum(d * d for d in devs)
+    flags = [HOW_BUCKETS * d * d > ANOM_K * ANOM_K * ssq for d in devs]
+    hb = np.arange(HOW_BUCKETS, dtype=np.int64)
+    return pd.DataFrame({
+        "dow": hb // 24, "hour": hb % 24,
+        "n_events": cnt,
+        "anomalous": pd.Series(flags, dtype=bool)})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11335,6 +11381,7 @@ def queries() -> dict:
         # -- (0a-1) NEW this session (T185–T194), never checked -------
         "session_duration_stats": q_session_duration_stats,
         "intra_domain_link_ratio": q_intra_domain_link_ratio,
+        "hourly_anomaly": q_hourly_anomaly,
         "nfc_audit": q_nfc_audit,
         "fuzzy_contamination": q_fuzzy_contamination,
         "sentence_lang_mismatch": q_sentence_lang_mismatch,
@@ -14604,6 +14651,29 @@ ORACLES["column_profile"] = "\n    UNION ALL\n".join(
     FROM events"""
     for c in PROFILE_COLS)
 
+
+ORACLES["hourly_anomaly"] = f"""
+    WITH grid AS (SELECT g.x AS hb FROM unnest(range(0, {HOW_BUCKETS}))
+                  AS g(x)),
+    c AS (
+      SELECT dayofweek(ts) * 24 + hour(ts) AS hb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    f AS (SELECT grid.hb, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c USING (hb)),
+    s AS (
+      SELECT hb, n,
+             {HOW_BUCKETS} * CAST(n AS HUGEINT)
+                 - sum(CAST(n AS HUGEINT)) OVER () AS dev
+      FROM f),
+    t AS (SELECT CAST(sum(dev * dev) AS HUGEINT) AS ssq FROM s)
+    SELECT CAST(s.hb // 24 AS BIGINT) AS dow,
+           CAST(s.hb % 24 AS BIGINT) AS hour,
+           s.n AS n_events,
+           ({HOW_BUCKETS} * s.dev * s.dev
+            > {ANOM_K * ANOM_K} * t.ssq) AS anomalous
+    FROM s, t
+"""
 
 ORACLES["session_duration_stats"] = """
     WITH l AS (

@@ -24,6 +24,7 @@ SQL_QUERIES = [
     "sentence_lang_mismatch",
     "session_duration_stats",
     "intra_domain_link_ratio",
+    "hourly_anomaly",
     "new_users_daily",
     "heavy_hitters_cms",
     "lang_confusion",

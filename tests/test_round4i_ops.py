@@ -307,6 +307,47 @@ def test_intra_domain_link_ratio_bruteforce(ray_session):
     assert got["self_links"].sum() > 0
 
 
+def test_hourly_anomaly_burst_and_uniform(ray_session, tmp_path):
+    """A 500-event burst in one hour over a flat 1/hour background
+    flags exactly that bucket; a perfectly uniform profile flags
+    nothing. Engine == oracle on the same crafted table."""
+    import duckdb as _dd
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    # one event per hour-of-week bucket (uniform base)...
+    base = pd.date_range("2024-01-07", periods=168, freq="h")  # Sun 00
+    ts = list(base)
+    # ...plus a burst: 500 extra events Monday 09:00
+    ts += [pd.Timestamp("2024-01-08 09:00:00")] * 500
+    df = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.int64(1), "ts": ts, "event_type": "click",
+        "value": 1.0, "props": "{}"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = _canon(Q.q_hourly_anomaly(str(tmp_path)))
+
+    con = _dd.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = _canon(con.sql(Q.ORACLES["hourly_anomaly"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    flagged = got[got["anomalous"]]
+    assert len(flagged) == 1
+    assert (int(flagged.iloc[0]["dow"]), int(flagged.iloc[0]["hour"])) \
+        == (1, 9)  # Monday 09:00, SQL dow semantics (Sunday=0)
+
+    # uniform profile: nothing flags
+    df2 = df.iloc[:168]
+    pq.write_table(pa.Table.from_pandas(df2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got2 = _canon(Q.q_hourly_anomaly(str(tmp_path)))
+    assert not got2["anomalous"].any()
+    assert (got2["n_events"] == 1).all()
+
+
 def test_embedding_contamination_bruteforce(ray_session):
     """Numpy recompute: eval slice by vec_id mod, max cosine per train
     vector, per-label counts."""
