@@ -11364,6 +11364,343 @@ def q_hourly_anomaly(sf_dir: str):
         "anomalous": pd.Series(flags, dtype=bool)})
 
 
+# --- T196: Pareto frontier / skyline query ----------------------------
+
+
+def _skyline2(df):
+    """Exact 2D MAXIMA (skyline) of a (x, y[, …]) frame: rows not
+    dominated by any other row (q dominates p iff q.x ≥ p.x ∧
+    q.y ≥ p.y with at least one strict; exact (x, y) duplicates never
+    dominate each other, so all copies survive). O(n log n): per
+    distinct x keep max y, sweep x DESC — a pair survives iff its y
+    strictly exceeds every y at strictly greater x (the shifted
+    cummax); rows survive iff their (x, ymax) pair does."""
+    import pandas as pd
+
+    gm = df.groupby("x")["y"].max().sort_index(ascending=False)
+    prev = gm.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    keep = gm[gm > prev]
+    pairs = pd.DataFrame({"x": keep.index.to_numpy(np.int64),
+                          "y": keep.to_numpy(np.int64)})
+    return df.merge(pairs, on=["x", "y"], how="inner")
+
+
+def q_pareto_docs(sf_dir: str):
+    """SKYLINE / Pareto-frontier query — the multi-objective
+    curation pick ('docs that are long AND lexically rich, with no
+    doc better on both axes') that no single ORDER BY expresses:
+    maximize (n_tokens, n_distinct tokens). A doc is on the frontier
+    iff no other doc is ≥ on both axes and > on one.
+
+    Distributed shape: the LOCAL skyline is a sound combiner — a row
+    dominated inside its own batch is dominated globally, and no
+    global-frontier row can be eliminated locally, so global ⊆
+    union(local). Each batch emits only its local frontier (expected
+    O(log batch) rows for correlated axes), the driver runs the same
+    exact sweep on the tiny union. The corpus never shuffles; no
+    sort, no groupby. Tokenizer = shared textstats.tokens (the
+    RE2-∩-Python whitespace contract every token oracle uses)."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+
+    def partial(b: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        texts = b.column("text").to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_dis = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = ts.tokens(t)
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy(),
+            "x": n_tok, "y": n_dis})
+        return _skyline2(df)
+
+    cand = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    sky = _skyline2(cand).sort_values("doc_id", kind="mergesort")
+    return pd.DataFrame({
+        "doc_id": sky["doc_id"].to_numpy(np.int64),
+        "n_tokens": sky["x"].to_numpy(np.int64),
+        "n_distinct": sky["y"].to_numpy(np.int64)})
+
+
+# --- T197: mutual information between two categorical axes ------------
+
+
+def q_lang_source_mi(sf_dir: str):
+    """MUTUAL INFORMATION between the corpus's two categorical axes
+    (lang × source) — the data-mix diagnostic behind 'is source a
+    proxy for language' (high MI ⇒ per-source sampling skews the
+    language mix; T134's DSIR and T76's mixing assume it is low).
+    Exact integers end-to-end: each cell contributes
+    floor(n_xy·log2((N·n_xy)/(n_x·n_y))·10⁶) with the log2 argument
+    formed as exact-bigint products converted once to double on both
+    sides (libm-parity contract of T149/T159); MI terms can be
+    NEGATIVE, so the UNDIVIDED term sum ships beside N (the
+    T178/token_drift_kl rule dodging the floor-vs-truncate divide
+    mismatch); the marginal entropies are nonnegative and divide
+    normally. ONE (lang, source) count combiner — rides T80's cube
+    exchange shape: O(batch-distinct cells), the corpus never
+    shuffles; driver fold over the ≤|langs|·|sources| grid."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(df):
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = parts.groupby(["lang", "source"], as_index=False)["n"].sum()
+    n_tot = int(cells["n"].sum())
+    nx = cells.groupby("lang")["n"].sum()
+    ny = cells.groupby("source")["n"].sum()
+    mi_sum = 0
+    for lang, source, n in cells.itertuples(index=False):
+        n = int(n)
+        num, den = n_tot * n, int(nx[lang]) * int(ny[source])
+        mi_sum += int(np.floor(n * np.log2(float(num) / float(den))
+                               * 1_000_000))
+    h_lang = sum(int(np.floor(int(c) * np.log2(float(n_tot) / float(c))
+                              * 1_000_000)) for c in nx) // n_tot
+    h_src = sum(int(np.floor(int(c) * np.log2(float(n_tot) / float(c))
+                             * 1_000_000)) for c in ny) // n_tot
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_tot], dtype="int64"),
+        "mi_sum_micro": pd.Series([mi_sum], dtype="int64"),
+        "h_lang_micro": pd.Series([h_lang], dtype="int64"),
+        "h_source_micro": pd.Series([h_src], dtype="int64")})
+
+
+# --- T198: KMV (k-minimum-values) distinct / overlap sketch -----------
+
+KMV_K = 128
+
+
+def q_user_overlap_kmv(sf_dir: str):
+    """KMV / theta-sketch SET-OVERLAP estimation — the sketch family's
+    missing member next to HLL (T36, counts only): k-minimum-values
+    sketches support UNION and INTERSECTION estimates, the 'how much
+    do the click and purchase audiences overlap' question exact
+    COUNT DISTINCT answers only with a full self-join. Because the
+    hash is deterministic (md5_number_upper over 'kmv:'||user_id) and
+    the k-min set is a pure function of the distinct-user SET, the
+    estimates are partitioning-independent and carry a FULL SQL
+    oracle — a sketch with a hash-exact correctness gate. Estimator:
+    n̂ = (K−1)·2⁶⁴ // h_(K) when n > K else exact n; intersection via
+    the union sketch's matched fraction ρ·n̂_union (exact when the
+    union fits the sketch). Shape: per-batch distinct (user, side)
+    flags → user-hash bucketed OR-reduce emits its counts plus ≤2K
+    candidate rows (the union k-mins are a subset of the per-side
+    k-mins) → driver folds ≤(2K+1)·buckets rows. Exchange
+    O(batch-distinct users), corpus never moves."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        is_a = (df["event_type"] == "click").to_numpy()
+        is_b = (df["event_type"] == "purchase").to_numpy()
+        keep = is_a | is_b
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64)[keep],
+                           "in_a": is_a[keep], "in_b": is_b[keep]})
+             .groupby("user_id", as_index=False).agg(
+                 in_a=("in_a", "any"), in_b=("in_b", "any")))
+        g["bucket"] = (g["user_id"] % nb).astype("int32")
+        return g
+
+    def reduce_bucket(g):
+        u = g.groupby("user_id", as_index=False).agg(
+            in_a=("in_a", "any"), in_b=("in_b", "any"))
+        h = np.array([_md5_u64(f"kmv:{int(x)}".encode())
+                      for x in u["user_id"]], np.uint64)
+        in_a = u["in_a"].to_numpy()
+        in_b = u["in_b"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        cand = np.zeros(len(u), bool)
+        cand[order[in_a[order]][:KMV_K]] = True
+        cand[order[in_b[order]][:KMV_K]] = True
+        return pd.DataFrame({
+            "kind": ["cnt"] + ["cand"] * int(cand.sum()),
+            "h": np.concatenate([[np.uint64(0)], h[cand]]).astype(np.uint64),
+            "in_a": np.concatenate([[True], in_a[cand]]),
+            "in_b": np.concatenate([[True], in_b[cand]]),
+            "n_a": np.concatenate(
+                [[int(in_a.sum())], np.zeros(int(cand.sum()), np.int64)]),
+            "n_b": np.concatenate(
+                [[int(in_b.sum())], np.zeros(int(cand.sum()), np.int64)]),
+            "n_u": np.concatenate(
+                [[len(u)], np.zeros(int(cand.sum()), np.int64)]),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas())
+    cnt = rows[rows["kind"] == "cnt"]
+    n_a, n_b = int(cnt["n_a"].sum()), int(cnt["n_b"].sum())
+    n_u = int(cnt["n_u"].sum())
+    cand = rows[rows["kind"] == "cand"]
+
+    def est(hs, n_exact):
+        if n_exact <= KMV_K:
+            return n_exact
+        kth = int(sorted(int(x) for x in hs)[KMV_K - 1])
+        return (KMV_K - 1) * (1 << 64) // kth
+
+    est_a = est(cand.loc[cand["in_a"], "h"], n_a)
+    est_b = est(cand.loc[cand["in_b"], "h"], n_b)
+    est_u = est(cand["h"], n_u)
+    hs = sorted((int(h), bool(a), bool(b)) for h, a, b in
+                zip(cand["h"], cand["in_a"], cand["in_b"]))
+    ku = hs[:KMV_K]
+    c_both = sum(1 for _, a, b in ku if a and b)
+    est_i = c_both if n_u <= KMV_K else c_both * est_u // KMV_K
+    return pd.DataFrame({
+        "n_click_users": pd.Series([n_a], dtype="int64"),
+        "n_purchase_users": pd.Series([n_b], dtype="int64"),
+        "n_union": pd.Series([n_u], dtype="int64"),
+        "est_click": pd.Series([est_a], dtype="int64"),
+        "est_purchase": pd.Series([est_b], dtype="int64"),
+        "est_union": pd.Series([est_u], dtype="int64"),
+        "est_intersection": pd.Series([est_i], dtype="int64")})
+
+
+# --- T199: multi-touch attribution (windowed many-to-many credit) -----
+
+MTA_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def q_multi_touch_attribution(sf_dir: str):
+    """LINEAR (multi-touch) ATTRIBUTION — the many-to-many windowed
+    credit assignment next to T27's last-touch asof: every purchase
+    counts the SAME USER's clicks in [t−7d, t) and splits credit
+    equally (credit_ppm = 10⁶ // n when n > 0). Unlike the asof join
+    (one winner per purchase) each click can back many purchases and
+    each purchase many clicks — materializing the pair set is
+    O(clicks·purchases) worst-case, so only the COUNT crosses
+    anything: one events pass projects both roles into a shared
+    user-hash exchange (click rows as 16-byte (user, ts); purchases
+    keep their ids), per-bucket vectorized searchsorted against each
+    user's sorted click timeline. Exchange O(click+purchase events),
+    never the pair set."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy(np.int64)
+        is_c = (df["event_type"] == "click").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        out = pd.DataFrame({
+            "event_id": np.where(is_p, df["event_id"].to_numpy(np.int64),
+                                 -1)[is_c | is_p],
+            "user_id": uid[is_c | is_p],
+            "ts_us": us[is_c | is_p]})
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        res = []
+        for uid, grp in g.groupby("user_id"):
+            pur = grp[grp["event_id"] >= 0]
+            if not len(pur):
+                continue
+            cts = np.sort(grp.loc[grp["event_id"] < 0, "ts_us"]
+                          .to_numpy(np.int64))
+            t = pur["ts_us"].to_numpy(np.int64)
+            n = (np.searchsorted(cts, t, side="left")
+                 - np.searchsorted(cts, t - MTA_WINDOW_US, side="left"))
+            res.append(pd.DataFrame({
+                "event_id": pur["event_id"].to_numpy(np.int64),
+                "user_id": np.full(len(pur), uid, np.int64),
+                "n_touches": n.astype(np.int64)}))
+        if not res:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "n_touches": pd.Series([], dtype="int64")})
+        out = pd.concat(res, ignore_index=True)
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(reduce_bucket, batch_format="pandas"))
+
+    def credit(df):
+        n = df["n_touches"].to_numpy(np.int64)
+        df["credit_ppm"] = np.where(n > 0, 1_000_000 // np.maximum(n, 1),
+                                    0).astype(np.int64)
+        return df
+
+    return out.map_batches(credit, batch_format="pandas")
+
+
+# --- T200: per-user run-length encoding (sequence compaction) ---------
+
+
+def q_event_rle(sf_dir: str):
+    """RUN-LENGTH ENCODING of each user's event-type SEQUENCE (ordered
+    by ts, event_id) — the sequence-compaction view behind session
+    replay and behavioral n-grams ('view view view click' → (view,3),
+    (click,1)); the islands trick of T93 applied to ORDER runs rather
+    than calendar days. Emits (user_id, run_idx, event_type, run_len).
+    Shape: user-hash co-partition (a timeline never splits), ONE sort
+    per bucket, run boundaries + lengths + per-user run indices all
+    vectorized (diff / cumsum / groupby-cumcount); exchange is the
+    (user, ts, event_id, type) projection, output ≤ input rows."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": us,
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"]})
+        out["bucket"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def reduce_bucket(g):
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        new_run = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_run[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(g)))
+        r_uid = uid[starts]
+        new_user = np.ones(len(starts), bool)
+        if len(starts) > 1:
+            new_user[1:] = r_uid[1:] != r_uid[:-1]
+        # 1-based run index within each user
+        idx = np.arange(len(starts), dtype=np.int64)
+        idx = idx - np.maximum.accumulate(np.where(new_user, idx, -1)) + 1
+        return pd.DataFrame({
+            "user_id": r_uid,
+            "run_idx": idx,
+            "event_type": et[starts],
+            "run_len": lens.astype(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11378,7 +11715,13 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a-1) NEW this session (T185–T194), never checked -------
+        # -- (0a-2) NEW this session (T196–T200), never checked -------
+        "pareto_docs": q_pareto_docs,
+        "lang_source_mi": q_lang_source_mi,
+        "user_overlap_kmv": q_user_overlap_kmv,
+        "multi_touch_attribution": q_multi_touch_attribution,
+        "event_rle": q_event_rle,
+        # -- (0a-1) NEW last session (T185–T194), never checked -------
         "session_duration_stats": q_session_duration_stats,
         "intra_domain_link_ratio": q_intra_domain_link_ratio,
         "hourly_anomaly": q_hourly_anomaly,
@@ -14859,6 +15202,146 @@ ORACLES["embedding_contamination"] = f"""
            CAST(count(*) FILTER (WHERE mx >= {CONTAM_COS_MIN})
                AS BIGINT) AS n_contaminated
     FROM f GROUP BY label
+"""
+
+# T196: skyline by NOT-EXISTS dominance; empty docs count (0, 0) on
+# both sides via the LEFT JOIN (the token CTE has no row for them)
+ORACLES["pareto_docs"] = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, count(*)::BIGINT AS nt,
+                  count(DISTINCT tok)::BIGINT AS nd
+           FROM t GROUP BY 1),
+    c AS (SELECT d.doc_id,
+                 COALESCE(tc.nt, 0) AS n_tokens,
+                 COALESCE(tc.nd, 0) AS n_distinct
+          FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id)
+    SELECT doc_id, n_tokens, n_distinct FROM c p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c o
+      WHERE o.n_tokens >= p.n_tokens AND o.n_distinct >= p.n_distinct
+        AND (o.n_tokens > p.n_tokens OR o.n_distinct > p.n_distinct))
+"""
+
+# T197: MI term sum UNDIVIDED (terms can be negative — the
+# floor-vs-truncate divide rule); log2 args as exact-bigint products
+# converted once to DOUBLE (HUGEINT guards the products at scale)
+ORACLES["lang_source_mi"] = """
+    WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+               FROM documents GROUP BY 1, 2),
+    nx AS (SELECT lang, sum(n)::BIGINT AS n_x FROM c GROUP BY 1),
+    ny AS (SELECT source, sum(n)::BIGINT AS n_y FROM c GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS nn FROM c),
+    mi AS (
+      SELECT sum(CAST(floor(c.n * log2(
+                 CAST(CAST(t.nn AS HUGEINT) * c.n AS DOUBLE)
+                 / CAST(CAST(nx.n_x AS HUGEINT) * ny.n_y AS DOUBLE))
+                 * 1000000) AS BIGINT)) AS s
+      FROM c, t
+      JOIN nx ON c.lang = nx.lang
+      JOIN ny ON c.source = ny.source),
+    hx AS (
+      SELECT sum(CAST(floor(n_x * log2(CAST(t.nn AS DOUBLE) / n_x)
+                 * 1000000) AS BIGINT)) AS s
+      FROM nx, t),
+    hy AS (
+      SELECT sum(CAST(floor(n_y * log2(CAST(t.nn AS DOUBLE) / n_y)
+                 * 1000000) AS BIGINT)) AS s
+      FROM ny, t)
+    SELECT CAST(t.nn AS BIGINT) AS n_docs,
+           CAST(mi.s AS BIGINT) AS mi_sum_micro,
+           CAST(hx.s // t.nn AS BIGINT) AS h_lang_micro,
+           CAST(hy.s // t.nn AS BIGINT) AS h_source_micro
+    FROM t, mi, hx, hy
+"""
+
+# T198: the KMV estimates are pure functions of the distinct user
+# sets under a deterministic hash, so the sketch itself is oracled
+ORACLES["user_overlap_kmv"] = f"""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id,
+             md5_number_upper('kmv:' || CAST(user_id AS VARCHAR)) AS h,
+             user_id IN (SELECT user_id FROM a) AS in_a,
+             user_id IN (SELECT user_id FROM b) AS in_b
+      FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)),
+    n AS (SELECT count(*) FILTER (WHERE in_a)::BIGINT AS n_a,
+                 count(*) FILTER (WHERE in_b)::BIGINT AS n_b,
+                 count(*)::BIGINT AS n_u FROM u),
+    ka AS (SELECT max(h) AS kth FROM (
+             SELECT h FROM u WHERE in_a ORDER BY h LIMIT {KMV_K})),
+    kb AS (SELECT max(h) AS kth FROM (
+             SELECT h FROM u WHERE in_b ORDER BY h LIMIT {KMV_K})),
+    ku AS (SELECT max(h) AS kth,
+                  count(*) FILTER (WHERE in_a AND in_b)::BIGINT AS c
+           FROM (SELECT h, in_a, in_b FROM u
+                 ORDER BY h LIMIT {KMV_K})),
+    est AS (
+      SELECT
+        CASE WHEN n.n_a <= {KMV_K} THEN n.n_a
+             ELSE CAST(CAST({KMV_K - 1} AS HUGEINT)
+                  * 18446744073709551616 // ka.kth AS BIGINT) END AS ea,
+        CASE WHEN n.n_b <= {KMV_K} THEN n.n_b
+             ELSE CAST(CAST({KMV_K - 1} AS HUGEINT)
+                  * 18446744073709551616 // kb.kth AS BIGINT) END AS eb,
+        CASE WHEN n.n_u <= {KMV_K} THEN n.n_u
+             ELSE CAST(CAST({KMV_K - 1} AS HUGEINT)
+                  * 18446744073709551616 // ku.kth AS BIGINT) END AS eu,
+        ku.c AS c, n.n_a AS n_a, n.n_b AS n_b, n.n_u AS n_u
+      FROM n, ka, kb, ku)
+    SELECT n_a AS n_click_users, n_b AS n_purchase_users,
+           n_u AS n_union, ea AS est_click, eb AS est_purchase,
+           eu AS est_union,
+           CASE WHEN n_u <= {KMV_K} THEN c
+                ELSE CAST(CAST(c AS HUGEINT) * eu // {KMV_K}
+                          AS BIGINT) END AS est_intersection
+    FROM est
+"""
+
+# T199: epoch-µs window arithmetic on both sides (no INTERVAL
+# semantics in play); clicks strictly before the purchase
+ORACLES["multi_touch_attribution"] = f"""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, count(c.t)::BIGINT AS n_touches
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.t >= p.t - {MTA_WINDOW_US} AND c.t < p.t
+      GROUP BY 1, 2)
+    SELECT event_id, user_id, n_touches,
+           CASE WHEN n_touches > 0
+                THEN CAST(1000000 // n_touches AS BIGINT)
+                ELSE 0 END AS credit_ppm
+    FROM j
+"""
+
+# T200: textbook gaps-and-islands (row_number difference) over the
+# deterministic (ts, event_id) order
+ORACLES["event_rle"] = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events),
+    r AS (SELECT user_id, event_type, rn - rt AS grp,
+                 count(*)::BIGINT AS run_len, min(rn) AS srn
+          FROM e GROUP BY 1, 2, 3)
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn)
+                AS BIGINT) AS run_idx,
+           event_type, run_len
+    FROM r
 """
 
 
