@@ -164,6 +164,36 @@ def stage_warc_files(input_path: str | list[str], out_dir: str) -> list[str]:
     return expand_input_files(out_dir)
 
 
+def stage_jsonl_files(input_path: str | list[str], out_dir: str) -> list[str]:
+    """JSON-Lines input: `.jsonl` / `.jsonl.gz` dump shards → corpus-
+    schema parquet shards (then the normal shard-resumable job runs
+    unchanged). Same scale contract as the WARC leg — one read task
+    per shard file (gzip'd JSONL is not splittable mid-stream; keep
+    shards 0.1-1 GB), stateless map_batches parse, malformed lines
+    skipped not raised. Field contract in sources/jsonl.py."""
+    from ..sources.jsonl import jsonl_batch_to_rows
+
+    paths = [p for p in expand_input_files(input_path, suffix=None)
+             if p.endswith((".jsonl", ".jsonl.gz"))]
+    if not paths:
+        return []
+    filesystem = None
+    read_paths = paths
+    if mf.is_uri(paths[0]):
+        filesystem, _ = mf.fs_for(paths[0])
+        read_paths = [mf.fs_for(p)[1] for p in paths]
+    ds = ray.data.read_binary_files(
+        read_paths,
+        filesystem=filesystem,
+        include_paths=True,
+        override_num_blocks=len(read_paths),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(jsonl_batch_to_rows,
+                   batch_format="pyarrow").write_parquet(out_dir)
+    return expand_input_files(out_dir)
+
+
 def build_extract_ds(
     input_files: list[str],
     cfg: ExtractConfig = DEFAULT_CONFIG,

@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage-warc-from", metavar="SRC", default=None,
                     help="stage WARC archive shards from SRC into corpus "
                          "parquet shards at --input, then extract")
+    # dump-style input: .jsonl/.jsonl.gz shards (url + payload fields)
+    ap.add_argument("--stage-jsonl-from", metavar="SRC", default=None,
+                    help="stage JSON-Lines dump shards from SRC into "
+                         "corpus parquet shards at --input, then extract")
     # opt-in output transform: scrub emails/phones/IPv4 from the
     # extracted markdown (semantic config — redacted and unredacted
     # runs keep separate resume manifests)
@@ -116,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
 
             if not (os.path.isdir(args.input) and os.listdir(args.input)):
                 stage_warc_files(args.stage_warc_from, args.input)
+
+        if args.stage_jsonl_from:
+            from .pipelines.extract import stage_jsonl_files
+
+            if not (os.path.isdir(args.input) and os.listdir(args.input)):
+                stage_jsonl_files(args.stage_jsonl_from, args.input)
 
         input_path = args.input
         if args.dedup_urls_to:
