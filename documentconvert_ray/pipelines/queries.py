@@ -11701,6 +11701,251 @@ def q_event_rle(sf_dir: str):
             .map_groups(reduce_bucket, batch_format="pandas"))
 
 
+FEATURE_HASH_D = 64  # hashed feature dimensions (hashing trick)
+
+
+def q_feature_hash_vectors(sf_dir: str):
+    """FEATURE HASHING (the "hashing trick", Weinberger et al. 2009,
+    ICML — public algorithm): each lowercased token hashes to one of
+    FEATURE_HASH_D signed dimensions (dim = h % D, sign = bit 6 of h —
+    the first bit independent of dim for D = 64) and the per-(doc, dim)
+    signed counts are the sparse hashed feature vector, emitted as
+    (doc_id, dim, weight) rows with zero-cancelled weights dropped.
+    Entirely MAP-SIDE: a document is one row, so a per-batch pandas
+    groupby finishes each vector — no shuffle at any corpus size.
+    Token hash is the SQL-mirrorable md5 family
+    (md5_number_upper('fh:' || tok)), so the oracle reproduces dims,
+    signs, and collisions exactly."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64, tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        ids: list[int] = []
+        hs: list[int] = []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            for t in tokens(text):
+                t = t.lower()
+                h = cache.get(t)
+                if h is None:
+                    h = _md5_u64(b"fh:" + t.encode("utf-8"))
+                    cache[t] = h
+                ids.append(doc_id)
+                hs.append(h)
+        ha = np.asarray(hs, np.uint64)
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "dim": (ha % np.uint64(FEATURE_HASH_D)).astype(np.int64),
+            "w": np.where((ha >> np.uint64(6)) & np.uint64(1), 1, -1)
+                .astype(np.int64)})
+        g = df.groupby(["doc_id", "dim"], as_index=False).agg(
+            weight=("w", "sum"))
+        g = g[g["weight"] != 0]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "dim": pa.array(g["dim"].to_numpy(np.int64), pa.int64()),
+            "weight": pa.array(g["weight"].to_numpy(np.int64), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+TIME_WINDOW_US = 3_600_000_000  # RANGE frame width: 1 hour, in µs
+
+
+def q_events_time_window(sf_dir: str):
+    """Per-user trailing 1-HOUR time-RANGE window (SQL RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW — the value-based frame
+    T68's ROWS frame cannot express; peers at the same ts are IN the
+    frame, per the SQL standard). User-hash co-partition so a timeline
+    never splits; per bucket ONE sort, then fully vectorized frame
+    bounds: timestamps are offset per user-run so a single
+    np.searchsorted over the bucket respects run boundaries, and the
+    windowed sum is a prefix-sum difference. Micro-integer values keep
+    the sum order-independent and exactly SQL-mirrorable."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts": df["ts"],
+            "value_micro": _micro_int_col(df["value"]),
+            "bucket": (df["user_id"].to_numpy(np.int64) % nb)
+                .astype("int32"),
+        })
+
+    def reduce_bucket(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        run_id = np.cumsum(new_user) - 1
+        run_first = np.flatnonzero(new_user)
+        rel = ts - ts[run_first][run_id]  # ≥0, nondecreasing per run
+        stride = (int(rel.max()) if n else 0) + TIME_WINDOW_US + 2
+        adj = rel + run_id * stride
+        lo = np.searchsorted(adj, adj - TIME_WINDOW_US, side="left")
+        hi = np.searchsorted(adj, adj, side="right")  # ts peers incl.
+        csz = np.r_[0, np.cumsum(g["value_micro"].to_numpy(np.int64))]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "win_sum_micro": (csz[hi] - csz[lo]).astype(np.int64),
+            "win_n": (hi - lo).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def q_vocab_growth(sf_dir: str):
+    """HEAPS'-LAW vocabulary-growth curve (Heaps 1978 — public
+    empirical law; the curve every corpus-scaling study plots):
+    distinct TRIGRAM-shingle vocabulary as the corpus grows in doc_id
+    order, reported per doc_id decile as (decile, new_terms,
+    cum_vocab). The unit is the 3-token shingle — the unigram axis of
+    a bounded-vocabulary corpus saturates in the first decile, while
+    the shingle space keeps growing, which is what the curve is FOR.
+    A term's decile is where it FIRST occurs, so the distributed form
+    is a per-shingle min-doc_id reduce: batches emit (shingle_hash,
+    batch-min doc_id) partials (combiner: one row per distinct shingle
+    per batch), a hash-bucketed reduce takes the global min,
+    per-bucket decile counts collapse to ≤10 rows each, and a tiny
+    final Sum + driver cumsum closes the curve. Shingles travel ONLY
+    as md5 int64 hashes (the SQL-mirrorable family — the oracle groups
+    by the same hash, so even collisions agree)."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64, tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"])
+                 .max("doc_id")) + 1
+    nb = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        first: dict[int, int] = {}
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            toks = [t.lower() for t in tokens(text)]
+            for i in range(len(toks) - 2):
+                g = " ".join(toks[i:i + 3])
+                h = _md5_u64(b"vg:" + g.encode("utf-8"))
+                p = first.get(h)
+                if p is None or doc_id < p:
+                    first[h] = doc_id
+        hs = np.fromiter(first.keys(), np.uint64, len(first))
+        return pa.Table.from_pydict({
+            "h": pa.array(hs.view(np.int64), pa.int64()),
+            "first_doc": pa.array(list(first.values()), pa.int64()),
+            "bucket": pa.array((hs % np.uint64(nb)).astype(np.int32),
+                               pa.int32())})
+
+    def reduce_bucket(g):
+        fo = g.groupby("h", as_index=False).agg(
+            first_doc=("first_doc", "min"))
+        dec = (fo["first_doc"].to_numpy(np.int64) * 10) // n_docs
+        out = pd.DataFrame({"decile": dec})
+        return out.groupby("decile", as_index=False).agg(
+            new_terms=("decile", "size"))
+
+    small = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(Sum("new_terms", alias_name="new_terms"))
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    small["new_terms"] = small["new_terms"].astype(np.int64)
+    small["cum_vocab"] = small["new_terms"].cumsum().astype(np.int64)
+    return small
+
+
+HITS_ITERS = 20
+
+
+def q_hits_domains(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999, JACM, "Authoritative
+    sources in a hyperlinked environment" — public algorithm) over the
+    weighted domain link graph. Same broadcast-vector power-iteration
+    shape as q_pagerank_domains: per half-step the current vector
+    ships ONCE via ray.put, edge batches emit weighted per-endpoint
+    partials map-side (per-batch combiner), a per-key Sum closes the
+    matvec — a = Aᵀh then h = Aa, each L2-normalized. Exchange is
+    O(edges) per half-step; the edge Dataset is materialized exactly
+    once. Domain-granular node axis ≪ edges (the broadcast-vector
+    contract; at url granularity the vector becomes a Dataset and each
+    half-step a hash join on the endpoint — the documented scale
+    path). No SQL oracle (iterative float fixpoint, like
+    PageRank/k-means); bounded by the pytest vs-dense-numpy test."""
+    import pandas as pd
+
+    edges = _link_edges(sf_dir).materialize()
+    epd = edges.to_pandas()  # node axis: domains (small at any sf)
+    nodes = sorted(set(epd["src_domain"]) | set(epd["dst_domain"]))
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    hubs = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+
+    def pass_factory(vref, in_col, out_col, tag):
+        def contrib(b: pa.Table) -> pa.Table:
+            v, ix = sim.resolve_broadcast(vref, key=tag)
+            src = [ix[s] for s in b.column(in_col).to_pylist()]
+            dst = [ix[d] for d in b.column(out_col).to_pylist()]
+            w = np.asarray(b.column("n_links"), np.float64)
+            df = pd.DataFrame({"k": np.asarray(dst, np.int64),
+                               "c": v[src] * w})
+            g = df.groupby("k", as_index=False).agg(c=("c", "sum"))
+            return pa.Table.from_pydict(
+                {"k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+                 "c": pa.array(g["c"].to_numpy(np.float64),
+                               pa.float64())})
+        return contrib
+
+    def matvec(vec, in_col, out_col, tag):
+        vref = ray.put((vec, idx))
+        got = (
+            edges.map_batches(pass_factory(vref, in_col, out_col, tag),
+                              batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("c", alias_name="c"))
+        ).to_pandas()
+        out = np.zeros(n, np.float64)
+        out[got["k"].to_numpy(np.int64)] = got["c"].to_numpy(np.float64)
+        return out
+
+    for _ in range(HITS_ITERS):
+        auth = matvec(hubs, "src_domain", "dst_domain", "hits-a")
+        na = np.linalg.norm(auth)
+        auth = auth / na if na else auth
+        hubs = matvec(auth, "dst_domain", "src_domain", "hits-h")
+        nh = np.linalg.norm(hubs)
+        hubs = hubs / nh if nh else hubs
+
+    return pd.DataFrame({
+        "domain": nodes,
+        "hub_ppb": np.floor(hubs / hubs.sum() * 1e9 + 0.5)
+            .astype(np.int64),
+        "auth_ppb": np.floor(auth / auth.sum() * 1e9 + 0.5)
+            .astype(np.int64)})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11715,7 +11960,12 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a-2) NEW this session (T196–T200), never checked -------
+        # -- (0a-3) NEW this session (T201–T204), never checked -------
+        "feature_hash_vectors": q_feature_hash_vectors,
+        "events_time_window": q_events_time_window,
+        "vocab_growth": q_vocab_growth,
+        "hits_domains": q_hits_domains,
+        # -- (0a-2) NEW last session (T196–T200), never checked -------
         "pareto_docs": q_pareto_docs,
         "lang_source_mi": q_lang_source_mi,
         "user_overlap_kmv": q_user_overlap_kmv,
@@ -15342,6 +15592,65 @@ ORACLES["event_rle"] = """
                 AS BIGINT) AS run_idx,
            event_type, run_len
     FROM r
+"""
+
+# dim = h % 64, sign = bit 6 of h (first bit independent of dim) —
+# exactly the engine's md5 family, so collisions cancel identically.
+ORACLES["feature_hash_vectors"] = f"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.tok) AS tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS t(tok)),
+    h AS (
+      SELECT doc_id, md5_number_upper('fh:' || tok) AS h FROM toks)
+    SELECT doc_id,
+           CAST(h % {FEATURE_HASH_D} AS BIGINT) AS dim,
+           CAST(sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+    HAVING sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) <> 0
+"""
+
+ORACLES["events_time_window"] = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                OVER w AS BIGINT) AS win_sum_micro,
+           CAST(count(*) OVER w AS BIGINT) AS win_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)
+"""
+
+# groups by the SAME md5 trigram hash as the engine so collisions
+# agree; a shingle's decile is where its global-min doc_id lands
+ORACLES["vocab_growth"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> ''),
+               x -> lower(x)) AS ts
+      FROM documents),
+    tg AS (
+      SELECT doc_id,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS g
+      FROM toks, unnest(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3),
+    th AS (
+      SELECT doc_id, md5_number_upper('vg:' || g) AS h FROM tg),
+    fo AS (SELECT h, min(doc_id) AS first_doc FROM th GROUP BY h),
+    dec AS (
+      SELECT CAST(first_doc * 10
+                  // (SELECT max(doc_id) + 1 FROM documents)
+                  AS BIGINT) AS decile,
+             count(*) AS new_terms
+      FROM fo GROUP BY 1)
+    SELECT decile, CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_vocab
+    FROM dec ORDER BY decile
 """
 
 
