@@ -1,0 +1,141 @@
+"""Unit coverage for the session-12 operators (T201-T204): exact
+brute-force pandas recomputes for feature hashing, the time-RANGE
+window, and the Heaps trigram-vocabulary curve, plus a dense-numpy
+recompute of HITS (the iterative float fixpoint has no SQL oracle —
+same contract as PageRank/k-means)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from documentconvert_ray.pipelines.queries import queries
+
+    return queries()
+
+
+def _canon(df):
+    from check_oracles import canon, to_pandas
+
+    return canon(to_pandas(df))
+
+
+def test_feature_hash_matches_bruteforce(registry, ray_session):
+    from documentconvert_ray.functions.textstats import _md5_u64, tokens
+    from documentconvert_ray.pipelines.queries import FEATURE_HASH_D
+
+    got = _canon(registry["feature_hash_vectors"](SF))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    acc: dict = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        for tok in tokens(text):
+            h = _md5_u64(b"fh:" + tok.lower().encode())
+            k = (doc_id, h % FEATURE_HASH_D)
+            acc[k] = acc.get(k, 0) + (1 if (h >> 6) & 1 else -1)
+    want = _canon(pd.DataFrame(
+        [{"doc_id": d, "dim": dim, "weight": w}
+         for (d, dim), w in acc.items() if w != 0]))
+    assert len(got) > 0
+    assert got.equals(want)
+
+
+def test_events_time_window_matches_bruteforce(registry, ray_session):
+    got = _canon(registry["events_time_window"](SF))
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["vm"] = np.floor(df["value"].to_numpy(np.float64) * 1e6
+                        + 0.5).astype(np.int64)
+    rows = []
+    for _, g in df.groupby("user_id"):
+        ts = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        vm = g["vm"].to_numpy(np.int64)
+        for i in range(len(g)):
+            # RANGE frame: every peer within [ts_i - 1h, ts_i],
+            # INCLUDING later rows that tie on ts_i
+            m = (ts >= ts[i] - 3_600_000_000) & (ts <= ts[i])
+            rows.append({"event_id": int(g["event_id"].iloc[i]),
+                         "user_id": int(g["user_id"].iloc[i]),
+                         "win_sum_micro": int(vm[m].sum()),
+                         "win_n": int(m.sum())})
+    want = _canon(pd.DataFrame(rows))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+
+def test_vocab_growth_matches_bruteforce(registry, ray_session):
+    from documentconvert_ray.functions.textstats import _md5_u64, tokens
+
+    got = _canon(registry["vocab_growth"](SF))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n = max(t.column("doc_id").to_pylist()) + 1
+    first: dict = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        toks = [x.lower() for x in tokens(text)]
+        for i in range(len(toks) - 2):
+            h = _md5_u64(b"vg:" + " ".join(toks[i:i + 3]).encode())
+            if h not in first or doc_id < first[h]:
+                first[h] = doc_id
+    cnt: dict = {}
+    for d in first.values():
+        cnt[d * 10 // n] = cnt.get(d * 10 // n, 0) + 1
+    decs = sorted(cnt)
+    cum = np.cumsum([cnt[d] for d in decs])
+    want = _canon(pd.DataFrame({
+        "decile": decs,
+        "new_terms": [cnt[d] for d in decs],
+        "cum_vocab": cum.astype(np.int64)}))
+    assert len(got) > 0
+    assert got.equals(want)
+    # invariants: the curve is a growth curve
+    g = got.sort_values("decile")
+    assert (g["new_terms"] > 0).all()
+    assert g["cum_vocab"].is_monotonic_increasing
+    assert int(g["cum_vocab"].iloc[-1]) == len(first)
+
+
+def test_hits_matches_dense_numpy(registry, ray_session):
+    from documentconvert_ray.pipelines.queries import HITS_ITERS
+
+    got = registry["hits_domains"](SF).sort_values("domain") \
+        .reset_index(drop=True)
+    edges = _canon(registry["link_domains"](SF))
+
+    nodes = sorted(set(edges["src_domain"]) | set(edges["dst_domain"]))
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d, w in zip(edges["src_domain"], edges["dst_domain"],
+                       edges["n_links"]):
+        A[idx[s], idx[d]] = w
+    h = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(HITS_ITERS):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+    want_hub = np.floor(h / h.sum() * 1e9 + 0.5).astype(np.int64)
+    want_auth = np.floor(a / a.sum() * 1e9 + 0.5).astype(np.int64)
+
+    assert list(got["domain"]) == nodes
+    assert np.abs(got["hub_ppb"].to_numpy() - want_hub).max() <= 2
+    assert np.abs(got["auth_ppb"].to_numpy() - want_auth).max() <= 2
+    # invariants: nonnegative, each axis sums to ~1e9
+    for c in ("hub_ppb", "auth_ppb"):
+        assert (got[c] >= 0).all()
+        assert abs(int(got[c].sum()) - 1_000_000_000) <= n
