@@ -6,11 +6,13 @@ same parquet tables for the correctness gate. Column names and value
 semantics match EXACTLY (integer micro-units for float aggregates so
 sums are order-independent; fixed tie-breaks on every top-k).
 
-The 7 queries without an oracle entry are genuinely
+The 10 queries without an oracle entry are genuinely
 non-SQL-expressible (the two approximate IVF paths, the mergeable
 quantile sketch whose result is partitioning-dependent, the
-HyperLogLog estimate, the iterative float fixpoints k-means and
-PageRank, and the BPE merge loop's iterative string rewriting); those
+HyperLogLog estimate, the iterative float fixpoints k-means /
+PageRank / HITS, the integer h-index fixpoint k-core — pinned EQUAL
+to brute peeling in pytest — and the BPE merge loop's iterative
+string rewriting, both trainer and encoder); those
 are covered by the pytest determinism/recall/rank-bound/error-bound/
 brute-force-equality suites instead and get the driver's rows-only
 check. (Greedy k-center, though iterative, IS oracled — exact integer
@@ -11946,6 +11948,141 @@ def q_hits_domains(sf_dir: str):
             .astype(np.int64)})
 
 
+KCORE_MAX_ROUNDS = 64  # loud-failure cap; h-index fixpoint is fast
+
+
+def q_domain_kcore(sf_dir: str):
+    """K-CORE DECOMPOSITION (coreness per node) of the undirected
+    domain graph — the graph-robustness / spam-nest peel every
+    web-graph curation pass wants. H-INDEX FIXPOINT iteration (Lü,
+    Chen, Ren, Zhang, Zhang & Zhou 2016, Nature Communications, "The
+    H-index of a network node and its relation to degree and
+    coreness" — public algorithm): c⁰ = degree; each round a node's
+    value becomes the H-index of its neighbors' current values; the
+    sequence is pointwise nonincreasing and converges EXACTLY to
+    coreness (integer fixpoint, no tolerance). Distributed form: the
+    value vector broadcasts once per round (small-node-axis bound,
+    same as PageRank/HITS; the url-granular scale path is a value
+    join); edge batches emit (node, neighbor_value) COUNT partials
+    map-side — the H-index is a pure function of the value histogram,
+    so the combiner collapses the exchange to O(distinct (node,
+    value)) ≤ O(edges) per round — and a per-node histogram reduce
+    closes each step. Exact integer convergence probe on the driver;
+    loud RuntimeError at the round cap (the near_dup_clusters
+    contract). No SQL oracle (iterative fixpoint, like
+    PageRank/k-means); pytest pins it EQUAL to brute Matula–Beck
+    peeling."""
+    import pandas as pd
+
+    und = _und_edges(sf_dir).materialize()
+    degs = _degree_frame(und)
+    c = dict(zip(degs["domain"], (int(x) for x in degs["deg"])))
+
+    def hist_factory(cref):
+        def partial(b: pa.Table) -> pa.Table:
+            cv = sim.resolve_broadcast(cref, key="kcore-c")
+            df = b.to_pandas()
+            both = pd.DataFrame({
+                "domain": pd.concat([df["a"], df["b"]],
+                                    ignore_index=True),
+                "val": pd.concat([df["b"].map(cv), df["a"].map(cv)],
+                                 ignore_index=True)
+                    .to_numpy(np.int64)})
+            g = both.groupby(["domain", "val"], as_index=False).size()
+            return pa.Table.from_pydict({
+                "domain": pa.array(g["domain"].to_numpy(object),
+                                   pa.string()),
+                "val": pa.array(g["val"].to_numpy(np.int64),
+                                pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64),
+                              pa.int64())})
+        return partial
+
+    def hindex(g):
+        # histogram rows sorted by value desc; cum = #neighbors with
+        # value ≥ val; H = max over rows of min(val, cum)
+        g = g.sort_values("val", ascending=False)
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        vals = g["val"].to_numpy(np.int64)
+        h = int(np.minimum(vals, cum).max()) if len(vals) else 0
+        return pd.DataFrame({"domain": [g["domain"].iloc[0]],
+                             "h": [np.int64(h)]})
+
+    for _ in range(KCORE_MAX_ROUNDS):
+        cref = ray.put(c)
+        got = (
+            und.map_batches(hist_factory(cref), batch_format="pyarrow")
+            .groupby(["domain", "val"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("domain")
+            .map_groups(hindex, batch_format="pandas")
+        ).to_pandas()
+        new = dict(zip(got["domain"], (int(x) for x in got["h"])))
+        # every edge endpoint reappears each round (no isolated nodes
+        # in _und_edges), so the key set is stable — exact fixpoint:
+        if new == {k: v for k, v in c.items() if k in new}:
+            break
+        c.update(new)
+    else:
+        raise RuntimeError(
+            f"k-core h-index fixpoint did not converge within "
+            f"{KCORE_MAX_ROUNDS} rounds")
+
+    doms = sorted(c)
+    return pd.DataFrame({
+        "domain": doms,
+        "coreness": np.array([c[d] for d in doms], np.int64)})
+
+
+def q_degree_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY (Newman 2002, Phys. Rev. Lett.,
+    "Assortative mixing in networks" — public formula) of the
+    undirected domain graph: the Pearson correlation between the
+    degrees at the two ends of each edge — hub-to-hub wiring (r > 0)
+    vs hub-to-leaf (r < 0), the link-farm topology signal.
+    Exact-integer form: the edge-degree moment sums (m, Σjk, Σ(j+k),
+    Σ(j²+k²)) accumulate as int64 single-row partials map-side (the
+    degree map broadcasts once — small-node-axis bound) and r closes
+    on the driver from 4 scalars with unbounded Python ints:
+    r = (4m·Σjk − (Σ(j+k))²) / (2m·Σ(j²+k²) − (Σ(j+k))²), emitted as
+    floor-divided ppm (0 on a degree-regular graph where the variance
+    denominator is 0). The oracle mirrors through HUGEINT and the
+    repo's floor-division emulation. Int64 moment bound: Σ(j²+k²) ≤
+    2m·D² — lift the partials to per-shard Python ints before this
+    overflows (documented, not hit at any test scale)."""
+    import pandas as pd
+
+    und = _und_edges(sf_dir).materialize()
+    degs = _degree_frame(und)
+    dref = ray.put(dict(zip(degs["domain"],
+                            (int(x) for x in degs["deg"]))))
+
+    def moments(b: pa.Table) -> pa.Table:
+        d = sim.resolve_broadcast(dref, key="assort-deg")
+        df = b.to_pandas()
+        j = df["a"].map(d).to_numpy(np.int64)
+        k = df["b"].map(d).to_numpy(np.int64)
+        return pa.Table.from_pydict({
+            "m": pa.array([len(df)], pa.int64()),
+            "s_jk": pa.array([int((j * k).sum())], pa.int64()),
+            "s_sum": pa.array([int((j + k).sum())], pa.int64()),
+            "s_sq": pa.array([int((j * j + k * k).sum())],
+                             pa.int64())})
+
+    tot = und.map_batches(moments, batch_format="pyarrow").sum(
+        ["m", "s_jk", "s_sum", "s_sq"])
+    m = int(tot["sum(m)"])
+    s_jk, s_sum, s_sq = (int(tot["sum(s_jk)"]), int(tot["sum(s_sum)"]),
+                         int(tot["sum(s_sq)"]))
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    r_ppm = (num * 1_000_000) // den if den else 0
+    return pd.DataFrame({
+        "m": [np.int64(m)], "s_jk": [np.int64(s_jk)],
+        "s_sum": [np.int64(s_sum)], "s_sq": [np.int64(s_sq)],
+        "r_ppm": [np.int64(r_ppm)]})
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11965,6 +12102,8 @@ def queries() -> dict:
         "events_time_window": q_events_time_window,
         "vocab_growth": q_vocab_growth,
         "hits_domains": q_hits_domains,
+        "domain_kcore": q_domain_kcore,
+        "degree_assortativity": q_degree_assortativity,
         # -- (0a-2) NEW last session (T196–T200), never checked -------
         "pareto_docs": q_pareto_docs,
         "lang_source_mi": q_lang_source_mi,
@@ -15877,6 +16016,39 @@ def oracle_sql() -> dict[str, str]:
                     // ((deg * (deg - 1)) // 2) AS BIGINT) AS coeff_ppm
         FROM degs d LEFT JOIN tv ON d.domain = tv.domain
         WHERE deg >= 2
+    """
+    out["degree_assortativity"] = edges_cte + """
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain),
+        degs AS (
+          SELECT domain, count(*)::HUGEINT AS deg FROM (
+            SELECT a AS domain FROM und
+            UNION ALL SELECT b FROM und)
+          GROUP BY domain),
+        ed AS (
+          SELECT da.deg AS j, db.deg AS k
+          FROM und JOIN degs da ON und.a = da.domain
+                   JOIN degs db ON und.b = db.domain),
+        s AS (
+          SELECT count(*)::HUGEINT AS m, sum(j * k) AS s_jk,
+                 sum(j + k) AS s_sum, sum(j * j + k * k) AS s_sq
+          FROM ed),
+        f AS (
+          SELECT m, s_jk, s_sum, s_sq,
+                 4 * m * s_jk - s_sum * s_sum AS num,
+                 2 * m * s_sq - s_sum * s_sum AS den
+          FROM s)
+        SELECT CAST(m AS BIGINT) AS m, CAST(s_jk AS BIGINT) AS s_jk,
+               CAST(s_sum AS BIGINT) AS s_sum,
+               CAST(s_sq AS BIGINT) AS s_sq,
+               CAST(CASE WHEN den = 0 THEN 0
+                    ELSE (num * 1000000
+                          - (((num * 1000000) % den) + den) % den)
+                         // den
+                    END AS BIGINT) AS r_ppm
+        FROM f
     """
     out["charset_audit"] = f"""
         WITH src AS (

@@ -139,3 +139,67 @@ def test_hits_matches_dense_numpy(registry, ray_session):
     for c in ("hub_ppb", "auth_ppb"):
         assert (got[c] >= 0).all()
         assert abs(int(got[c].sum()) - 1_000_000_000) <= n
+
+
+def test_domain_kcore_matches_brute_peeling(registry, ray_session):
+    """The h-index fixpoint must EQUAL classic Matula-Beck peeling
+    (remove a min-degree node, coreness = running max of its degree
+    at removal) on the same undirected edge set."""
+    got = registry["domain_kcore"](SF).sort_values("domain") \
+        .reset_index(drop=True)
+    edges = _canon(registry["link_domains"](SF))
+
+    adj: dict = {}
+    for s, d in zip(edges["src_domain"], edges["dst_domain"]):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core: dict = {}
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        v = min(remaining,
+                key=lambda x: (len(adj[x] & remaining), x))
+        k = max(k, len(adj[v] & remaining))
+        core[v] = k
+        remaining.discard(v)
+
+    want = pd.DataFrame(sorted(core.items()),
+                        columns=["domain", "coreness"])
+    assert len(got) == len(want) > 0
+    assert list(got["domain"]) == list(want["domain"])
+    assert got["coreness"].to_numpy().tolist() == \
+        want["coreness"].to_numpy().tolist()
+    # invariant: coreness never exceeds degree
+    deg = {d: len(a) for d, a in adj.items()}
+    assert all(c <= deg[d] for d, c in zip(got["domain"],
+                                           got["coreness"]))
+
+
+def test_degree_assortativity_matches_bruteforce(registry, ray_session):
+    """Exact-integer moment sums recomputed in pandas from the edge
+    list; r_ppm floor-division semantics pinned."""
+    got = registry["degree_assortativity"](SF).iloc[0]
+    edges = _canon(registry["link_domains"](SF))
+
+    pairs = set()
+    for s, d in zip(edges["src_domain"], edges["dst_domain"]):
+        if s != d:
+            pairs.add((min(s, d), max(s, d)))
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(pairs)
+    s_jk = sum(deg[a] * deg[b] for a, b in pairs)
+    s_sum = sum(deg[a] + deg[b] for a, b in pairs)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in pairs)
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    assert int(got["m"]) == m
+    assert int(got["s_jk"]) == s_jk
+    assert int(got["s_sum"]) == s_sum
+    assert int(got["s_sq"]) == s_sq
+    assert int(got["r_ppm"]) == ((num * 1_000_000) // den if den else 0)
+    assert -1_000_000 <= int(got["r_ppm"]) <= 1_000_000
