@@ -196,6 +196,20 @@ QUERY_NAMES = [
     "session_duration_stats",
     "intra_domain_link_ratio",
     "hourly_anomaly",
+    "pareto_docs",
+    "lang_source_mi",
+    "user_overlap_kmv",
+    "multi_touch_attribution",
+    "event_rle",
+    "feature_hash_vectors",
+    "events_time_window",
+    "vocab_growth",
+    "degree_assortativity",
+    "domain_kcore",
+    # iterative broadcast-vector fixpoints (pagerank_domains,
+    # hits_domains) are excluded like kmeans' heavier cousins: their
+    # battery time is per-round Ray overhead on a domain-granular
+    # graph, not a data-scale signal
 ]
 
 
