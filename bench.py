@@ -206,6 +206,8 @@ QUERY_NAMES = [
     "vocab_growth",
     "degree_assortativity",
     "domain_kcore",
+    "value_interp",
+    "harmonic_centrality",
     # iterative broadcast-vector fixpoints (pagerank_domains,
     # hits_domains) are excluded like kmeans' heavier cousins: their
     # battery time is per-round Ray overhead on a domain-granular

@@ -12083,6 +12083,140 @@ def q_degree_assortativity(sf_dir: str):
         "r_ppm": [np.int64(r_ppm)]})
 
 
+def q_value_interp(sf_dir: str):
+    """Two-sided LINEAR GAP INTERPOLATION (the imputation sibling of
+    q_purchase_ffill's one-sided fill): every event gets a value
+    interpolated between the user's surrounding PURCHASE values,
+    position-weighted within the gap — interp = pvp + (pvn − pvp) ·
+    (rn − rnp) // (rnn − rnp) over per-user row numbers, −1 sentinel
+    outside the first/last purchase. Row-number weighting (not
+    timestamp) keeps every product inside int64 at any scale
+    (|Δvalue_micro| · events-per-user ≪ 2⁶³; a timestamp-weighted
+    lerp would need 128-bit). Same physical plan as the other window
+    ops: user-hash co-partition, one sort per bucket, vectorized
+    groupwise ffill/bfill on exact float64 micro carriers (≤ 2⁵³).
+    Floor-division semantics pinned on both sides (numpy
+    floor_divide == Python // ; the oracle emulates floor with the
+    repo's positive-modulus trick)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts": df["ts"],
+            "is_p": df["event_type"].to_numpy() == "purchase",
+            "value_micro": _micro_int_col(df["value"]),
+            "bucket": (df["user_id"].to_numpy(np.int64) % nb)
+                .astype("int32"),
+        })
+
+    def reduce_bucket(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        uid = g["user_id"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        run_id = np.cumsum(new_user) - 1
+        run_first = np.flatnonzero(new_user)
+        rn = np.arange(n, dtype=np.int64) - run_first[run_id] + 1
+        is_p = g["is_p"].to_numpy(bool)
+        pv = g["value_micro"].to_numpy(np.int64)
+        grp = pd.Series(run_id)
+        s_pv = pd.Series(np.where(is_p, pv.astype(np.float64), np.nan))
+        s_rn = pd.Series(np.where(is_p, rn.astype(np.float64), np.nan))
+        pvp = s_pv.groupby(grp).ffill()
+        pvn = s_pv.groupby(grp).bfill()
+        rnp = s_rn.groupby(grp).ffill()
+        rnn = s_rn.groupby(grp).bfill()
+        have = (pvp.notna() & pvn.notna()).to_numpy(bool)
+        pvp_i = pvp.fillna(0).to_numpy(np.float64).astype(np.int64)
+        pvn_i = pvn.fillna(0).to_numpy(np.float64).astype(np.int64)
+        rnp_i = rnp.fillna(0).to_numpy(np.float64).astype(np.int64)
+        rnn_i = rnn.fillna(0).to_numpy(np.float64).astype(np.int64)
+        span = rnn_i - rnp_i
+        num = (pvn_i - pvp_i) * (rn - rnp_i)
+        lerp = pvp_i + np.floor_divide(num, np.where(span == 0,
+                                                     1, span))
+        interp = np.where(~have, -1,
+                          np.where(span == 0, pvp_i, lerp))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "interp_micro": interp.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+HARMONIC_MAX = 12  # BFS depth cap, pinned on both engine + oracle
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """HARMONIC CENTRALITY (Boldi & Vigna 2014, "Axioms for
+    centrality" — the closeness variant that handles disconnected
+    graphs) over the undirected domain graph: Σ 1/d(u, v) across
+    reachable v ≠ u, emitted integer-exact as Σ (1000000 // d) so
+    both sides agree bit-for-bit; depth capped at HARMONIC_MAX on
+    engine AND oracle (part of the operator contract — web domain
+    graphs have single-digit diameters). EMBARRASSINGLY PARALLEL
+    multi-source BFS: the adjacency broadcasts ONCE (domain-granular
+    small-node-axis bound, same as the PageRank vector) and the
+    SOURCE axis is the Dataset — each batch of sources runs a local
+    BFS against the broadcast graph, zero shuffle, exchange
+    O(sources + results). At url granularity this becomes the
+    per-source frontier-join form (q_domain_hops' shape — documented
+    scale path); the recursive-CTE oracle mirrors the same min-hop
+    floor sums."""
+    import pandas as pd
+
+    und = _und_edges(sf_dir).materialize()
+    epd = und.to_pandas()  # domain-granular edge list: small axis
+    adj: dict[str, set] = {}
+    for a, b in zip(epd["a"], epd["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    aref = ray.put(adj)
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"domain": sorted(adj)}))
+
+    def bfs(b: pa.Table) -> pa.Table:
+        g = sim.resolve_broadcast(aref, key="harm-adj")
+        doms, reached, harm = [], [], []
+        for src in b.column("domain").to_pylist():
+            seen = {src}
+            frontier = {src}
+            n_r = 0
+            h = 0
+            for d in range(1, HARMONIC_MAX + 1):
+                nxt = set()
+                for u in frontier:
+                    nxt |= g[u]
+                nxt -= seen
+                if not nxt:
+                    break
+                seen |= nxt
+                n_r += len(nxt)
+                h += (1_000_000 // d) * len(nxt)
+                frontier = nxt
+            doms.append(src)
+            reached.append(n_r)
+            harm.append(h)
+        return pa.Table.from_pydict({
+            "domain": pa.array(doms, pa.string()),
+            "n_reached": pa.array(reached, pa.int64()),
+            "harmonic_ppm": pa.array(harm, pa.int64())})
+
+    return nodes.map_batches(bfs, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12104,6 +12238,8 @@ def queries() -> dict:
         "hits_domains": q_hits_domains,
         "domain_kcore": q_domain_kcore,
         "degree_assortativity": q_degree_assortativity,
+        "value_interp": q_value_interp,
+        "harmonic_centrality": q_harmonic_centrality,
         # -- (0a-2) NEW last session (T196–T200), never checked -------
         "pareto_docs": q_pareto_docs,
         "lang_source_mi": q_lang_source_mi,
@@ -15733,6 +15869,45 @@ ORACLES["event_rle"] = """
     FROM r
 """
 
+# gap lerp over per-user row numbers; floor division emulated with
+# the positive-modulus trick (num may be negative, span > 0)
+ORACLES["value_interp"] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             END AS pv
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, rn,
+             last_value(pv IGNORE NULLS) OVER wp AS pvp,
+             first_value(pv IGNORE NULLS) OVER wf AS pvn,
+             last_value(CASE WHEN pv IS NOT NULL THEN rn END
+                        IGNORE NULLS) OVER wp AS rnp,
+             first_value(CASE WHEN pv IS NOT NULL THEN rn END
+                         IGNORE NULLS) OVER wf AS rnn
+      FROM e
+      WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CAST(CASE
+             WHEN pvp IS NULL OR pvn IS NULL THEN -1
+             WHEN rnn = rnp THEN pvp
+             ELSE pvp + ((pvn - pvp) * (rn - rnp)
+                         - ((((pvn - pvp) * (rn - rnp))
+                             % (rnn - rnp) + (rnn - rnp))
+                            % (rnn - rnp)))
+                        // (rnn - rnp)
+           END AS BIGINT) AS interp_micro
+    FROM w
+"""
+
 # dim = h % 64, sign = bit 6 of h (first bit independent of dim) —
 # exactly the engine's md5 family, so collisions cancel identically.
 ORACLES["feature_hash_vectors"] = f"""
@@ -16017,6 +16192,27 @@ def oracle_sql() -> dict[str, str]:
         FROM degs d LEFT JOIN tv ON d.domain = tv.domain
         WHERE deg >= 2
     """
+    out["harmonic_centrality"] = (edges_cte + f"""
+        , und AS (
+          SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                 greatest(src_domain, dst_domain) AS b
+          FROM edges WHERE src_domain <> dst_domain),
+        bidir AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        nodes AS (SELECT DISTINCT a AS n FROM bidir),
+        walk(s, node, d) AS (
+          SELECT n AS s, n AS node, 0 AS d FROM nodes
+          UNION
+          SELECT w.s, e.b, w.d + 1 FROM walk w
+          JOIN bidir e ON e.a = w.node WHERE w.d < {HARMONIC_MAX}),
+        sp AS (SELECT s, node, min(d) AS d FROM walk GROUP BY 1, 2)
+        SELECT s AS domain,
+               CAST(count(*) FILTER (WHERE node <> s) AS BIGINT)
+                   AS n_reached,
+               CAST(COALESCE(sum(1000000 // d)
+                    FILTER (WHERE node <> s), 0) AS BIGINT)
+                   AS harmonic_ppm
+        FROM sp GROUP BY s
+    """).replace("WITH src AS", "WITH RECURSIVE src AS", 1)
     out["degree_assortativity"] = edges_cte + """
         , und AS (
           SELECT DISTINCT least(src_domain, dst_domain) AS a,

@@ -203,3 +203,91 @@ def test_degree_assortativity_matches_bruteforce(registry, ray_session):
     assert int(got["s_sq"]) == s_sq
     assert int(got["r_ppm"]) == ((num * 1_000_000) // den if den else 0)
     assert -1_000_000 <= int(got["r_ppm"]) <= 1_000_000
+
+
+def test_value_interp_crafted_edges(ray_session, tmp_path):
+    """Crafted per-user timelines: sentinels outside the first/last
+    purchase, purchase rows return their own value, NEGATIVE-slope
+    gaps pin floor (not truncation) division, and a same-ts purchase
+    pair brackets an event via (ts, event_id) order."""
+    import pyarrow as pa
+
+    from documentconvert_ray.pipelines import queries as Q
+
+    rows = [
+        # user 1: view, purchase(10), view, view, purchase(1), view
+        (1, 1, "2024-01-01 00:00", "view", 0.0),
+        (2, 1, "2024-01-01 01:00", "purchase", 10.0),
+        (3, 1, "2024-01-01 02:00", "view", 0.0),
+        (4, 1, "2024-01-01 03:00", "view", 0.0),
+        (5, 1, "2024-01-01 04:00", "purchase", 1.0),
+        (6, 1, "2024-01-01 05:00", "view", 0.0),
+        # user 2: no purchases at all
+        (7, 2, "2024-01-01 00:00", "view", 5.0),
+        # user 3: event between two same-ts purchases (event_id order)
+        (8, 3, "2024-01-01 00:00", "purchase", 2.0),
+        (9, 3, "2024-01-01 00:00", "view", 0.0),
+        (10, 3, "2024-01-01 00:00", "purchase", 4.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = _canon(Q.q_value_interp(str(tmp_path))).set_index("event_id")
+    # before first purchase / no purchase: -1
+    assert got.loc[1, "interp_micro"] == -1
+    assert got.loc[7, "interp_micro"] == -1
+    # after last purchase: -1
+    assert got.loc[6, "interp_micro"] == -1
+    # purchase rows: own value
+    assert got.loc[2, "interp_micro"] == 10_000_000
+    assert got.loc[5, "interp_micro"] == 1_000_000
+    # negative slope 10 -> 1 over rn span 3: floor semantics
+    assert got.loc[3, "interp_micro"] == \
+        10_000_000 + (-9_000_000 * 1) // 3
+    assert got.loc[4, "interp_micro"] == \
+        10_000_000 + (-9_000_000 * 2) // 3
+    # same-ts bracket via event_id order: midpoint of 2 and 4
+    assert got.loc[9, "interp_micro"] == 3_000_000
+
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = _canon(con.sql(Q.ORACLES["value_interp"]).df())
+    pd.testing.assert_frame_equal(
+        _canon(Q.q_value_interp(str(tmp_path))), want)
+
+
+def test_harmonic_centrality_matches_brute_bfs(registry, ray_session):
+    """Plain-python all-source BFS over the same undirected edge set,
+    capped at HARMONIC_MAX, floor-ppm sums."""
+    from documentconvert_ray.pipelines.queries import HARMONIC_MAX
+
+    got = _canon(registry["harmonic_centrality"](SF))
+    edges = _canon(registry["link_domains"](SF))
+
+    adj: dict = {}
+    for s, d in zip(edges["src_domain"], edges["dst_domain"]):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    rows = []
+    for src in sorted(adj):
+        seen, frontier, n_r, h = {src}, {src}, 0, 0
+        for d in range(1, HARMONIC_MAX + 1):
+            nxt = set().union(*(adj[u] for u in frontier)) - seen
+            if not nxt:
+                break
+            seen |= nxt
+            n_r += len(nxt)
+            h += (1_000_000 // d) * len(nxt)
+            frontier = nxt
+        rows.append({"domain": src, "n_reached": n_r,
+                     "harmonic_ppm": h})
+    want = _canon(pd.DataFrame(rows))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
