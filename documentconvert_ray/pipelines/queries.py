@@ -11999,11 +11999,15 @@ def q_domain_kcore(sf_dir: str):
         return partial
 
     def hindex(g):
-        # histogram rows sorted by value desc; cum = #neighbors with
-        # value ≥ val; H = max over rows of min(val, cum)
-        g = g.sort_values("val", ascending=False)
-        cum = g["n"].cumsum().to_numpy(np.int64)
-        vals = g["val"].to_numpy(np.int64)
+        # merge the per-batch (val, n) partials inside the group,
+        # histogram sorted by value desc; cum = #neighbors with
+        # value ≥ val; H = max over rows of min(val, cum). One
+        # domain-keyed exchange per round (the partial counts are
+        # already per-batch combined, so this replaces a second
+        # (domain, val)-keyed all-to-all)
+        hh = g.groupby("val")["n"].sum().sort_index(ascending=False)
+        cum = hh.cumsum().to_numpy(np.int64)
+        vals = hh.index.to_numpy(np.int64)
         h = int(np.minimum(vals, cum).max()) if len(vals) else 0
         return pd.DataFrame({"domain": [g["domain"].iloc[0]],
                              "h": [np.int64(h)]})
@@ -12012,8 +12016,6 @@ def q_domain_kcore(sf_dir: str):
         cref = ray.put(c)
         got = (
             und.map_batches(hist_factory(cref), batch_format="pyarrow")
-            .groupby(["domain", "val"])
-            .aggregate(Sum("n", alias_name="n"))
             .groupby("domain")
             .map_groups(hindex, batch_format="pandas")
         ).to_pandas()
