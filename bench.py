@@ -208,6 +208,8 @@ QUERY_NAMES = [
     "domain_kcore",
     "value_interp",
     "harmonic_centrality",
+    "event_path_trigrams",
+    "weighted_median_price",
     # iterative broadcast-vector fixpoints (pagerank_domains,
     # hits_domains) are excluded like kmeans' heavier cousins: their
     # battery time is per-round Ray overhead on a domain-granular

@@ -12219,6 +12219,111 @@ def q_harmonic_centrality(sf_dir: str):
     return nodes.map_batches(bfs, batch_format="pyarrow")
 
 
+PATH_TOP_K = 20  # top event-type trigram paths
+
+
+def q_event_path_trigrams(sf_dir: str):
+    """SEQUENTIAL-PATTERN MINING over ordered event streams: the
+    top-K consecutive event-type TRIPLES (e1→e2→e3) across all user
+    timelines — the length-3 extension of T43's transition matrix
+    (SQL lead(,1)/lead(,2) window shape). User-hash co-partition so a
+    timeline never splits; per bucket one sort, vectorized triple
+    assembly from shifted arrays masked at user-run boundaries, a
+    per-batch combiner (the event-type alphabet is tiny, so the
+    per-bucket partial is ≤ |types|³ rows), a small global Sum, and a
+    deterministic (count desc, then lexicographic) top-K."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    nb = dd.derive_buckets(ds.count())
+
+    def partial(df):
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts": df["ts"],
+            "event_type": df["event_type"],
+            "bucket": (df["user_id"].to_numpy(np.int64) % nb)
+                .astype("int32"),
+        })
+
+    def reduce_bucket(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame({"e1": pd.Series([], dtype=object),
+                                 "e2": pd.Series([], dtype=object),
+                                 "e3": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        out = pd.DataFrame({"e1": et[:-2][ok], "e2": et[1:-1][ok],
+                            "e3": et[2:][ok]})
+        return out.groupby(["e1", "e2", "e3"], as_index=False).agg(
+            n=("e1", "size"))
+
+    small = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby(["e1", "e2", "e3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    small["n"] = small["n"].astype(np.int64)
+    small = small.sort_values(["n", "e1", "e2", "e3"],
+                              ascending=[False, True, True, True],
+                              kind="mergesort")
+    return small.head(PATH_TOP_K).reset_index(drop=True)
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED MEDIAN (lower median: smallest value whose
+    cumulative weight reaches half the total) of the lineitem price
+    weighted by quantity, per return flag — the robust-center
+    aggregate percentile_cont can't express with weights. Two-level
+    exact reduce: per-batch (flag, cents) weight partials (combiner —
+    the distinct-price axis, not rows, is what shuffles), per-flag
+    merge + cumulative-weight scan inside one map_groups, integer
+    cents so both sides agree bit-for-bit (2·cum ≥ tot avoids the
+    half-integer)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df):
+        out = pd.DataFrame({
+            "flag": df["l_returnflag"],
+            "cents": _cents_col(df["l_extendedprice"]),
+            "qty": df["l_quantity"].to_numpy(np.float64)
+                .astype(np.int64),
+        })
+        return out.groupby(["flag", "cents"], as_index=False).agg(
+            wt=("qty", "sum"))
+
+    def wmedian(g):
+        flag = g["flag"].iloc[0]
+        m = g.groupby("cents", as_index=False).agg(wt=("wt", "sum")) \
+            .sort_values("cents", kind="mergesort")
+        cum = m["wt"].cumsum().to_numpy(np.int64)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame({
+            "flag": [flag],
+            "wmedian_cents": [np.int64(m["cents"].iloc[i])],
+            "total_qty": [np.int64(tot)]})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("flag")
+        .map_groups(wmedian, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12242,6 +12347,8 @@ def queries() -> dict:
         "degree_assortativity": q_degree_assortativity,
         "value_interp": q_value_interp,
         "harmonic_centrality": q_harmonic_centrality,
+        "event_path_trigrams": q_event_path_trigrams,
+        "weighted_median_price": q_weighted_median_price,
         # -- (0a-2) NEW last session (T196–T200), never checked -------
         "pareto_docs": q_pareto_docs,
         "lang_source_mi": q_lang_source_mi,
@@ -15869,6 +15976,39 @@ ORACLES["event_rle"] = """
                 AS BIGINT) AS run_idx,
            event_type, run_len
     FROM r
+"""
+
+ORACLES["event_path_trigrams"] = f"""
+    WITH e AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, count(*)::BIGINT AS n
+    FROM e WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {PATH_TOP_K}
+"""
+
+# lower weighted median: smallest value with 2*cum_weight >= total
+ORACLES["weighted_median_price"] = """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    g AS (SELECT flag, cents, sum(qty) AS wt FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT flag, cents,
+             sum(wt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             sum(wt) OVER (PARTITION BY flag) AS tot
+      FROM g)
+    SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(min(tot) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cum >= tot GROUP BY flag
 """
 
 # gap lerp over per-user row numbers; floor division emulated with

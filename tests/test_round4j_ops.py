@@ -291,3 +291,58 @@ def test_harmonic_centrality_matches_brute_bfs(registry, ray_session):
     want = _canon(pd.DataFrame(rows))
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_event_path_trigrams_matches_bruteforce(registry, ray_session):
+    """Plain pandas recompute: per-user (ts, event_id) order, all
+    consecutive triples, global top-20 with the deterministic
+    tie-break."""
+    got = _canon(registry["event_path_trigrams"](SF))
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts",
+                               "event_type"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    cnt: dict = {}
+    for _, g in df.groupby("user_id"):
+        et = list(g["event_type"])
+        for i in range(len(et) - 2):
+            k = (et[i], et[i + 1], et[i + 2])
+            cnt[k] = cnt.get(k, 0) + 1
+    rows = sorted(cnt.items(), key=lambda kv: (-kv[1],) + kv[0])[:20]
+    want = _canon(pd.DataFrame(
+        [{"e1": a, "e2": b, "e3": c, "n": n}
+         for (a, b, c), n in rows]))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+
+def test_weighted_median_matches_bruteforce(registry, ray_session):
+    """Per-flag lower weighted median recomputed by sorting cents and
+    scanning cumulative quantity."""
+    got = _canon(registry["weighted_median_price"](SF))
+
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_returnflag", "l_extendedprice",
+                               "l_quantity"]).to_pandas()
+    t["cents"] = np.floor(t["l_extendedprice"].to_numpy(np.float64)
+                          * 100 + 0.5).astype(np.int64)
+    t["qty"] = t["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    rows = []
+    for flag, g in t.groupby("l_returnflag"):
+        m = g.groupby("cents", as_index=False)["qty"].sum() \
+            .sort_values("cents")
+        cum = m["qty"].cumsum().to_numpy(np.int64)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot, side="left"))
+        rows.append({"flag": flag,
+                     "wmedian_cents": int(m["cents"].iloc[i]),
+                     "total_qty": tot})
+    want = _canon(pd.DataFrame(rows))
+    assert got.equals(want)
+    # invariant: at least half the quantity sits at or below the
+    # weighted median in every flag group
+    for flag, g in t.groupby("l_returnflag"):
+        wm = int(got.set_index("flag").loc[flag, "wmedian_cents"])
+        assert 2 * int(g.loc[g["cents"] <= wm, "qty"].sum()) >= \
+            int(g["qty"].sum())
