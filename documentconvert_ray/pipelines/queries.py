@@ -11793,8 +11793,16 @@ def q_events_time_window(sf_dir: str):
         run_id = np.cumsum(new_user) - 1
         run_first = np.flatnonzero(new_user)
         rel = ts - ts[run_first][run_id]  # ≥0, nondecreasing per run
-        stride = (int(rel.max()) if n else 0) + TIME_WINDOW_US + 2
-        adj = rel + run_id * stride
+        # cumulative per-run offsets (NOT run_id · max_span: that
+        # product overflows int64 once runs-per-bucket × the longest
+        # user span passes 2⁶³; the cumulative form is bounded by the
+        # SUM of spans ≈ total observed time mass per bucket)
+        run_last = np.r_[run_first[1:] - 1, n - 1]
+        spans = rel[run_last]  # rel is nondecreasing within a run
+        offs = np.zeros(len(run_first), np.int64)
+        if len(run_first) > 1:
+            offs[1:] = np.cumsum(spans[:-1] + TIME_WINDOW_US + 2)
+        adj = rel + offs[run_id]
         lo = np.searchsorted(adj, adj - TIME_WINDOW_US, side="left")
         hi = np.searchsorted(adj, adj, side="right")  # ts peers incl.
         csz = np.r_[0, np.cumsum(g["value_micro"].to_numpy(np.int64))]
@@ -12179,8 +12187,9 @@ def q_harmonic_centrality(sf_dir: str):
     floor sums."""
     import pandas as pd
 
-    und = _und_edges(sf_dir).materialize()
-    epd = und.to_pandas()  # domain-granular edge list: small axis
+    # consumed exactly once — no materialize() (the iterative sibling
+    # queries materialize because they re-scan the edge Dataset)
+    epd = _und_edges(sf_dir).to_pandas()  # domain-granular: small axis
     adj: dict[str, set] = {}
     for a, b in zip(epd["a"], epd["b"]):
         adj.setdefault(a, set()).add(b)
@@ -12299,8 +12308,10 @@ def q_weighted_median_price(sf_dir: str):
         out = pd.DataFrame({
             "flag": df["l_returnflag"],
             "cents": _cents_col(df["l_extendedprice"]),
-            "qty": df["l_quantity"].to_numpy(np.float64)
-                .astype(np.int64),
+            # round-half-up, mirrored by the oracle's floor(q + 0.5)
+            # (plain int64 cast would TRUNCATE while SQL CAST rounds)
+            "qty": np.floor(df["l_quantity"].to_numpy(np.float64)
+                            + 0.5).astype(np.int64),
         })
         return out.groupby(["flag", "cents"], as_index=False).agg(
             wt=("qty", "sum"))
@@ -12338,7 +12349,7 @@ def queries() -> dict:
         # round (gzip transport unwrap, cross-site link blocks)
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a-3) NEW this session (T201–T204), never checked -------
+        # -- (0a-3) NEW this session (T201–T212), never checked -------
         "feature_hash_vectors": q_feature_hash_vectors,
         "events_time_window": q_events_time_window,
         "vocab_growth": q_vocab_growth,
@@ -15998,7 +16009,7 @@ ORACLES["weighted_median_price"] = """
       SELECT l_returnflag AS flag,
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                  AS cents,
-             CAST(l_quantity AS BIGINT) AS qty
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
       FROM lineitem),
     g AS (SELECT flag, cents, sum(qty) AS wt FROM w GROUP BY 1, 2),
     c AS (

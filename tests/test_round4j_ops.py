@@ -1,4 +1,4 @@
-"""Unit coverage for the session-12 operators (T201-T204): exact
+"""Unit coverage for the session-12 operators (T201-T212): exact
 brute-force pandas recomputes for feature hashing, the time-RANGE
 window, and the Heaps trigram-vocabulary curve, plus a dense-numpy
 recompute of HITS (the iterative float fixpoint has no SQL oracle —
@@ -327,7 +327,7 @@ def test_weighted_median_matches_bruteforce(registry, ray_session):
                                "l_quantity"]).to_pandas()
     t["cents"] = np.floor(t["l_extendedprice"].to_numpy(np.float64)
                           * 100 + 0.5).astype(np.int64)
-    t["qty"] = t["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    t["qty"] = np.floor(t["l_quantity"].to_numpy(np.float64) + 0.5).astype(np.int64)
     rows = []
     for flag, g in t.groupby("l_returnflag"):
         m = g.groupby("cents", as_index=False)["qty"].sum() \
