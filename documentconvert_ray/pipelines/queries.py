@@ -6464,11 +6464,33 @@ def _und_edges(sf_dir: str):
     )
 
 
-def _degree_frame(und):
-    """Per-node degree frame from a (deduped) undirected edge Dataset:
-    both endpoints emitted into one combiner stream → per-domain sum.
-    Driver-materialized — the domain axis is small relative to edges
-    (the same bound PageRank's rank vector uses)."""
+def _endpoint_nodes(edges):
+    """Distinct endpoint domains of a directed (src_domain,
+    dst_domain) edge Dataset, computed distributed: per-batch distinct
+    union of both endpoint columns (combiner), then a per-domain
+    first. Only the O(nodes) result frame reaches the driver — the
+    edge list itself never does."""
+    import pandas as pd
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = pd.concat([b.column("src_domain").to_pandas(),
+                       b.column("dst_domain").to_pandas()],
+                      ignore_index=True).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"domain": pa.array(u.to_numpy(object), pa.string())})
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    ).to_pandas()
+
+
+def _degree_ds(und):
+    """Per-node degree Dataset from a (deduped) undirected edge
+    Dataset: both endpoints emitted into one combiner stream → per-
+    domain sum. Stays distributed; callers that need the broadcast
+    form collect it explicitly (small-node-axis contract)."""
     import pandas as pd
 
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -6483,7 +6505,15 @@ def _degree_frame(und):
         und.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("domain")
         .aggregate(Sum("deg", alias_name="deg"))
-    ).to_pandas()
+    )
+
+
+def _degree_frame(und):
+    """Per-node degree frame from a (deduped) undirected edge Dataset:
+    both endpoints emitted into one combiner stream → per-domain sum.
+    Driver-materialized — the domain axis is small relative to edges
+    (the same bound PageRank's rank vector uses)."""
+    return _degree_ds(und).to_pandas()
 
 
 def _triangles_from(und, deg_pd):
@@ -6615,16 +6645,24 @@ def q_domain_clustering(sf_dir: str):
     triangle enumeration (q_domain_triangles' oriented wedge join —
     each triangle appears once) with the degree rollup: triangles
     flat-explode to their 3 vertices map-side, a per-domain count
-    closes distributed, and the tiny (≤ domains) count frame joins the
-    degree frame driver-side. The edge Dataset materializes ONCE and
-    feeds both the triangle chain and the degree rollup (one corpus
-    scan per query). Integer-exact ppm: deg·(deg−1)//2 is exact, and
-    numerator·10⁶ fits int64 at any real degree."""
+    closes distributed, and the count stream meets the DEGREE DATASET
+    in a domain-hash bucketed reduce — no driver-side merge on the
+    domain axis (r4 verdict fix: at ~10⁸ domains the old pandas merge
+    was a multi-GB driver step; only the orientation broadcast of the
+    degree map remains driver-mediated, the documented small-node-axis
+    contract whose url-granular scale path is a degree join). The edge
+    Dataset materializes ONCE and feeds both the triangle chain and
+    the degree rollup; the degree Dataset materializes once and feeds
+    both the orientation broadcast and the distributed close. Integer-
+    exact ppm: deg·(deg−1)//2 is exact, and numerator·10⁶ fits int64
+    at any real degree."""
     import pandas as pd
 
     und = _und_edges(sf_dir).materialize()
-    degs = _degree_frame(und)
+    deg_ds = _degree_ds(und).materialize()
+    degs = deg_ds.to_pandas()  # orientation broadcast only (O(nodes))
     tri = _triangles_from(und, degs)
+    nb = 32
 
     def explode(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -6635,22 +6673,48 @@ def q_domain_clustering(sf_dir: str):
             "domain": pa.array(g.index.to_numpy(object), pa.string()),
             "n_tri": pa.array(g.to_numpy(np.int64), pa.int64())})
 
+    def tag_tri(df):
+        return pd.DataFrame({
+            "domain": df["domain"],
+            "deg": np.zeros(len(df), np.int64),
+            "n_tri": df["n_tri"].to_numpy(np.int64),
+            "bucket": pd.Series(
+                [zlib.crc32(s.encode()) % nb for s in df["domain"]],
+                index=df.index, dtype="int32")})
+
+    def tag_deg(df):
+        return pd.DataFrame({
+            "domain": df["domain"],
+            "deg": df["deg"].to_numpy(np.int64),
+            "n_tri": np.zeros(len(df), np.int64),
+            "bucket": pd.Series(
+                [zlib.crc32(s.encode()) % nb for s in df["domain"]],
+                index=df.index, dtype="int32")})
+
     tv = (
         tri.map_batches(explode, batch_format="pyarrow")
         .groupby("domain")
         .aggregate(Sum("n_tri", alias_name="n_tri"))
-    ).to_pandas()
+        .map_batches(tag_tri, batch_format="pandas")
+    )
 
-    out = degs.merge(tv, on="domain", how="left")
-    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
-    out = out[out["deg"] >= 2].copy()
-    possible = (out["deg"].to_numpy(np.int64)
-                * (out["deg"].to_numpy(np.int64) - 1)) // 2
-    out["coeff_ppm"] = (out["n_tri"].to_numpy(np.int64)
-                        * 1_000_000) // possible
-    out = out.sort_values("domain", kind="mergesort").reset_index(drop=True)
-    return out[["domain", "n_tri", "deg", "coeff_ppm"]].astype(
-        {"n_tri": "int64", "deg": "int64", "coeff_ppm": "int64"})
+    def close(g):
+        s = g.groupby("domain", as_index=False).agg(
+            deg=("deg", "sum"), n_tri=("n_tri", "sum"))
+        s = s[s["deg"] >= 2].copy()
+        deg = s["deg"].to_numpy(np.int64)
+        possible = deg * (deg - 1) // 2
+        s["coeff_ppm"] = (s["n_tri"].to_numpy(np.int64)
+                          * 1_000_000) // possible
+        return s[["domain", "n_tri", "deg", "coeff_ppm"]].astype(
+            {"n_tri": "int64", "deg": "int64", "coeff_ppm": "int64"})
+
+    return (
+        deg_ds.map_batches(tag_deg, batch_format="pandas")
+        .union(tv)
+        .groupby("bucket")
+        .map_groups(close, batch_format="pandas")
+    )
 
 
 def q_mad_outliers(sf_dir: str):
@@ -11898,16 +11962,21 @@ def q_hits_domains(sf_dir: str):
     partials map-side (per-batch combiner), a per-key Sum closes the
     matvec — a = Aᵀh then h = Aa, each L2-normalized. Exchange is
     O(edges) per half-step; the edge Dataset is materialized exactly
-    once. Domain-granular node axis ≪ edges (the broadcast-vector
-    contract; at url granularity the vector becomes a Dataset and each
-    half-step a hash join on the endpoint — the documented scale
-    path). No SQL oracle (iterative float fixpoint, like
-    PageRank/k-means); bounded by the pytest vs-dense-numpy test."""
+    once and NEVER leaves the cluster — the node index is built
+    distributed (per-batch distinct endpoints → per-domain first) and
+    only the O(nodes) domain list reaches the driver, which is the
+    broadcast-vector contract's own bound (at url granularity the
+    vector becomes a Dataset and each half-step a hash join on the
+    endpoint — the documented scale path). No SQL oracle (iterative
+    float fixpoint, like PageRank/k-means); bounded by the pytest
+    vs-dense-numpy test."""
     import pandas as pd
 
     edges = _link_edges(sf_dir).materialize()
-    epd = edges.to_pandas()  # node axis: domains (small at any sf)
-    nodes = sorted(set(epd["src_domain"]) | set(epd["dst_domain"]))
+    # distributed node index: O(edges) exchange of bare domain
+    # strings, O(nodes) driver result (r4 verdict: never materialize
+    # the edge list driver-side just to enumerate its endpoints)
+    nodes = sorted(_endpoint_nodes(edges)["domain"])
     idx = {d: i for i, d in enumerate(nodes)}
     n = len(nodes)
     hubs = np.full(n, 1.0 / np.sqrt(n))
@@ -12168,6 +12237,140 @@ def q_value_interp(sf_dir: str):
 
 HARMONIC_MAX = 12  # BFS depth cap, pinned on both engine + oracle
 
+# Above this node count the whole-adjacency broadcast flips to the
+# frontier-join BFS (the CC_DRIVER_MAX_PAIRS cutover idiom); env-
+# overridable so tests can force the distributed path on tiny graphs.
+HARMONIC_BCAST_MAX_NODES = 2_000_000
+
+
+def _harmonic_distributed(und):
+    """Frontier-join multi-source BFS — the above-cutover form of
+    harmonic centrality (q_domain_hops' frontier shape generalized to
+    every source at once): adjacency, frontier and reached set stay
+    Datasets end-to-end, nothing graph-sized touches the driver. Each
+    depth d runs two bucketed reduces: (1) EXPAND — frontier and the
+    once-materialized symmetric adjacency co-partition by node hash,
+    a per-bucket merge emits (src, neighbor) candidates; (2) ANTI-
+    JOIN — candidates and the reached set co-partition by (src, node)
+    hash, per-bucket set-difference keeps first-time pairs, stamped
+    depth=d. Exchange per round: O(frontier·avg_deg + reached). The
+    reached set is the all-pairs-within-HARMONIC_MAX BFS output — its
+    size IS the operator's inherent cost; sub-linear forms
+    (HyperBall) are approximations and stay out of the exact op."""
+    import pandas as pd
+
+    nb = 32
+
+    def sym(df):
+        out = pd.DataFrame({
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True)})
+        out["src"] = ""
+        out["kind"] = np.int32(1)
+        out["bucket"] = pd.Series(
+            [zlib.crc32(s.encode()) % nb for s in out["node"]],
+            index=out.index, dtype="int32")
+        return out[["src", "node", "nbr", "kind", "bucket"]]
+
+    adj = und.map_batches(sym, batch_format="pandas").materialize()
+
+    def seed_rows(df):
+        return pd.DataFrame({
+            "src": df["domain"], "node": df["domain"],
+            "depth": np.zeros(len(df), np.int64)})
+
+    reached = (_degree_ds(und)
+               .map_batches(seed_rows, batch_format="pandas")
+               .materialize())
+    frontier = reached
+
+    def tag_frontier(df):
+        return pd.DataFrame({
+            "src": df["src"], "node": df["node"],
+            "nbr": df["node"],  # unused on kind-0 rows
+            "kind": np.zeros(len(df), np.int32),
+            "bucket": pd.Series(
+                [zlib.crc32(s.encode()) % nb for s in df["node"]],
+                index=df.index, dtype="int32")})
+
+    def expand(g):
+        f = g[g["kind"] == 0]
+        a = g[g["kind"] == 1]
+        if not len(f) or not len(a):
+            return pd.DataFrame({"src": pd.Series([], dtype=object),
+                                 "node": pd.Series([], dtype=object)})
+        m = f[["src", "node"]].merge(a[["node", "nbr"]], on="node")
+        out = (m[["src", "nbr"]].drop_duplicates()
+               .rename(columns={"nbr": "node"}))
+        return out.reset_index(drop=True)
+
+    def pair_bucket(df):
+        df = df.copy()
+        df["bucket"] = pd.Series(
+            [zlib.crc32((s + "|" + n).encode()) % nb
+             for s, n in zip(df["src"], df["node"])],
+            index=df.index, dtype="int32")
+        return df
+
+    for d in range(1, HARMONIC_MAX + 1):
+        cand = (
+            frontier.map_batches(tag_frontier, batch_format="pandas")
+            .union(adj)
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def tag_cand(df):
+            out = df[["src", "node"]].copy()
+            out["kind"] = np.int32(0)
+            return pair_bucket(out)
+
+        def tag_seen(df):
+            out = df[["src", "node"]].copy()
+            out["kind"] = np.int32(1)
+            return pair_bucket(out)
+
+        def newonly(g, _d=d):
+            seen = set(zip(g.loc[g["kind"] == 1, "src"],
+                           g.loc[g["kind"] == 1, "node"]))
+            c = (g.loc[g["kind"] == 0, ["src", "node"]]
+                 .drop_duplicates())
+            keep = [t not in seen
+                    for t in zip(c["src"], c["node"])]
+            c = c[np.asarray(keep, bool)] if len(c) else c
+            c = c.copy()
+            c["depth"] = np.int64(_d)
+            return c.reset_index(drop=True)
+
+        new = (
+            cand.map_batches(tag_cand, batch_format="pandas")
+            .union(reached.map_batches(tag_seen,
+                                       batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(newonly, batch_format="pandas")
+        ).materialize()
+        if new.count() == 0:
+            break
+        reached = reached.union(new).materialize()
+        frontier = new
+
+    def harm_partial(df):
+        df = df[df["depth"] >= 1]
+        w = 1_000_000 // df["depth"].to_numpy(np.int64)
+        g = pd.DataFrame({"domain": df["src"], "n_reached": 1,
+                          "harmonic_ppm": w}).groupby(
+            "domain", as_index=False).sum()
+        g["n_reached"] = g["n_reached"].astype("int64")
+        g["harmonic_ppm"] = g["harmonic_ppm"].astype("int64")
+        return g
+
+    return (
+        reached.map_batches(harm_partial, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(Sum("n_reached", alias_name="n_reached"),
+                   Sum("harmonic_ppm", alias_name="harmonic_ppm"))
+    )
+
 
 def q_harmonic_centrality(sf_dir: str):
     """HARMONIC CENTRALITY (Boldi & Vigna 2014, "Axioms for
@@ -12181,15 +12384,23 @@ def q_harmonic_centrality(sf_dir: str):
     small-node-axis bound, same as the PageRank vector) and the
     SOURCE axis is the Dataset — each batch of sources runs a local
     BFS against the broadcast graph, zero shuffle, exchange
-    O(sources + results). At url granularity this becomes the
-    per-source frontier-join form (q_domain_hops' shape — documented
-    scale path); the recursive-CTE oracle mirrors the same min-hop
-    floor sums."""
+    O(sources + results). Above HARMONIC_BCAST_MAX_NODES nodes
+    (env-overridable) the whole-adjacency broadcast flips to
+    _harmonic_distributed's frontier-join BFS — same results, nothing
+    graph-sized on the driver (r4 verdict fix; the
+    CC_DRIVER_MAX_PAIRS cutover idiom). The recursive-CTE oracle
+    mirrors the same min-hop floor sums."""
     import pandas as pd
 
-    # consumed exactly once — no materialize() (the iterative sibling
-    # queries materialize because they re-scan the edge Dataset)
-    epd = _und_edges(sf_dir).to_pandas()  # domain-granular: small axis
+    limit = int(os.environ.get("HARMONIC_BCAST_MAX_NODES",
+                               HARMONIC_BCAST_MAX_NODES))
+    # materialized: the node-count probe and the chosen path both
+    # consume the edge Dataset
+    und = _und_edges(sf_dir).materialize()
+    # O(nodes) probe decides the path BEFORE any driver transfer
+    if _degree_ds(und).count() > limit:
+        return _harmonic_distributed(und)
+    epd = und.to_pandas()  # domain-granular: small axis
     adj: dict[str, set] = {}
     for a, b in zip(epd["a"], epd["b"]):
         adj.setdefault(a, set()).add(b)
@@ -12341,32 +12552,143 @@ def q_weighted_median_price(sf_dir: str):
 def queries() -> dict:
     # ORDER MATTERS: the driver's per-round CORRECTNESS check takes the
     # FIRST ~50 entries of this dict, so entries are sorted by
-    # verification need — (1) queries with no driver-green row in any
-    # prior round, (2) queries whose implementation changed this round,
-    # (3) least-recently driver-checked. Reorder each round.
+    # verification need — (1) flagship (extraction core changed this
+    # round: formula blocks, AES-256 PDFs, JPEG pixel decode), (2) the
+    # r4-verdict backlog of never-driver-sampled keys (impl-changing
+    # ones first), (3) changed-this-round but already driver-green,
+    # (4) least-recently driver-checked. Reorder each round.
     return {
-        # -- (0a) flagship re-verify: extraction core changed this
-        # round (gzip transport unwrap, cross-site link blocks)
+        # -- (1) flagship: extraction core changed this round --------
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
-        # -- (0a-3) NEW this session (T201–T212), never checked -------
+        # -- (2) NEVER driver-sampled in r1–r4 (VERDICT r4 task 1);
+        # first two also have impl changes this round ----------------
+        "domain_clustering": q_domain_clustering,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "cheapest_supplier": q_cheapest_supplier,
+        "returned_priority_counts": q_returned_priority_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_suppliers": q_top_suppliers,
+        "idle_rich_customers": q_idle_rich_customers,
+        "brand_supplier_counts": q_brand_supplier_counts,
+        "domain_link_agg": q_domain_link_agg,
+        "geo_mean_value": q_geo_mean_value,
+        "bpe_vocab": q_bpe_vocab,
+        "hard_negatives": q_hard_negatives,
+        "class_balance_plan": q_class_balance_plan,
+        "filtered_revenue": q_filtered_revenue,
+        "important_parts": q_important_parts,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "customer_order_dist": q_customer_order_dist,
+        "bracket_revenue": q_bracket_revenue,
+        "incremental_dedup": q_incremental_dedup,
+        "token_entropy": q_token_entropy,
+        "pii_scrub": q_pii_scrub,
+        "training_shuffle": q_training_shuffle,
+        "order_revenue_join": q_order_revenue_join,
+        "big_orders": q_big_orders,
+        "bloom_semi_join": q_bloom_semi_join,
+        "event_density": q_event_density,
+        "nation_order_avg": q_nation_order_avg,
+        "sentence_split": q_sentence_split,
+        "moving_sum": q_moving_sum,
+        "revenue_share": q_revenue_share,
+        "top_event_type": q_top_event_type,
+        "events_daily_pivot": q_events_daily_pivot,
+        "nation_parties": q_nation_parties,
+        "inactive_customers": q_inactive_customers,
+        "distinct_users": q_distinct_users,
+        "user_event_types": q_user_event_types,
+        "click_no_purchase_days": q_click_no_purchase_days,
+        "click_and_purchase_days": q_click_and_purchase_days,
+        "distinct_users_hll": q_distinct_users_hll,
+        "label_centroids": q_label_centroids,
+        "vector_stats": q_vector_stats,
+        "new_users_daily": q_new_users_daily,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "lang_confusion": q_lang_confusion,
+        "zipf_slope": q_zipf_slope,
+        "char_diversity": q_char_diversity,
+        "bpe_pair_merge": q_bpe_pair_merge,
+        "local_supplier_volume": q_local_supplier_volume,
+        "link_domains": q_link_domains,
+        "domain_degrees": q_domain_degrees,
+        "reciprocal_links": q_reciprocal_links,
+        "pagerank_domains": q_pagerank_domains,
+        "dataset_split": q_dataset_split,
+        "domain_triangles": q_domain_triangles,
+        "domain_components": q_domain_components,
+        "domain_hops": q_domain_hops,
+        "sorted_neighborhood_dups": q_sorted_neighborhood_dups,
+        "mad_outliers": q_mad_outliers,
+        "peak_concurrency": q_peak_concurrency,
+        "anchor_texts": q_anchor_texts,
+        "charset_audit": q_charset_audit,
+        "containment_dups": q_containment_dups,
+        "prefix_jaccard_dups": q_prefix_jaccard_dups,
+        "inverted_index": q_inverted_index,
+        "purchase_ffill": q_purchase_ffill,
+        "in_transit_daily": q_in_transit_daily,
+        "dsir_weights": q_dsir_weights,
+        "srp_embedding_dups": q_srp_embedding_dups,
+        "substring_dup_spans": q_substring_dup_spans,
+        "quality_lr": q_quality_lr,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "value_quantiles_cont": q_value_quantiles_cont,
+        "sliding_distinct_users": q_sliding_distinct_users,
+        "sentence_dedup": q_sentence_dedup,
+        "doc_chunks": q_doc_chunks,
+        "embedding_outliers": q_embedding_outliers,
+        "oov_rate": q_oov_rate,
+        "audio_decode": q_audio_decode,
+        "audio_features": q_audio_features,
+        "substring_scan": q_substring_scan,
+        "dedup_keep_best": q_dedup_keep_best,
+        "asof_last_order": q_asof_last_order,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "nation_revenue": q_nation_revenue,
+        "lang_median_chars": q_lang_median_chars,
+        "rare_token_score": q_rare_token_score,
+        "active_streaks": q_active_streaks,
+        "cohort_retention": q_cohort_retention,
+        "promo_revenue": q_promo_revenue,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "revenue_mom": q_revenue_mom,
+        "bigram_pmi": q_bigram_pmi,
+        "value_variance": q_value_variance,
+        "price_date_cov": q_price_date_cov,
+        "lang_source_cube": q_lang_source_cube,
+        "ntile_deciles": q_ntile_deciles,
+        "next_event_gap": q_next_event_gap,
+        "salted_user_join": q_salted_user_join,
+        "normalized_dedup": q_normalized_dedup,
+        "event_cooccurrence": q_event_cooccurrence,
+        "orders_page": q_orders_page,
+        "dense_order_grid": q_dense_order_grid,
+        "label_pair_sim": q_label_pair_sim,
+        "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
+        "sample_k_per_lang": q_sample_k_per_lang,
+        "window_dedup": q_window_dedup,
+        "dataset_mix": q_dataset_mix,
+        # -- (3) impl changed this round, driver-green in r4 ---------
+        "hits_domains": q_hits_domains,
+        "harmonic_centrality": q_harmonic_centrality,
+        "domain_kcore": q_domain_kcore,
+        "vocab_growth": q_vocab_growth,
+        "degree_assortativity": q_degree_assortativity,
+        # -- (4) driver-green in some prior round, unchanged ---------
         "feature_hash_vectors": q_feature_hash_vectors,
         "events_time_window": q_events_time_window,
-        "vocab_growth": q_vocab_growth,
-        "hits_domains": q_hits_domains,
-        "domain_kcore": q_domain_kcore,
-        "degree_assortativity": q_degree_assortativity,
         "value_interp": q_value_interp,
-        "harmonic_centrality": q_harmonic_centrality,
         "event_path_trigrams": q_event_path_trigrams,
         "weighted_median_price": q_weighted_median_price,
-        # -- (0a-2) NEW last session (T196–T200), never checked -------
         "pareto_docs": q_pareto_docs,
         "lang_source_mi": q_lang_source_mi,
         "user_overlap_kmv": q_user_overlap_kmv,
         "multi_touch_attribution": q_multi_touch_attribution,
         "event_rle": q_event_rle,
-        # -- (0a-1) NEW last session (T185–T194), never checked -------
         "session_duration_stats": q_session_duration_stats,
         "intra_domain_link_ratio": q_intra_domain_link_ratio,
         "hourly_anomaly": q_hourly_anomaly,
@@ -12378,7 +12700,6 @@ def queries() -> dict:
         "padding_waste": q_padding_waste,
         "embedding_contamination": q_embedding_contamination,
         "url_host_rules": q_url_host_rules,
-        # -- (0a0) new this session (T165–T171), never checked --------
         "bigram_lm_nll": q_bigram_lm_nll,
         "cluster_reps": q_cluster_reps,
         "nation_year_profit": q_nation_year_profit,
@@ -12399,139 +12720,18 @@ def queries() -> dict:
         "global_row_ids": q_global_row_ids,
         "user_entropy": q_user_entropy,
         "embedded_image_stats": q_embedded_image_stats,
-        # -- (0a1) new last session (T150–T157), never checked --------
         "kcenter_coreset": q_kcenter_coreset,
         "embedding_quantize": q_embedding_quantize,
-        "cheapest_supplier": q_cheapest_supplier,
-        "returned_priority_counts": q_returned_priority_counts,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_suppliers": q_top_suppliers,
-        "idle_rich_customers": q_idle_rich_customers,
-        "brand_supplier_counts": q_brand_supplier_counts,
-        "domain_link_agg": q_domain_link_agg,
-        "geo_mean_value": q_geo_mean_value,
-        "bpe_vocab": q_bpe_vocab,
-        "hard_negatives": q_hard_negatives,
-        "class_balance_plan": q_class_balance_plan,
-        "filtered_revenue": q_filtered_revenue,
-        "important_parts": q_important_parts,
-        # -- (0a2) new last session (T143–T149), never checked --------
-        "nation_trade_volume": q_nation_trade_volume,
-        "market_share": q_market_share,
-        "returned_items": q_returned_items,
-        "customer_order_dist": q_customer_order_dist,
-        "bracket_revenue": q_bracket_revenue,
-        "incremental_dedup": q_incremental_dedup,
-        "token_entropy": q_token_entropy,
-        # -- (0a3) new last session, never checked --------------------
-        "pii_scrub": q_pii_scrub,
-        "training_shuffle": q_training_shuffle,
-        # -- (0b) never driver-checked through r3 (VERDICT r3 next-
-        # round #1: these take window priority) ----------------------
-        "order_revenue_join": q_order_revenue_join,
-        "big_orders": q_big_orders,
-        "bloom_semi_join": q_bloom_semi_join,
-        "event_density": q_event_density,
-        "nation_order_avg": q_nation_order_avg,
-        "sentence_split": q_sentence_split,
-        "moving_sum": q_moving_sum,
-        "revenue_share": q_revenue_share,
-        "top_event_type": q_top_event_type,
-        "events_daily_pivot": q_events_daily_pivot,
-        "nation_parties": q_nation_parties,
-        "inactive_customers": q_inactive_customers,
-        "distinct_users": q_distinct_users,
-        "user_event_types": q_user_event_types,
-        "click_no_purchase_days": q_click_no_purchase_days,
-        "click_and_purchase_days": q_click_and_purchase_days,
-        "distinct_users_hll": q_distinct_users_hll,
-        "label_centroids": q_label_centroids,
-        "vector_stats": q_vector_stats,
-        # -- (1) new this round, sessions 3-4 ------------------------
-        "new_users_daily": q_new_users_daily,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "lang_confusion": q_lang_confusion,
-        "zipf_slope": q_zipf_slope,
-        "char_diversity": q_char_diversity,
-        "bpe_pair_merge": q_bpe_pair_merge,
-        "local_supplier_volume": q_local_supplier_volume,
-        "link_domains": q_link_domains,
-        "domain_degrees": q_domain_degrees,
-        "reciprocal_links": q_reciprocal_links,
-        "pagerank_domains": q_pagerank_domains,
-        "dataset_split": q_dataset_split,
-        "domain_triangles": q_domain_triangles,
-        "domain_clustering": q_domain_clustering,
-        "domain_components": q_domain_components,
-        "domain_hops": q_domain_hops,
-        "sorted_neighborhood_dups": q_sorted_neighborhood_dups,
-        "mad_outliers": q_mad_outliers,
-        "peak_concurrency": q_peak_concurrency,
-        "anchor_texts": q_anchor_texts,
-        "charset_audit": q_charset_audit,
-        "containment_dups": q_containment_dups,
-        "prefix_jaccard_dups": q_prefix_jaccard_dups,
-        "inverted_index": q_inverted_index,
-        "purchase_ffill": q_purchase_ffill,
-        # -- (2) new this round, sessions 1-2 (multimodal kernels
-        # became REAL in s2 → re-verify takes priority within tier)
-        "multimodal_features": q_multimodal_features,  # real-pixel kernel
-        "multimodal_resize": q_multimodal_resize,  # real NN resample
-        "frame_sample": q_frame_sample,  # real GIF frame counter
-        # -- (1b) NEW this session (T133-T137) -----------------------
-        "in_transit_daily": q_in_transit_daily,
-        "dsir_weights": q_dsir_weights,
-        "srp_embedding_dups": q_srp_embedding_dups,
-        "substring_dup_spans": q_substring_dup_spans,
-        "quality_lr": q_quality_lr,
-        "q21_waiting_suppliers": q_q21_waiting_suppliers,
-        "value_quantiles_cont": q_value_quantiles_cont,
-        "sliding_distinct_users": q_sliding_distinct_users,
-        "sentence_dedup": q_sentence_dedup,
-        "doc_chunks": q_doc_chunks,
-        "embedding_outliers": q_embedding_outliers,
-        "oov_rate": q_oov_rate,
-        "audio_decode": q_audio_decode,
-        "audio_features": q_audio_features,
-        "substring_scan": q_substring_scan,
-        "dedup_keep_best": q_dedup_keep_best,
-        "asof_last_order": q_asof_last_order,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        # -- (2) NEW this round (T73-T95) + implementation changed ---
-        "nation_revenue": q_nation_revenue,
-        "lang_median_chars": q_lang_median_chars,
-        "rare_token_score": q_rare_token_score,
-        "active_streaks": q_active_streaks,
-        "cohort_retention": q_cohort_retention,
-        "promo_revenue": q_promo_revenue,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "revenue_mom": q_revenue_mom,
-        "bigram_pmi": q_bigram_pmi,
-        "value_variance": q_value_variance,
-        "price_date_cov": q_price_date_cov,
-        "lang_source_cube": q_lang_source_cube,
-        "ntile_deciles": q_ntile_deciles,
-        "next_event_gap": q_next_event_gap,
-        "salted_user_join": q_salted_user_join,
-        "normalized_dedup": q_normalized_dedup,
-        "event_cooccurrence": q_event_cooccurrence,
-        "orders_page": q_orders_page,
-        "dense_order_grid": q_dense_order_grid,
-        "label_pair_sim": q_label_pair_sim,
-        "fuzzy_prefix_dups": q_fuzzy_prefix_dups,
-        "sample_k_per_lang": q_sample_k_per_lang,
-        "window_dedup": q_window_dedup,
-        "dataset_mix": q_dataset_mix,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
         "dup_gram_mass": q_dup_gram_mass,
-        # -- (3) last checked in r2 ----------------------------------
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "embeddings_by_label": q_embeddings_by_label,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
-        # -- r3-checked; token path rerouted through textstats.tokens()
         "ngram_top20": q_ngram_top20,
         "ngram_top20_mg": q_ngram_top20_mg,
         "token_counts": q_token_counts,
@@ -12541,7 +12741,6 @@ def queries() -> dict:
         "benchmark_contamination": q_benchmark_contamination,
         "sequence_pack": q_sequence_pack,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # -- r3-checked, unchanged ----------------------------------
         "domain_stats": q_domain_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "lang_source_rollup": q_lang_source_rollup,
