@@ -387,6 +387,27 @@ def _qmat(col) -> np.ndarray:
     return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
 
 
+@ray.remote
+def _kmeans_assign_task(block: pa.Table, C: np.ndarray, k: int, d: int):
+    """One Lloyd assignment pass over one pinned quantized block:
+    returns (per-cluster counts, per-cluster coordinate sums, block
+    inertia) as plain arrays — integer-exact, so the driver fold is
+    partitioning-order independent."""
+    cnt = np.zeros(k, np.int64)
+    sums = np.zeros((k, d), np.int64)
+    if block.num_rows == 0 or "q" not in block.schema.names:
+        return cnt, sums, 0
+    X = _qmat(block.column("q"))
+    xx = np.einsum("ij,ij->i", X, X)
+    cc = np.einsum("ij,ij->i", C, C)
+    dist = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
+    a = np.argmin(dist, axis=1)
+    best = dist[np.arange(len(X)), a]
+    cnt += np.bincount(a, minlength=k).astype(np.int64)
+    np.add.at(sums, a, X)
+    return cnt, sums, int(best.sum())
+
+
 def kmeans_fit(ds, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS):
     """Lloyd's k-means over an embeddings Dataset, exact-integer and
     deterministic (custom ITERATIVE operator — Ray Data has no native
@@ -394,10 +415,15 @@ def kmeans_fit(ds, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS):
     variant for index building).
 
     Shape per iteration: broadcast the (k, d) int64 centroid matrix
-    (ray.put once, resolved per worker) → map_batches emits ONE
-    (k, d+2) partial per block (counts, coordinate sums, inertia) →
-    driver folds the tiny partials with Python ints and floor-divides
-    the new centroids. Vectors never shuffle; the only driver
+    (ray.put once per iteration) → one wave of raw Ray tasks over the
+    PINNED quantized block refs, each emitting ONE (k, d+2) partial
+    (counts, coordinate sums, inertia) → driver folds the tiny
+    partials with Python ints and floor-divides the new centroids.
+    Raw tasks (the brief's sanctioned escape hatch for iterative
+    fixpoints) instead of a per-iteration map_batches pass: the
+    Dataset executor's per-run fixed cost dominated wall-time at
+    sf0.1 (r4-verdict task 6), while a task wave over resident blocks
+    is milliseconds. Vectors never shuffle; the only driver
     materialization is k·n_blocks partial rows. The quantized
     projection is materialized once up front — the one legitimate
     mid-pipeline materialize, because an iterative algorithm re-reads
@@ -424,43 +450,21 @@ def kmeans_fit(ds, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS):
     cent = np.stack([np.asarray(r["q"], np.int64) for r in seed])
     d = cent.shape[1]
 
+    refs = qds.to_arrow_refs()
     sizes = np.zeros(k, np.int64)
     trace: list[int] = []
     for _ in range(max_iters):
         ref = ray.put(cent)
-
-        def assign_partial(b: pa.Table) -> pa.Table:
-            C = resolve_broadcast(ref, key="kmeans-cent")
-            X = _qmat(b.column("q"))
-            xx = np.einsum("ij,ij->i", X, X)
-            cc = np.einsum("ij,ij->i", C, C)
-            dist = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
-            a = np.argmin(dist, axis=1)
-            best = dist[np.arange(len(X)), a]
-            cnt = np.bincount(a, minlength=k).astype(np.int64)
-            sums = np.zeros((k, d), np.int64)
-            np.add.at(sums, a, X)
-            inertia = np.zeros(k, np.int64)
-            np.add.at(inertia, a, best)
-            flat = pa.array(sums.ravel(), pa.int64())
-            return pa.Table.from_pydict({
-                "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                "cnt": pa.array(cnt),
-                "inertia": pa.array(inertia),
-                "sums": pa.FixedSizeListArray.from_arrays(flat, d),
-            })
-
-        parts = qds.map_batches(assign_partial,
-                                batch_format="pyarrow").take_all()
+        parts = ray.get([_kmeans_assign_task.remote(r, ref, k, d)
+                         for r in refs])
         cnt = np.zeros(k, np.int64)
         # int64 fold: Σ coords ≤ n_vecs · 2^20, safe below ~2^43 vecs
         sums = np.zeros((k, d), np.int64)
         inertia = 0  # Python int — unbounded
-        for r in parts:
-            c = int(r["cluster"])
-            cnt[c] += int(r["cnt"])
-            inertia += int(r["inertia"])
-            sums[c] += np.asarray(r["sums"], np.int64)
+        for bc, bs, bi in parts:
+            cnt += bc
+            sums += bs
+            inertia += int(bi)
         trace.append(inertia)
         new_cent = cent.copy()
         for c in range(k):
