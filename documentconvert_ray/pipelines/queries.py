@@ -46,6 +46,7 @@ from ..stages.multimodal import (
     FrameSampleStage,
     ImageDecodeStage,
     ImageResampleStage,
+    OcrStage,
 )
 from .extract import build_extract_ds, expand_input_files
 
@@ -3748,6 +3749,57 @@ def q_multimodal_features(sf_dir: str):
         ds.map_batches(_image_payload, batch_format="pyarrow")
         .map_batches(FeatureExtractStage(), batch_format="pyarrow",
                      batch_size=128)
+    )
+
+
+def _ocr_payload(batch: pa.Table) -> pa.Table:
+    """documents → planted bitmap-font OCR strips. The planted string
+    is upper(substr(regexp_replace(text,'[^A-Za-z0-9 ]','','g'),1,32))
+    — filtered to ASCII BEFORE uppercasing so Python and DuckDB agree
+    byte-for-byte — rendered through sources/corpus.render_ocr_png.
+    Every 7th doc renders with deterministic sub-budget pixel noise
+    (the matcher must still recover exactly); docs whose planted
+    string is empty carry raw text bytes (no image magic) to exercise
+    the no_image leg."""
+    from ..sources.corpus import render_ocr_png
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    noisy: list[bool] = []
+    for i, t in zip(ids, batch.column("text").to_pylist()):
+        planted = re.sub(r"[^A-Za-z0-9 ]", "", t or "")[:32].upper()
+        if not planted:
+            payloads.append((t or "").encode("utf-8"))
+            noisy.append(False)
+        else:
+            nz = i % 7 == 3
+            payloads.append(
+                render_ocr_png(planted, noise_seed=i if nz else None))
+            noisy.append(nz)
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "payload": pa.array(payloads, pa.binary()),
+         "noisy": pa.array(noisy, pa.bool_())})
+
+
+def q_ocr_text(sf_dir: str):
+    """OCR TEXT-FROM-PIXELS over the corpus's bitmap-font image slice
+    — the end-to-end-real form of the reference's image→markdown leg
+    (services/document_service.py:826-907; VERDICT r4 task 3): planted
+    strings render to real grayscale PNGs (full filter/inflate wire
+    format), an ACTOR-POOL OcrStage decodes pixels and nearest-
+    template-matches every 8×8 glyph cell, and the recovered text
+    must equal the planted ground truth BYTE-EXACTLY — on the clean
+    slice and on the noisy slice (≤4 flipped pixels/cell, under the
+    font table's Hamming-distance budget). The oracle recomputes the
+    planted string in SQL, so the whole render→decode→match loop is
+    hash-gated."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    return (
+        ds.map_batches(_ocr_payload, batch_format="pyarrow")
+        .map_batches(OcrStage, batch_format="pyarrow", batch_size=128,
+                     concurrency=(1, 4))
     )
 
 
@@ -12644,6 +12696,8 @@ def queries() -> dict:
         # -- (1) flagship: extraction core changed this round --------
         "extract_pipeline": q_extract_pipeline,
         "extract_error_stats": q_extract_error_stats,
+        # -- (1b) NEW this round, never checked ----------------------
+        "ocr_text": q_ocr_text,
         # -- (2) NEVER driver-sampled in r1–r4 (VERDICT r4 task 1);
         # first two also have impl changes this round ----------------
         "domain_clustering": q_domain_clustering,
@@ -12983,6 +13037,21 @@ _FP_TERMS_SQL = " + ".join(
     for j in range(8))
 
 ORACLES: dict[str, str] = {
+    # OCR ground truth: the planted string (ASCII-filtered BEFORE
+    # uppercasing — both sides byte-identical); the engine must
+    # recover it from rendered pixels, clean and noisy slices alike
+    "ocr_text": """
+        SELECT doc_id,
+               CASE WHEN planted = '' THEN 'no_image'
+                    WHEN doc_id % 7 = 3 THEN 'ocr_noisy'
+                    ELSE 'ocr' END AS kind,
+               planted AS ocr_text
+        FROM (SELECT doc_id,
+                     upper(substr(regexp_replace(
+                         text, '[^A-Za-z0-9 ]', '', 'g'), 1, 32))
+                         AS planted
+              FROM documents)
+    """,
     "latest_order_per_customer": """
         SELECT o_custkey, o_orderkey, o_orderdate,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c

@@ -575,6 +575,69 @@ def synth_gif_anim(w: int, h: int, n_frames: int, fill: bytes) -> bytes:
     return bytes(out)
 
 
+def _png_encode_gray(w: int, h: int, pixels: bytes) -> bytes:
+    """8-bit grayscale PNG from a raw row-major pixel buffer, row
+    filters cycling None/Sub/Up (same exercise of the decoder's
+    unfilter path as synth_image's tiled variant)."""
+    stride = w
+    rows = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        raw = bytearray(pixels[r * stride:(r + 1) * stride])
+        ft = r % 3
+        if ft == 0:  # None
+            rows += b"\x00" + raw
+        elif ft == 1:  # Sub
+            enc = bytearray(raw)
+            for i in range(stride - 1, 0, -1):
+                enc[i] = (enc[i] - raw[i - 1]) & 0xFF
+            rows += b"\x01" + enc
+        else:  # Up
+            enc = bytearray(raw)
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+            rows += b"\x02" + enc
+        prev = bytes(raw)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + _png_chunk(b"IEND", b""))
+
+
+def render_ocr_png(s: str, noise_seed: int | None = None) -> bytes:
+    """Render ``s`` as a single-line bitmap-font strip — one 8×8 cell
+    per char from the SHARED font table (functions/ocr.glyph_rows:
+    one source of truth for renderer and matcher), white glyph pixels
+    (255) on black (0), emitted as a real 8-bit grayscale PNG. With
+    ``noise_seed`` set, 4 deterministic md5-positioned pixels flip
+    per cell — under the table's OCR_NOISE_BUDGET, so nearest-
+    template matching still recovers the text byte-exactly (what the
+    corpus's noisy OCR slice exercises)."""
+    import hashlib
+
+    from ..functions.ocr import OCR_CELL, glyph_rows
+
+    w = OCR_CELL * len(s)
+    buf = bytearray(w * OCR_CELL)
+    for ci, ch in enumerate(s):
+        rows = glyph_rows(ch)
+        for y in range(OCR_CELL):
+            b = rows[y]
+            for x in range(OCR_CELL):
+                if (b >> (7 - x)) & 1:
+                    buf[y * w + ci * OCR_CELL + x] = 255
+    if noise_seed is not None:
+        for ci in range(len(s)):
+            d = hashlib.md5(b"ocrnoise:%d:%d"
+                            % (noise_seed, ci)).digest()
+            for k in range(4):
+                y, x = divmod(d[k] % 64, 8)
+                i = y * w + ci * OCR_CELL + x
+                buf[i] = 255 - buf[i]
+    return _png_encode_gray(w, OCR_CELL, bytes(buf))
+
+
 def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
     """A well-formed image file of ``fmt`` ∈ {ppm, bmp, png, jpeg}
     with the given dims; pixel content tiles ``fill``. PNG is 8-bit
@@ -597,30 +660,8 @@ def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
                 + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
                 + info + img)
     if fmt == "png":
-        stride = w  # grayscale, 8-bit
-        rows = bytearray()
-        prev = bytes(stride)
-        for r in range(h):
-            raw = bytearray(tile(stride))
-            ft = r % 3
-            if ft == 0:  # None
-                rows += b"\x00" + raw
-            elif ft == 1:  # Sub
-                enc = bytearray(raw)
-                for i in range(stride - 1, 0, -1):
-                    enc[i] = (enc[i] - raw[i - 1]) & 0xFF
-                rows += b"\x01" + enc
-            else:  # Up
-                enc = bytearray(raw)
-                for i in range(stride):
-                    enc[i] = (enc[i] - prev[i]) & 0xFF
-                rows += b"\x02" + enc
-            prev = bytes(raw)
-        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                + bytes([8, 0, 0, 0, 0]))
-        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
-                + _png_chunk(b"IEND", b""))
+        return _png_encode_gray(w, h,
+                                b"".join(tile(w) for _ in range(h)))
     if fmt == "jpeg":
         app0 = (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
                 b"\x00\x01\x00\x01\x00\x00")

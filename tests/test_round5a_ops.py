@@ -90,3 +90,57 @@ def test_hits_node_index_without_driver_edges(registry, ray_session,
     got = registry["hits_domains"](SF)
     assert len(got) > 0
     assert big_pulls == []
+
+
+# --- round-5 OCR leg (r4-verdict task 3) -----------------------------
+
+
+def test_ocr_glyph_table_noise_immunity():
+    # flipping up to OCR_NOISE_BUDGET pixels of any glyph can never
+    # change the nearest-template decision
+    from documentconvert_ray.functions.ocr import (
+        OCR_GLYPH_CHARS, OCR_NOISE_BUDGET, _glyph_bits, match_cell)
+
+    assert OCR_NOISE_BUDGET >= 4
+    rng = np.random.RandomState(7)
+    for ch in OCR_GLYPH_CHARS:
+        bits = _glyph_bits(ch)
+        for _ in range(5):
+            noisy = bits
+            for pos in rng.choice(64, OCR_NOISE_BUDGET, replace=False):
+                noisy ^= 1 << int(pos)
+            assert match_cell(noisy) == ch
+
+
+def test_ocr_render_roundtrip_clean_and_noisy():
+    from documentconvert_ray.functions.image_codec import decode_pixels
+    from documentconvert_ray.functions.ocr import ocr_gray_row
+    from documentconvert_ray.sources.corpus import render_ocr_png
+
+    s = "HELLO WORLD 42"
+    for seed in (None, 0, 123):
+        png = render_ocr_png(s, noise_seed=seed)
+        info, buf = decode_pixels(png)
+        assert (info.width, info.height) == (8 * len(s), 8)
+        assert ocr_gray_row(buf, info.width) == s
+
+
+def test_ocr_text_matches_planted_ground_truth(registry, ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = _canon(registry["ocr_text"](SF))
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    planted = [re.sub(r"[^A-Za-z0-9 ]", "", x or "")[:32].upper()
+               for x in t["text"]]
+    kind = ["no_image" if p == "" else
+            ("ocr_noisy" if i % 7 == 3 else "ocr")
+            for i, p in zip(t["doc_id"], planted)]
+    want = _canon(pd.DataFrame({
+        "doc_id": t["doc_id"].to_numpy(np.int64),
+        "kind": kind, "ocr_text": planted}))
+    assert len(got) == len(t)
+    assert (got["kind"] == "ocr_noisy").sum() > 0
+    assert got.equals(want)
