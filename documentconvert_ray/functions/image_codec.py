@@ -5,12 +5,14 @@ Formats (all parsed from their published wire layouts, no codec
 libraries): PPM/PGM (binary P6/P5), BMP (BITMAPINFOHEADER), PNG
 (full IDAT inflate + row unfilter, grayscale/RGB/RGBA 8-bit,
 non-interlaced), GIF (logical screen descriptor), JPEG (SOF frame
-header scan), TIFF (6.0 baseline IFD walk, both byte orders). PNG is
-decoded to PIXELS, not just dims — the zlib
-inflate + Sub/Up/Average/Paeth unfilter chain is the same math as a
-real image library's hot path. Anything else returns None and the
-stage falls back to the declared deterministic stub (JPEG entropy
-decode, video codecs — genuinely unavailable in this environment).
+header scan for dims; FULL baseline-sequential decode to pixels for
+8-bit grayscale frames — Huffman entropy decode, dequant, IDCT),
+TIFF (6.0 baseline IFD walk, both byte orders). PNG is decoded to
+PIXELS, not just dims — the zlib inflate + Sub/Up/Average/Paeth
+unfilter chain is the same math as a real image library's hot path.
+Anything else returns None and the stage falls back to the declared
+deterministic stub (color-JPEG chroma pipelines, video codecs —
+genuinely unavailable in this environment).
 
 Reference parity: the reference's image leg feeds image files to a
 black-box OCR converter (services/document_service.py:826-907); the
@@ -24,7 +26,7 @@ import struct
 import zlib
 
 __all__ = ["decode_image", "decode_pixels", "decode_png_pixels",
-           "gif_frame_count", "ImageInfo"]
+           "decode_jpeg_pixels", "gif_frame_count", "ImageInfo"]
 
 
 class ImageInfo:
@@ -258,6 +260,212 @@ def _decode_jpeg(payload: bytes) -> ImageInfo | None:
     return None
 
 
+# Published JPEG zigzag scan order: natural (row-major) index of each
+# zigzag position (ITU-T T.81 figure A.6)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman table from a DHT segment's BITS/HUFFVAL
+    arrays (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 byte-unstuffing; stops
+    cold at any real marker (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("jpeg: truncated entropy data")
+        byte = d[p]
+        if byte == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xFF
+            if nxt != 0x00:
+                raise ValueError("jpeg: marker inside entropy data")
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category sign extension (T.81 F.2.2.1)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    return m  # f = M.T @ F @ M
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
+    """Baseline sequential JPEG decode to pixels (VERDICT r4 task 4 —
+    the one corpus image class that was header-only): full marker
+    walk, DQT/DHT parse, Huffman entropy decode (DC categories, AC
+    run/size incl. ZRL and EOB, RSTn restarts), dequantization in
+    zigzag order, float IDCT + level shift + clamp. Scope: 8-bit
+    single-component (grayscale) frames — the corpus's planted class;
+    multi-component frames (no chroma pipeline here) and
+    progressive/arithmetic modes return None and keep their
+    header-dims wire path."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = 0
+    comp_q = 0
+    sos_dc = sos_ac = 0
+    i = 2
+    n = len(payload)
+    data_start = -1
+    restart_interval = 0
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            return None
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        seg = payload[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                qt[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th_ = seg[p] >> 4, seg[p] & 15
+                bits = seg[p + 1:p + 17]
+                cnt = sum(bits)
+                vals = seg[p + 17:p + 17 + cnt]
+                huff[(tc, th_)] = _jpeg_huff_table(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if seg[5] != 1:
+                return None  # single-component scope
+            if seg[7] != 0x11:
+                return None  # no subsampling for 1 comp
+            comp_q = seg[8]
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive/arithmetic/etc.
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                return None
+            sos_dc, sos_ac = seg[2] >> 4, seg[2] & 15
+            data_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if data_start < 0 or w == 0 or h == 0:
+        return None
+    q = qt.get(comp_q)
+    dc_tab = huff.get((0, sos_dc))
+    ac_tab = huff.get((1, sos_ac))
+    if q is None or dc_tab is None or ac_tab is None:
+        return None
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    M = _jpeg_idct_mat()
+    out = np.zeros((bh * 8, bw * 8), np.uint8)
+    rd = _JpegBitReader(payload, data_start)
+    pred = 0
+    try:
+        for bi in range(bw * bh):
+            if restart_interval and bi and bi % restart_interval == 0:
+                # RSTn: byte-align, consume the marker, reset DC pred
+                if rd.bit:
+                    rd.bit = 0
+                    rd.pos += 1
+                if (rd.pos + 2 > n or payload[rd.pos] != 0xFF
+                        or not 0xD0 <= payload[rd.pos + 1] <= 0xD7):
+                    return None
+                rd.pos += 2
+                pred = 0
+            F = np.zeros(64, np.int64)
+            t = rd.decode_huff(dc_tab)
+            pred += _jpeg_extend(rd.read_bits(t), t)
+            F[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = rd.decode_huff(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    return None
+                F[_JPEG_ZIGZAG[k]] = (
+                    _jpeg_extend(rd.read_bits(s), s) * q[k])
+                k += 1
+            f = M.T @ F.reshape(8, 8).astype(np.float64) @ M
+            blk = np.clip(np.round(f + 128), 0, 255).astype(np.uint8)
+            by, bx = divmod(bi, bw)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    except ValueError:
+        return None
+    return ImageInfo(w, h, 1), out[:h, :w].tobytes()
+
+
 def _pnm_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
     m = _PNM_HEADER_RE.match(payload)
     if not m:
@@ -292,10 +500,11 @@ def _bmp_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
 def decode_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
     """Sniff-and-decode to PIXELS (row-major top-down byte buffer) for
     the raster formats the stdlib path fully decodes: PPM/PGM, 24-bit
-    BMP, 8-bit gray/RGB/RGBA PNG. None for header-only formats
-    (GIF/JPEG — no LZW/entropy decoder in this environment) and
-    unrecognized payloads; the caller falls back to wire-byte
-    features."""
+    BMP, 8-bit gray/RGB/RGBA PNG, and baseline sequential GRAYSCALE
+    JPEG (full Huffman entropy decode + IDCT — decode_jpeg_pixels).
+    None for header-only classes (GIF; color JPEG — no chroma
+    pipeline here) and unrecognized payloads; the caller falls back
+    to wire-byte features."""
     if not payload:
         return None
     if payload[:1] == b"P":
@@ -304,6 +513,8 @@ def decode_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
         return _bmp_pixels(payload)
     if payload[:4] == b"\x89PNG":
         return decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
     return None
 
 

@@ -3675,22 +3675,29 @@ _IMG_FMTS = ("ppm", "bmp", "png", "jpeg")  # doc_id % 5 ∈ 0..3; 4 = raw
 
 
 def _image_payload(batch: pa.Table) -> pa.Table:
-    """documents → binary image payloads: REAL PPM/BMP/PNG/JPEG files
+    """documents → binary image payloads: REAL PPM/BMP/PNG files
     (sources/corpus.synth_image) with dims w = 4 + L%60,
     h = 4 + 3L%60 (L = utf-8 text bytes), pixel content tiling the
-    text bytes; every 5th doc keeps raw text bytes (no image magic) to
-    exercise the decode stage's declared stub fallback."""
-    from ..sources.corpus import synth_image
+    text bytes; the JPEG slice (doc_id % 5 = 3) is a REAL baseline
+    sequential grayscale JPEG (synth_jpeg_gray — full entropy-coded
+    scan, dims 8·(1+L%7) × 8·(1+3L%7), each 8×8 block the constant
+    text byte at its block index, fully decodable by
+    decode_jpeg_pixels); every 5th doc keeps raw text bytes (no image
+    magic) to exercise the decode stage's declared stub fallback."""
+    from ..sources.corpus import synth_image, synth_jpeg_gray
 
     ids = batch.column("doc_id").to_pylist()
     payloads: list[bytes] = []
     for i, t in zip(ids, batch.column("text").to_pylist()):
         raw = t.encode("utf-8")
         sel = i % 5
+        n = len(raw)
         if sel == 4:
             payloads.append(raw)
+        elif sel == 3:
+            payloads.append(synth_jpeg_gray(
+                8 * (1 + n % 7), 8 * (1 + (n * 3) % 7), raw))
         else:
-            n = len(raw)
             payloads.append(synth_image(
                 _IMG_FMTS[sel], 4 + n % 60, 4 + (n * 3) % 60, raw))
     return pa.Table.from_pydict(
@@ -14426,10 +14433,12 @@ ORACLES: dict[str, str] = {
         dim AS (
           SELECT doc_id, L,
                  CASE WHEN doc_id % 5 = 4 THEN 64 + L % 512
+                      WHEN doc_id % 5 = 3 THEN 8 * (1 + L % 7)
                       ELSE 4 + L % 60 END AS w,
                  CASE WHEN doc_id % 5 = 4 THEN 64 + (L * 7) % 512
+                      WHEN doc_id % 5 = 3 THEN 8 * (1 + (L * 3) % 7)
                       ELSE 4 + (L * 3) % 60 END AS h,
-                 CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS c
+                 CASE WHEN doc_id % 5 IN (2, 3) THEN 1 ELSE 3 END AS c
           FROM d)
         SELECT doc_id,
                CAST(w AS BIGINT) AS width,
@@ -14440,12 +14449,13 @@ ORACLES: dict[str, str] = {
         FROM dim
     """,
     # real NN-resample oracle: the decoded buffers rebuild exactly as
-    # in multimodal_features, then the thumbnail is re-derived
-    # pixel-by-pixel — output cell (r,c) is the 2·ch hex chars at
-    # source pixel ((r·h)//nh)·w + ((c·w)//nw), concatenated in
-    # row-major order (string_agg ORDER BY r,c) — and md5'd. Wire
-    # rows (JPEG keeps its REAL header dims, raw keeps the stub dims)
-    # run the same resize arithmetic; their sig covers wire bytes.
+    # in multimodal_features (incl. the REAL decoded grayscale-JPEG
+    # slice — constant 8×8 blocks from the text bytes), then the
+    # thumbnail is re-derived pixel-by-pixel — output cell (r,c) is
+    # the 2·ch hex chars at source pixel ((r·h)//nh)·w + ((c·w)//nw),
+    # concatenated in row-major order (string_agg ORDER BY r,c) — and
+    # md5'd. Wire rows (the raw slice) run the same resize
+    # arithmetic; their sig covers wire bytes.
     "multimodal_resize": """
         WITH d AS (
           SELECT doc_id,
@@ -14457,22 +14467,44 @@ ORACLES: dict[str, str] = {
         dim AS (
           SELECT doc_id, th, L, L0,
                  CASE WHEN doc_id % 5 = 4 THEN 64 + L0 % 512
+                      WHEN doc_id % 5 = 3 THEN 8 * (1 + L0 % 7)
                       ELSE 4 + L0 % 60 END AS w,
                  CASE WHEN doc_id % 5 = 4 THEN 64 + (L0 * 7) % 512
+                      WHEN doc_id % 5 = 3 THEN 8 * (1 + (L0 * 3) % 7)
                       ELSE 4 + (L0 * 3) % 60 END AS h,
-                 CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS ch
+                 CASE WHEN doc_id % 5 IN (2, 3) THEN 1 ELSE 3 END AS ch
           FROM d),
+        jdim AS (
+          SELECT doc_id, th, L,
+                 1 + L0 % 7 AS jbw, 1 + (L0 * 3) % 7 AS jbh
+          FROM d WHERE doc_id % 5 = 3),
+        jcell AS (
+          SELECT j.doc_id, y.by, x.bx,
+                 repeat(substr(j.th,
+                               ((y.by * j.jbw + x.bx) % j.L) * 2 + 1,
+                               2), 8) AS cell
+          FROM jdim j, unnest(range(j.jbh)) AS y(by),
+               unnest(range(j.jbw)) AS x(bx)),
+        jline AS (
+          SELECT doc_id, by,
+                 repeat(string_agg(cell, '' ORDER BY bx), 8) AS line
+          FROM jcell GROUP BY doc_id, by),
+        jbuf AS (
+          SELECT doc_id, string_agg(line, '' ORDER BY by) AS jh
+          FROM jline GROUP BY doc_id),
         buf AS (
-          SELECT doc_id, w, h, ch,
-                 CASE doc_id % 5
+          SELECT dim.doc_id, w, h, ch,
+                 CASE dim.doc_id % 5
                    WHEN 0 THEN substr(repeat(th, (w*h*3) // L + 1),
                                       1, 2*w*h*3)
                    WHEN 1 THEN repeat(substr(repeat(th, (w*3) // L + 1),
                                              1, 2*w*3), h)
                    WHEN 2 THEN repeat(substr(repeat(th, w // L + 1),
                                              1, 2*w), h)
+                   WHEN 3 THEN jbuf.jh
                  END AS bh
-          FROM dim WHERE doc_id % 5 IN (0, 1, 2)),
+          FROM dim LEFT JOIN jbuf ON dim.doc_id = jbuf.doc_id
+          WHERE dim.doc_id % 5 IN (0, 1, 2, 3)),
         geo AS (
           SELECT doc_id, w, h, ch, bh, greatest(w, h) AS m,
                  CASE WHEN greatest(w, h) > MAXS
@@ -14509,28 +14541,22 @@ ORACLES: dict[str, str] = {
                       THEN h * MAXS // greatest(w, h) ELSE h END
                       AS BIGINT) AS height,
                  greatest(w, h) > MAXS AS resized,
-                 substr(md5(CASE WHEN doc_id % 5 = 3
-                            THEN 'JPEG_PRE'
-                                 || lpad(to_hex(h), 4, '0')
-                                 || lpad(to_hex(w), 4, '0')
-                                 || 'JPEG_POST'
-                            ELSE CASE WHEN L0 = 0 THEN '' ELSE th END
-                            END), 1, 16) AS sig
-          FROM dim WHERE doc_id % 5 IN (3, 4))
+                 substr(md5(CASE WHEN L0 = 0 THEN '' ELSE th END),
+                        1, 16) AS sig
+          FROM dim WHERE doc_id % 5 = 4)
         SELECT * FROM pix UNION ALL SELECT * FROM wire
-    """.replace("MAXS", str(RESIZE_MAX_SIDE))
-       .replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
-       .replace("JPEG_POST", "03011100021100031100FFD9"),
+    """.replace("MAXS", str(RESIZE_MAX_SIDE)),
     # the real-pixel feature kernel reconstructed in the hex domain:
     # every byte is exactly 2 hex chars, so tiling/row-repeat in hex
     # equals tiling bytes; md5 runs over the UPPERCASE hex string on
     # both sides (DuckDB md5() is VARCHAR-only — the kernel hashes
     # buf.hex().upper() to match). PPM rasters tile the text bytes
     # continuously; BMP/PNG rows each restart the tile (generator
-    # rule, sources/corpus.synth_image); JPEG is header-only (no
-    # entropy decoder) → wire bytes, rebuilt from the fixed marker
-    # stream around the big-endian dims; the raw slice is the utf-8
-    # text itself.
+    # rule, sources/corpus.synth_image); the JPEG slice is now a REAL
+    # baseline grayscale JPEG decoded to PIXELS (VERDICT r4 task 4) —
+    # each 8×8 block is the constant text byte at its block index, so
+    # the decoded buffer rebuilds as rows of 8-repeated hex pairs;
+    # the raw slice is the utf-8 text itself.
     "multimodal_features": """
         WITH d AS (
           SELECT doc_id,
@@ -14543,30 +14569,44 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, th, L, L0,
                  4 + L0 % 60 AS w, 4 + (L0 * 3) % 60 AS h
           FROM d),
+        jdim AS (
+          SELECT doc_id, th, L,
+                 1 + L0 % 7 AS jbw, 1 + (L0 * 3) % 7 AS jbh
+          FROM d WHERE doc_id % 5 = 3),
+        jcell AS (
+          SELECT j.doc_id, y.by, x.bx,
+                 repeat(substr(j.th,
+                               ((y.by * j.jbw + x.bx) % j.L) * 2 + 1,
+                               2), 8) AS cell
+          FROM jdim j, unnest(range(j.jbh)) AS y(by),
+               unnest(range(j.jbw)) AS x(bx)),
+        jline AS (
+          SELECT doc_id, by,
+                 repeat(string_agg(cell, '' ORDER BY bx), 8) AS line
+          FROM jcell GROUP BY doc_id, by),
+        jbuf AS (
+          SELECT doc_id, string_agg(line, '' ORDER BY by) AS jh
+          FROM jline GROUP BY doc_id),
         buf AS (
-          SELECT doc_id,
-                 CASE doc_id % 5
+          SELECT dim.doc_id,
+                 CASE dim.doc_id % 5
                    WHEN 0 THEN substr(repeat(th, (w*h*3) // L + 1),
                                       1, 2*w*h*3)
                    WHEN 1 THEN repeat(substr(repeat(th, (w*3) // L + 1),
                                              1, 2*w*3), h)
                    WHEN 2 THEN repeat(substr(repeat(th, w // L + 1),
                                              1, 2*w), h)
-                   WHEN 3 THEN 'JPEG_PRE'
-                               || lpad(to_hex(h), 4, '0')
-                               || lpad(to_hex(w), 4, '0')
-                               || 'JPEG_POST'
+                   WHEN 3 THEN jbuf.jh
                    ELSE CASE WHEN L0 = 0 THEN '' ELSE th END
                  END AS bh,
-                 CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 'pixels'
-                      ELSE 'wire' END AS kind
-          FROM dim)
+                 CASE WHEN dim.doc_id % 5 IN (0, 1, 2, 3)
+                      THEN 'pixels' ELSE 'wire' END AS kind
+          FROM dim LEFT JOIN jbuf ON dim.doc_id = jbuf.doc_id)
         SELECT doc_id, kind,
                substr(md5(bh), 1, 16) AS feature_sig,
                CAST(length(bh) // 2 AS BIGINT) AS n_units
         FROM buf
-    """.replace("JPEG_PRE", "FFD8FFE000104A46494600010100000100010000FFC0001108")
-       .replace("JPEG_POST", "03011100021100031100FFD9"),
+    """,
     # real WAV RIFF-walk decode: PCM fields + md5 of the exact PCM
     # buffer (tiled text bytes, reconstructed in the hex domain)
     "audio_decode": """

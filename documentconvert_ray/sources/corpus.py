@@ -638,6 +638,85 @@ def render_ocr_png(s: str, noise_seed: int | None = None) -> bytes:
     return _png_encode_gray(w, OCR_CELL, bytes(buf))
 
 
+def synth_jpeg_gray(w: int, h: int, fill: bytes) -> bytes:
+    """REAL baseline sequential grayscale JPEG (w, h multiples of 8):
+    every 8×8 block is the constant value fill[block_index % len] —
+    encoded DC-only (quant table all 1s, so the planted value
+    round-trips the decoder's dequant+IDCT EXACTLY: F(0,0)=8·(v−128)
+    → IDCT → v), with a full entropy-coded scan: Annex-K-style
+    canonical DC Huffman table, a 1-code AC table for EOB, category
+    coding with one's-complement negatives, 0xFF byte stuffing. The
+    SQL oracles reconstruct the decoded buffer from the same block
+    rule (pipelines/queries.py multimodal oracles)."""
+    if w % 8 or h % 8:
+        raise ValueError("dims must be multiples of 8")
+    fill = fill or b"\x00"
+    # DC Huffman: Annex K luminance BITS/VALS (categories 0-11)
+    dc_bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dc_vals = bytes(range(12))
+    # AC Huffman: single 1-bit code for EOB (rs=0x00)
+    ac_bits = bytes([1] + [0] * 15)
+    ac_vals = bytes([0x00])
+
+    def canon(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_code = canon(dc_bits, dc_vals)
+    ac_code = canon(ac_bits, ac_vals)
+
+    acc = 0
+    nacc = 0
+    scan = bytearray()
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << length) | code
+        nacc += length
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)  # byte stuffing
+            nacc -= 8
+        acc &= (1 << nacc) - 1
+
+    pred = 0
+    for bi in range((w // 8) * (h // 8)):
+        v = fill[bi % len(fill)]
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        put(*reversed(dc_code[t]))
+        if t:
+            bits = diff if diff >= 0 else diff + (1 << t) - 1
+            put(bits, t)
+        put(*reversed(ac_code[0x00]))  # EOB
+    if nacc:
+        put((1 << (8 - nacc)) - 1, 8 - nacc)  # 1-pad to byte edge
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    return (b"\xff\xd8"
+            + seg(0xDB, b"\x00" + b"\x01" * 64)
+            + seg(0xC0, b"\x08" + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + b"\x01\x01\x11\x00")
+            + seg(0xC4, b"\x00" + dc_bits + dc_vals)
+            + seg(0xC4, b"\x10" + ac_bits + ac_vals)
+            + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+            + bytes(scan) + b"\xff\xd9")
+
+
 def synth_image(fmt: str, w: int, h: int, fill: bytes) -> bytes:
     """A well-formed image file of ``fmt`` ∈ {ppm, bmp, png, jpeg}
     with the given dims; pixel content tiles ``fill``. PNG is 8-bit

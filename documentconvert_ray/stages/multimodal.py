@@ -5,9 +5,10 @@ stage is an actor-pool map_batches over small batches (payload bytes
 are large — SURVEY guide on memory-aware batch sizing). Each modality
 has a REAL wire-format kernel:
 
-- image: decode (PPM/PGM, BMP, PNG incl. full pixel unfilter, GIF,
-  JPEG frame-header dims — functions/image_codec.py), nearest-
-  neighbor pixel RESAMPLING, and md5-over-decoded-pixels features;
+- image: decode (PPM/PGM, BMP, PNG incl. full pixel unfilter,
+  baseline grayscale JPEG incl. full Huffman entropy decode + IDCT,
+  GIF dims — functions/image_codec.py), nearest-neighbor pixel
+  RESAMPLING, and md5-over-decoded-pixels features;
 - audio: WAV/RIFF chunk-walk decode + integer-exact PCM loudness DSP
   (functions/audio_codec.py);
 - video: container-level frame counting for animated GIF and AVI
@@ -15,9 +16,9 @@ has a REAL wire-format kernel:
   codec decode).
 
 Payloads no kernel recognizes fall back to a clearly-marked
-deterministic stub, the swap-point for codec LIBRARIES (JPEG entropy
-decode, MP3/H.264 payload decode) that are genuinely unavailable in
-this environment (SURVEY.md env facts).
+deterministic stub, the swap-point for codec LIBRARIES (color-JPEG
+chroma pipelines, MP3/H.264 payload decode) that are genuinely
+unavailable in this environment (SURVEY.md env facts).
 
 The reference's analogue is the image→markdown OCR leg
 (services/document_service.py:826-907, mineru CLI subprocess) which is
@@ -154,8 +155,8 @@ class ImageResampleStage:
     resampled) pixel buffer via its uppercase-hex encoding.
 
     Payloads without a pixel decode keep their REAL header dims when
-    available (JPEG/GIF via decode_image — no entropy/LZW decoder
-    here) or the declared stub dims otherwise; their dims still run
+    available (color JPEG/GIF via decode_image — no chroma/LZW
+    pipeline here) or the declared stub dims otherwise; their dims still run
     the resize arithmetic (a thumbnail *plan*), the signature covers
     the wire bytes, and the row is flagged kind='wire'."""
 
@@ -370,11 +371,12 @@ class AudioFeatureStage:
 class FeatureExtractStage:
     """Feature-extraction stage: payload → compact feature row. The
     kernel is REAL for fully-decodable rasters (PPM/BMP/PNG via
-    functions/image_codec.decode_pixels): the signature is the md5 of
-    the DECODED pixel buffer (hashed via its uppercase-hex encoding so
-    a SQL oracle can reproduce it with md5(to_hex(...))) and n_units
-    is the decoded pixel-byte count. Header-only formats (JPEG — no
-    entropy decoder here) and unrecognized payloads fall back to the
+    functions/image_codec.decode_pixels, incl. baseline grayscale
+    JPEG): the signature is the md5 of the DECODED pixel buffer
+    (hashed via its uppercase-hex encoding so a SQL oracle can
+    reproduce it with md5(to_hex(...))) and n_units is the decoded
+    pixel-byte count. Header-only classes (color JPEG — no chroma
+    pipeline here) and unrecognized payloads fall back to the
     same signature over the WIRE bytes, flagged kind='wire'. Swap-point
     for a real embedding model stays the same __call__; the Ray shape
     (batched actor-pool inference, small output rows) is unchanged."""
