@@ -8,6 +8,10 @@ tables. Prints ONE JSON line.
   python bench.py             # $RAY_GRAFT_CPUS (default 32), $GRAFT_SF_DIR
   python bench.py --scaling   # fresh 8-cpu and 32-cpu subprocesses on the
                               # same input → throughputs + efficiency
+  python bench.py --battery-budget 120   # timebox the query battery:
+                              # never-driver-checked + previous-round
+                              # slowest-10 run first, skipped queries
+                              # reported under "queries_skipped"
 
 Corpus generation and OS page-cache warmup are untimed (guide:
 measure compute + shuffle, not the first disk read).
@@ -210,11 +214,56 @@ QUERY_NAMES = [
     "harmonic_centrality",
     "event_path_trigrams",
     "weighted_median_price",
+    # round-5 additions
+    "ocr_text",
     # iterative broadcast-vector fixpoints (pagerank_domains,
     # hits_domains) are excluded like kmeans' heavier cousins: their
     # battery time is per-round Ray overhead on a domain-granular
     # graph, not a data-scale signal
 ]
+
+
+def battery_order(budget: float) -> list[str]:
+    """Battery order for a TIMEBOXED run (VERDICT r4 task 8): with a
+    budget set, the highest-signal queries run first — (1) queries
+    never driver-CORRECTNESS-sampled in any recorded round, (2) the
+    slowest 10 of the previous round's bench (regression canaries),
+    (3) everything else in the standard shared order. Without a
+    budget the shared QUERY_NAMES order is kept verbatim (per-query
+    timings depend on battery position — BENCH cross-round
+    comparability note above)."""
+    if not budget:
+        return list(QUERY_NAMES)
+    import glob as _glob
+
+    sampled: set = set()
+    for f in sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "CORRECTNESS_r0*.json"))):
+        try:
+            with open(f) as fh:
+                sampled.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            pass
+    prev: dict = {}
+    benches = sorted(_glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r0*.json")))
+    if benches:
+        try:
+            with open(benches[-1]) as fh:
+                prev = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prev = {}
+    slowest = [n for n, _ in sorted(prev.items(), key=lambda kv: -kv[1])
+               if n in QUERY_NAMES][:10]
+    never = [n for n in QUERY_NAMES if n not in sampled]
+    seen: set = set()
+    out: list[str] = []
+    for n in never + slowest + list(QUERY_NAMES):
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
 
 
 def corpus_dir() -> str:
@@ -377,7 +426,23 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
     qs = queries()
-    for name in QUERY_NAMES:
+    # --battery-budget S / $BENCH_BATTERY_BUDGET: timebox the battery;
+    # priority queries run first and anything cut is REPORTED (no
+    # silent drops — VERDICT r4 task 8)
+    budget = float(os.environ.get("BENCH_BATTERY_BUDGET", "0") or 0)
+    for i, a in enumerate(sys.argv):
+        if a == "--battery-budget" and i + 1 < len(sys.argv):
+            budget = float(sys.argv[i + 1])
+        elif a.startswith("--battery-budget="):
+            budget = float(a.split("=", 1)[1])
+    names = battery_order(budget)
+    t_bat = time.monotonic()
+    for name in names:
+        if budget and time.monotonic() - t_bat > budget:
+            result["battery_budget_sec"] = budget
+            result["queries_skipped"] = [
+                n for n in names if n not in result["queries"]]
+            break
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
         # consume lazily-built datasets fully (count() triggers execution

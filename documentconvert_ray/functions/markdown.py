@@ -23,10 +23,9 @@ from dataclasses import dataclass
 
 BLOCK_SEP = "\n\n"
 
-# "formula" is reserved for a math-region leg (reference parity:
-# MinerU formula_enable, services/document_service.py:240-246);
-# detection is a declared non-goal in this environment — see the
-# pdf_extract module docstring
+# "formula": math-font-driven display-math regions (reference parity:
+# MinerU formula_enable, services/document_service.py:240-246; see
+# pdf_extract.page_math_fonts for the detection contract)
 KINDS = ("heading", "para", "list_item", "table", "code", "figure",
          "formula")
 

@@ -18,8 +18,8 @@ chained filter lists included; that is the complete standard
 non-image-codec filter set (incl. /ObjStm object streams and
 xref-stream documents); /Encrypt-bearing documents with an EMPTY user
 password decrypt transparently (standard security handler: RC4
-/V 1-2 /R 2-3 and AES-128-CBC /V 4 /R 4 /AESV2 — functions/pdf_crypt
-+ functions/aes); standard fonts plus Type0/CID fonts carrying a
+/V 1-2 /R 2-3, AES-128-CBC /V 4 /R 4 /AESV2 and AES-256 /V 5 /R 6
+/AESV3 — functions/pdf_crypt + functions/aes); standard fonts plus Type0/CID fonts carrying a
 /ToUnicode CMap, text via BT/ET + Tf/Td/TD/Tm/T*/TL/Tj/TJ/'/",
 ruled tables via ``re``/``m``/``l`` path ops, figures via ``cm`` + ``Do``.
 Object resolution is scan-based (every ``N G obj``), so damaged xref
@@ -28,18 +28,19 @@ variant "bad xref offsets").
 
 Block kinds emitted: heading / para / table / figure (placeholders
 ``![](pageP-figI)`` with the matching image payloads surfaced in the
-``images`` output column). Reference parity note — ``formula``: the
-reference enables MinerU's formula leg (``formula_enable=True``,
-services/document_service.py:240-246), which runs an ML layout model
-to find math regions and a recognition model to LaTeX them. A
-``formula`` block kind is reserved in the markdown renderer's
-vocabulary for that leg, but DETECTION IS A DECLARED NON-GOAL here:
-untagged PDFs carry no structural marker distinguishing math from
-text (the glyph stream is just positioned text), so any non-ML
-heuristic would be noise, and the model is unavailable in this
-environment. A future real leg plugs in as a _page_blocks post-pass
-emitting Block("formula", latex, page) + a payload entry, exactly
-like the figure machinery.
+``images`` output column) / formula. Reference parity — ``formula``
+(VERDICT r4 task 7): the reference enables MinerU's formula leg
+(``formula_enable=True``, services/document_service.py:240-246),
+which runs an ML layout model to find math regions and a recognition
+model to LaTeX them. Here detection is FONT-DRIVEN: page resources
+whose /BaseFont is a math family (Symbol, TeX's CMMI/CMSY/CMEX, AMS
+MSAM/MSBM, *Math* — page_math_fonts) mark their glyph runs, and a
+line shown entirely in math faces becomes Block("formula",
+"$$ … $$", page) with spans intact; mixed lines stay paragraphs
+(inline math). This is the reliable non-ML signal: TeX output — the
+dominant source of formula-bearing PDFs — always switches to these
+faces inside math mode. LaTeX RECONSTRUCTION (glyph runs → markup)
+stays with the unavailable recognition model.
 
 Determinism: geometry is converted to integer milli-units immediately
 after parse; all clustering/sorting uses integer comparisons with
@@ -256,6 +257,7 @@ class _TextItem:
     text: str
     seq: int  # stream order for stable ties
     w: int = 0  # approximate advance width in milli-units
+    math: bool = False  # shown in a math font (formula detection)
 
 
 @dataclass
@@ -281,7 +283,8 @@ class _PdfDoc:
         self._cache: dict[int, object] = {}
         self._objstm_loaded = False
         self.enc_key: bytes | None = None  # set by setup_decryption()
-        self.enc_aes = False  # /AESV2 (vs RC4) — setup_decryption()
+        self.enc_aes = False  # /AESV2 or /AESV3 (vs RC4)
+        self.enc_r6 = False  # /V 5 /R 6: file key used directly
         for m in _OBJ_RE.finditer(raw):
             num = int(m.group(1))
             end = raw.find(b"endobj", m.end())
@@ -293,13 +296,14 @@ class _PdfDoc:
 
     def setup_decryption(self) -> None:
         """Resolve the /Encrypt dict and validate the EMPTY user
-        password (standard security handler: RC4 /V 1-2, or /V 4 with
-        the /AESV2 crypt filter — AES-128-CBC). On success every
-        subsequent get_stream() call decrypts transparently; any other
-        configuration (real password, AES-256 /V 5, non-Standard
-        filter) raises ``encrypted_pdf`` — reference M11's password
-        branch (services/document_service.py:394-424)."""
-        from .pdf_crypt import check_user_password, file_key
+        password (standard security handler: RC4 /V 1-2, /V 4 with
+        the /AESV2 crypt filter — AES-128-CBC — or /V 5 /R 6 with
+        /AESV3 — AES-256, PDF 2.0 Algorithm 2.A/2.B). On success
+        every subsequent get_stream() call decrypts transparently;
+        any other configuration (real password, non-Standard filter)
+        raises ``encrypted_pdf`` — reference M11's password branch
+        (services/document_service.py:394-424)."""
+        from .pdf_crypt import check_user_password, file_key, r6_file_key
 
         m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.raw)
         if not m:
@@ -318,10 +322,11 @@ class _PdfDoc:
         p = self.resolve(enc.get("P", -1))
         length = self.resolve(enc.get("Length", 40))
         aes = False
-        if v == 4 and r == 4:
-            # /V 4: the stream crypt filter named by /StmF inside /CF
-            # must be /AESV2 (AES-128); /Identity or /V2(RC4) inside
-            # V4 containers is rare enough to stay unsupported
+        if (v, r) in ((4, 4), (5, 6)):
+            # the stream crypt filter named by /StmF inside /CF must
+            # match the version: /AESV2 (AES-128) for V4, /AESV3
+            # (AES-256) for V5; /Identity or /V2(RC4) inside these
+            # containers is rare enough to stay unsupported
             cf = self.resolve(enc.get("CF"))
             stmf = self.resolve(enc.get("StmF", "Identity"))
             cfm = None
@@ -330,10 +335,11 @@ class _PdfDoc:
                                             else ""))
                 if isinstance(stdcf, dict):
                     cfm = self.resolve(stdcf.get("CFM"))
-            if cfm != "AESV2":
+            want = "AESV2" if v == 4 else "AESV3"
+            if cfm != want:
                 raise PdfError(
                     "encrypted_pdf",
-                    f"unsupported V4 crypt filter (CFM={cfm})")
+                    f"unsupported V{v} crypt filter (CFM={cfm})")
             aes = True
         if (enc.get("Filter") != "Standard"
                 or (v not in (1, 2) and not aes)
@@ -345,6 +351,21 @@ class _PdfDoc:
             raise PdfError(
                 "encrypted_pdf",
                 f"unsupported security handler (V={v} R={r})")
+        if (v, r) == (5, 6):
+            # PDF 2.0 AES-256: empty-user-password validation +
+            # file-key unwrap per Algorithm 2.A; the file key applies
+            # to every stream DIRECTLY (no per-object derivation)
+            ue_entry = self.resolve(enc.get("UE"))
+            if not isinstance(ue_entry, bytes):
+                raise PdfError("encrypted_pdf", "R6 without /UE")
+            key6 = r6_file_key(u_entry, ue_entry)
+            if key6 is None:
+                raise PdfError("encrypted_pdf",
+                               "non-empty user password required")
+            self.enc_key = key6
+            self.enc_aes = True
+            self.enc_r6 = True
+            return
         # first /ID element from the trailer (empty when absent — the
         # de-facto reader behavior for ID-less encrypted files)
         idm = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]*)>", self.raw)
@@ -449,10 +470,13 @@ class _PdfDoc:
             from .pdf_crypt import aes_stream_decrypt, object_key, rc4
 
             if getattr(self, "enc_aes", False):
+                # R6 (AES-256): the FILE key decrypts directly
+                # (Algorithm 1.A); R4 (/AESV2) derives a per-object key
+                k = (self.enc_key if getattr(self, "enc_r6", False)
+                     else object_key(self.enc_key, num, span[2],
+                                     aes=True))
                 try:
-                    data = aes_stream_decrypt(
-                        object_key(self.enc_key, num, span[2], aes=True),
-                        data)
+                    data = aes_stream_decrypt(k, data)
                 except ValueError as e:
                     raise PdfError("encrypted_pdf",
                                    f"AES stream: {e}") from e
@@ -635,6 +659,43 @@ def page_font_cmaps(doc: "_PdfDoc", pdict: dict) -> dict:
     return out
 
 
+# Math-font families whose glyph runs mark FORMULA regions: the
+# PostScript Symbol base font, the Computer Modern math set
+# (CMMI/CMSY/CMEX — TeX's italic/symbol/extension faces), the AMS
+# symbol fonts (MSAM/MSBM), and anything self-describing as a Math
+# face. Untagged PDFs carry no structural math marker, but the FONT
+# is a real-world-reliable one: TeX/LaTeX output (the overwhelming
+# source of formula-bearing PDFs) always switches to these faces
+# inside math mode. Reference parity: MinerU's formula leg
+# (formula_enable=True, services/document_service.py:240-246).
+def _is_math_basefont(name: str) -> bool:
+    n = name.split("+")[-1]  # drop the ABCDEF+ subset prefix
+    return (n == "Symbol"
+            or n.startswith(("CMMI", "CMSY", "CMEX", "MSAM", "MSBM"))
+            or "Math" in n)
+
+
+def page_math_fonts(doc: "_PdfDoc", pdict: dict) -> set:
+    """Resource names of a page's math fonts (by /BaseFont family —
+    see _is_math_basefont). Runs shown in these fonts become
+    Block("formula", …) in _page_blocks."""
+    out: set = set()
+    res = doc.resolve(pdict.get("Resources"))
+    if not isinstance(res, dict):
+        return out
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        fd = doc.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        base = doc.resolve(fd.get("BaseFont"))
+        if isinstance(base, str) and _is_math_basefont(base):
+            out.add(name)
+    return out
+
+
 # -------------------------------------------------- content-stream engine
 
 _TOKEN_RE = re.compile(
@@ -662,13 +723,16 @@ class _ContentInterp:
     figure placements."""
 
     def __init__(self, page_idx: int, seq_base: int,
-                 font_cmaps: "dict[str, dict[int, str]] | None" = None) -> None:
+                 font_cmaps: "dict[str, dict[int, str]] | None" = None,
+                 math_fonts: "set | None" = None) -> None:
         self.page = page_idx
         self.items: list[_TextItem] = []
         self.figs: list[_FigItem] = []
         self.geom = _PageGeom()
         self.seq = seq_base
         self.font_cmaps = font_cmaps or {}
+        self.math_fonts = math_fonts or set()
+        self.math = False  # active font is a math face
         self.cmap: dict[int, str] | None = None  # active Type0 font map
         # text state
         self.size = 0.0
@@ -704,7 +768,7 @@ class _ContentInterp:
             adv = 0.5 * self.size * len(txt)  # 0.5 em/char, deterministic
             self.items.append(
                 _TextItem(self.page, _mu(self.tx), _mu(self.ty), _mu(self.size),
-                          txt, self.seq, _mu(adv))
+                          txt, self.seq, _mu(adv), self.math)
             )
             self.seq += 1
             self.tx += adv
@@ -789,6 +853,7 @@ class _ContentInterp:
             fname = stack[-2]
             self.cmap = (self.font_cmaps.get(fname)
                          if isinstance(fname, str) else None)
+            self.math = fname in self.math_fonts
         elif op == "TL" and len(stack) >= 1:
             self.leading = num(-1)
         elif op == "Td" and len(stack) >= 2:
@@ -1013,7 +1078,14 @@ def _page_blocks(interp: _ContentInterp, cfg: ExtractConfig) -> list[Block]:
                 continue
             lsize = max(it.size for it in ln)
             y = ln[0].y
-            if is_heading_size(lsize):
+            if all(it.math for it in ln):
+                # a line shown ENTIRELY in math faces is a formula
+                # region (display math; mixed lines stay paragraphs —
+                # inline math shares its line with text)
+                flush()
+                out.append((y, Block("formula", "$$ " + text + " $$",
+                                     page)))
+            elif is_heading_size(lsize):
                 flush()
                 lvl = size_to_level.get(lsize, 1)
                 out.append((y, Block("heading", "#" * lvl + " " + text, page)))
@@ -1112,7 +1184,8 @@ def extract_pdf(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResul
             elif isinstance(pdict.get("Contents"), _Ref):
                 datas.append(doc.get_stream(pdict["Contents"].num))
             interp = _ContentInterp(pidx, seq_base,
-                                    page_font_cmaps(doc, pdict))
+                                    page_font_cmaps(doc, pdict),
+                                    page_math_fonts(doc, pdict))
             for d in datas:
                 interp.run(d)
             seq_base = interp.seq

@@ -414,10 +414,15 @@ def _tounicode_cmap() -> bytes:
 
 
 def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
-                  with_fig: bool, cid: bool = False) -> tuple[str, list[str]]:
+                  with_fig: bool, cid: bool = False,
+                  formula: str | None = None) -> tuple[str, list[str]]:
     """Build one page's content stream; returns (stream_str, shown_texts).
     ``cid=True`` writes text as 2-byte-code hex strings (Type0/CID font
-    with Identity-H + ToUnicode, the real-world embedded-font shape)."""
+    with Identity-H + ToUnicode, the real-world embedded-font shape).
+    ``formula`` plants a display-math line shown in the /F2 math font
+    (BaseFont /Symbol) — the corpus's formula-region slice; its text is
+    hash-derived by the caller, NOT drawn from ``r``, so planting it
+    shifts no other draw."""
     shown: list[str] = []
     ops: list[str] = []
 
@@ -485,6 +490,13 @@ def _pdf_text_ops(r: random.Random, two_col: bool, with_table: bool,
                 text_at(x0 + j * col_w + 4, ytop - (i + 2) * row_h + 5, 9,
                         f"{r.choice(_WORDS)} {r.randint(0, 99)}")
         y = ytop - (nrows + 2) * row_h - 10
+
+    if formula is not None:
+        y -= 24
+        shown.append(formula)
+        ops.append(
+            f"BT /F2 10 Tf 72 {y:g} Td ({_pdf_escape(formula)}) Tj ET")
+        y -= 16
 
     return "\n".join(ops), shown
 
@@ -874,21 +886,27 @@ def _aes_xt(a: int) -> int:
 
 
 def _aes_expand(key: bytes) -> list[bytes]:
+    # Nk-general (FIPS-197 §5.2): AES-128 and AES-256 (the /AESV3
+    # writer needs 32-byte keys; Nk=8 adds the extra SubWord step)
+    nk = len(key) // 4
+    nr = nk + 6
     rcon = 1
-    w = [key[4 * i: 4 * i + 4] for i in range(4)]
-    for i in range(4, 44):
+    w = [key[4 * i: 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(_AES_SBOX[b] for b in t[1:] + t[:1])
             t = bytes((t[0] ^ rcon,)) + t[1:]
             rcon = _aes_xt(rcon)
-        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
-    return [b"".join(w[4 * r: 4 * r + 4]) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r: 4 * r + 4]) for r in range(nr + 1)]
 
 
 def _aes_enc_block(rks: list[bytes], block: bytes) -> bytes:
     s = bytearray(a ^ b for a, b in zip(block, rks[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rks) - 1):
         s = bytearray(_AES_SBOX[b] for b in s)  # SubBytes
         t = bytearray(16)  # ShiftRows: row r rotates LEFT by r
         for col in range(4):
@@ -907,7 +925,7 @@ def _aes_enc_block(rks: list[bytes], block: bytes) -> bytes:
     for col in range(4):
         for row in range(4):
             t[4 * col + row] = s[4 * ((col + row) % 4) + row]
-    return bytes(a ^ b for a, b in zip(t, rks[10]))
+    return bytes(a ^ b for a, b in zip(t, rks[-1]))
 
 
 def _aes_cbc_encrypt_pdf(key: bytes, data: bytes, iv: bytes) -> bytes:
@@ -925,14 +943,80 @@ def _aes_cbc_encrypt_pdf(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_cbc_enc_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC, no padding (Algorithm 2.B inner step / key wrap)."""
+    rks = _aes_expand(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        ct = _aes_enc_block(
+            rks, bytes(a ^ b for a, b in zip(data[off:off + 16], prev)))
+        out += ct
+        prev = ct
+    return bytes(out)
+
+
+def _pdf_hash2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Encrypt-side twin of functions/pdf_crypt.hash_2b (PDF 2.0
+    Algorithm 2.B, implemented independently from the spec text):
+    iterated SHA-256/384/512 with an AES-128-CBC mixing step; ≥ 64
+    rounds, stop when the encrypted block's last byte ≤ round − 32."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rounds = 0
+    while True:
+        block = (pwd + k + udata) * 64
+        e = _aes_cbc_enc_nopad(k[:16], k[16:32], block)
+        pick = sum(e[:16]) % 3
+        if pick == 0:
+            k = hashlib.sha256(e).digest()
+        elif pick == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _pdf_r6_entries(doc_id: int, perms: int):
+    """AES-256 /V 5 /R 6 credential set for an EMPTY user password:
+    deterministic 32-byte file key + /U /UE (user, Algorithm 8),
+    /O /OE (owner — real entries for a doc_id-derived owner password,
+    Algorithm 9) and /Perms (Algorithm 10: AES-256-ECB of the
+    permissions block under the file key)."""
+    import hashlib
+
+    fkey = (hashlib.md5(f"r6key-{doc_id}".encode()).digest()
+            + hashlib.md5(f"r6key2-{doc_id}".encode()).digest())
+    vsalt = hashlib.md5(f"r6vs-{doc_id}".encode()).digest()[:8]
+    ksalt = hashlib.md5(f"r6ks-{doc_id}".encode()).digest()[:8]
+    u48 = _pdf_hash2b(b"", vsalt) + vsalt + ksalt
+    ue32 = _aes_cbc_enc_nopad(_pdf_hash2b(b"", ksalt), bytes(16), fkey)
+    opwd = f"owner-{doc_id}".encode()
+    ovs = hashlib.md5(f"r6ovs-{doc_id}".encode()).digest()[:8]
+    oks = hashlib.md5(f"r6oks-{doc_id}".encode()).digest()[:8]
+    o48 = _pdf_hash2b(opwd, ovs, u48) + ovs + oks
+    oe32 = _aes_cbc_enc_nopad(_pdf_hash2b(opwd, oks, u48),
+                              bytes(16), fkey)
+    pblock = ((perms & 0xFFFFFFFF).to_bytes(4, "little")
+              + b"\xff\xff\xff\xff" + b"Tadb"
+              + hashlib.md5(f"r6pr-{doc_id}".encode()).digest()[:4])
+    perms16 = _aes_enc_block(_aes_expand(fkey), pblock)
+    return fkey, u48, ue32, o48, oe32, perms16
+
+
 def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes,
-                         aes: bool = False, doc_id: int = 0) -> None:
-    """Encrypt every stream payload in ``bodies`` in place — RC4, or
+                         aes: bool = False, doc_id: int = 0,
+                         r6: bool = False) -> None:
+    """Encrypt every stream payload in ``bodies`` in place — RC4,
     AES-128-CBC when ``aes`` (object key gains the /AESV2 "sAlT"
-    suffix; IV is deterministic from (doc_id, obj num) so the corpus
-    stays reproducible). Encryption is the OUTERMOST layer — applied
-    after filters. The xref stream is exempt by spec but never lives
-    in ``bodies``."""
+    suffix), or AES-256-CBC when ``r6`` (the 32-byte FILE key applies
+    directly — R6 has no per-object derivation; IV is deterministic
+    from (doc_id, obj num) so the corpus stays reproducible).
+    Encryption is the OUTERMOST layer — applied after filters. The
+    xref stream is exempt by spec but never lives in ``bodies``."""
     import hashlib
 
     for num, body in bodies.items():
@@ -942,7 +1026,11 @@ def _pdf_encrypt_streams(bodies: dict[int, bytes], fkey: bytes,
         start = sidx + len(b">>\nstream\n")
         eidx = body.rfind(b"\nendstream")
         payload = body[start:eidx]
-        if aes:
+        if r6:
+            aes = True  # shares the /Length-rewrite path below
+            iv = hashlib.md5(f"aesiv-{doc_id}-{num}".encode()).digest()
+            enc = _aes_cbc_encrypt_pdf(fkey, payload, iv)
+        elif aes:
             okey = hashlib.md5(
                 fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
                 + b"sAlT").digest()[: min(len(fkey) + 5, 16)]
@@ -1002,8 +1090,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     - /Encrypt-bearing documents: a PASSWORDED slice (bogus /U that
       validates no password → deterministic encrypted_pdf) and an
       EMPTY-user-password encrypted slice (R2/V1 RC4-40, R3/V2
-      RC4-128 and R4/V4 /AESV2 AES-128-CBC; really encrypted
-      streams — must extract);
+      RC4-128, R4/V4 /AESV2 AES-128-CBC and R6/V5 /AESV3 AES-256;
+      really encrypted streams — must extract);
     - truncated payloads (no %%EOF) → deterministic truncated_pdf.
     """
     r = _rng(doc_id, seed + 7)
@@ -1016,14 +1104,27 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     filt = r.random()
     cid = r.random() < 0.12  # Type0/CID font + ToUnicode CMap
     # /Encrypt split: a PASSWORDED slice (bogus /U that validates no
-    # password → encrypted_pdf error rows) and an RC4-ENCRYPTED-WITH-
+    # password → encrypted_pdf error rows) and an ENCRYPTED-WITH-
     # EMPTY-USER-PASSWORD slice (really encrypted streams; the common
     # readable real-world class — must extract, not error)
     # thresholds chosen so the 1500-doc gate corpus contains ≥1 doc of
-    # each class: passworded, RC4-40/R2 and RC4-128/R3 (md5-bit split)
+    # each class: passworded {739}; of the empty-password docs, the
+    # four that survive the truncation slice {581, 788, 1012, 1036}
+    # land exactly one-per-class across R2 / AESV2 / AESV3-R6 / R3
+    # under the encV5 md5 selector (416/1189/38 are truncated_pdf by
+    # the independent truncation roll regardless of class)
     enc_roll = r.random()
-    encrypted = enc_roll < 0.055
-    enc_empty = 0.015 <= enc_roll < 0.055
+    encrypted = enc_roll < 0.085
+    enc_empty = 0.015 <= enc_roll < 0.085
+    # formula slice (~18% of PDFs): a display-math line in the /F2
+    # Symbol font on page 0. Selector and text are md5-derived (not
+    # the r stream) so the slice shifts no other draw.
+    import hashlib as _hl
+
+    fd = _hl.md5(f"formula-{doc_id}".encode()).digest()
+    formula_str = (
+        f"x{fd[1] % 10} = a{fd[2] % 10} + b{fd[3] % 10} / c{fd[4] % 10}"
+        if fd[0] < 46 else None)
 
     page_streams: list[bytes] = []
     all_shown: list[str] = []
@@ -1034,7 +1135,9 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         two_col = r.random() < 0.25
         with_table = r.random() < 0.25
         with_fig = r.random() < 0.2
-        s, shown = _pdf_text_ops(r, two_col, with_table, with_fig, cid=cid)
+        s, shown = _pdf_text_ops(
+            r, two_col, with_table, with_fig, cid=cid,
+            formula=formula_str if p == 0 else None)
         all_shown.extend(shown)
         page_streams.append(s.encode("latin-1"))
 
@@ -1088,6 +1191,7 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     font_num = first_page + 2 * n
     xobj_num = font_num + 1
 
+    font2_num = xobj_num + 2 if cid else xobj_num + 1
     kid_refs = b" ".join(
         f"{first_page + 2 * i} 0 R".encode() for i in range(n)
     )
@@ -1108,6 +1212,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         + str(n).encode() + b" >>",
         font_num: font_body,
         xobj_num: _pdf_image_xobject(doc_id),
+        # /F2: the math face for the formula slice (Type1 /Symbol)
+        font2_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>",
     }
     if cid:
         bodies[tu_num] = (
@@ -1119,7 +1225,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         cnum = pnum + 1
         bodies[pnum] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 " + str(font_num).encode() + b" 0 R >> "
+            b"/Resources << /Font << /F1 " + str(font_num).encode()
+            + b" 0 R /F2 " + str(font2_num).encode() + b" 0 R >> "
             b"/XObject << /Im1 " + str(xobj_num).encode() + b" 0 R >> >> "
             b"/Contents " + str(cnum).encode() + b" 0 R >>"
         )
@@ -1129,38 +1236,60 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     id_ref = b""
     enc_fkey: bytes | None = None
     enc_aes = False
+    enc_r6 = False
     if encrypted:
         import hashlib
 
         enc_num = max(bodies) + 1
         if enc_empty:
             # REAL standard-security-handler encryption with an empty
-            # user password: R2/V1 (RC4-40), R3/V2 (RC4-128) or
-            # R4/V4 /AESV2 (AES-128-CBC). O and /ID derive from doc_id
-            # via md5 (not the r stream, so the page-content draws
-            # stay byte-identical across variants).
-            o_entry = (hashlib.md5(f"encO-{doc_id}".encode()).digest()
-                       + hashlib.md5(f"encO2-{doc_id}".encode()).digest())
-            id0 = hashlib.md5(f"encID-{doc_id}".encode()).digest()
+            # user password: R2/V1 (RC4-40), R3/V2 (RC4-128),
+            # R4/V4 /AESV2 (AES-128-CBC) or R6/V5 /AESV3 (AES-256,
+            # PDF 2.0). O and /ID derive from doc_id via md5 (not the
+            # r stream, so the page-content draws stay byte-identical
+            # across variants).
             perms = -44
             # md5-byte selector; the salt is chosen so the 1500-doc
-            # gate corpus's three surviving empty-password docs land
-            # one per class (R2 / R3 / AESV2)
-            sel = hashlib.md5(f"encR6-{doc_id}".encode()).digest()[0] % 3
-            rev, v, bits = ((2, 1, 40), (3, 2, 128), (4, 4, 128))[sel]
-            enc_aes = rev == 4
-            enc_fkey = _pdf_enc_file_key(o_entry, perms, id0, rev, bits)
-            u_entry = _pdf_enc_user_entry(enc_fkey, rev, id0)
-            cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                  b" /StmF /StdCF /StrF /StdCF" if enc_aes else b"")
-            bodies[enc_num] = (
-                b"<< /Filter /Standard /V " + str(v).encode()
-                + b" /R " + str(rev).encode()
-                + b" /Length " + str(bits).encode() + cf
-                + b" /O <" + o_entry.hex().encode() + b">"
-                + b" /U <" + u_entry.hex().encode() + b">"
-                + b" /P " + str(perms).encode() + b" >>"
-            )
+            # gate corpus's four surviving empty-password docs cover
+            # every class (R2 / R3 / AESV2 / AESV3-R6)
+            sel = hashlib.md5(f"encV5-{doc_id}".encode()).digest()[0] % 4
+            if sel == 3:
+                # AES-256 /V 5 /R 6 (VERDICT r4 task 5): real /U /UE
+                # /O /OE /Perms per Algorithms 8/9/10; file key
+                # encrypts streams directly
+                (enc_fkey, u48, ue32, o48, oe32,
+                 perms16) = _pdf_r6_entries(doc_id, perms)
+                enc_r6 = True
+                id0 = hashlib.md5(f"encID-{doc_id}".encode()).digest()
+                bodies[enc_num] = (
+                    b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                    b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                    b" /O <" + o48.hex().encode() + b">"
+                    b" /U <" + u48.hex().encode() + b">"
+                    b" /OE <" + oe32.hex().encode() + b">"
+                    b" /UE <" + ue32.hex().encode() + b">"
+                    b" /Perms <" + perms16.hex().encode() + b">"
+                    b" /P " + str(perms).encode() + b" >>"
+                )
+            else:
+                o_entry = (hashlib.md5(f"encO-{doc_id}".encode()).digest()
+                           + hashlib.md5(f"encO2-{doc_id}".encode()).digest())
+                id0 = hashlib.md5(f"encID-{doc_id}".encode()).digest()
+                rev, v, bits = ((2, 1, 40), (3, 2, 128), (4, 4, 128))[sel]
+                enc_aes = rev == 4
+                enc_fkey = _pdf_enc_file_key(o_entry, perms, id0, rev, bits)
+                u_entry = _pdf_enc_user_entry(enc_fkey, rev, id0)
+                cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                      b" /StmF /StdCF /StrF /StdCF" if enc_aes else b"")
+                bodies[enc_num] = (
+                    b"<< /Filter /Standard /V " + str(v).encode()
+                    + b" /R " + str(rev).encode()
+                    + b" /Length " + str(bits).encode() + cf
+                    + b" /O <" + o_entry.hex().encode() + b">"
+                    + b" /U <" + u_entry.hex().encode() + b">"
+                    + b" /P " + str(perms).encode() + b" >>"
+                )
             idh = id0.hex().encode()
             id_ref = b" /ID [<" + idh + b"> <" + idh + b">]"
         else:
@@ -1202,7 +1331,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         )
         xref_num = objstm_num + 1
         if enc_fkey is not None:
-            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id)
+            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id,
+                                 r6=enc_r6)
         out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         for num in sorted(bodies):
@@ -1231,7 +1361,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
         out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     else:
         if enc_fkey is not None:
-            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id)
+            _pdf_encrypt_streams(bodies, enc_fkey, enc_aes, doc_id,
+                                 r6=enc_r6)
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = {}
         for num in sorted(bodies):

@@ -122,9 +122,9 @@ def test_corpus_encrypted_classes():
     for doc_id, payload in cls["empty"]:
         res = extract_pdf(payload)
         assert res.ok and res.text_md, (doc_id, res.error_kind)
-        seen.add(hashlib.md5(f"encR6-{doc_id}".encode()).digest()[0] % 3)
-    # RC4-40/R2, RC4-128/R3 AND AES-128/R4 all exercised
-    assert seen == {0, 1, 2}
+        seen.add(hashlib.md5(f"encV5-{doc_id}".encode()).digest()[0] % 4)
+    # RC4-40/R2, RC4-128/R3, AES-128/R4 AND AES-256/R6 all exercised
+    assert seen == {0, 1, 2, 3}
 
 
 def test_decrypted_text_matches_plaintext_twin():
@@ -136,7 +136,8 @@ def test_decrypted_text_matches_plaintext_twin():
     checked = 0
     # the manual strip below is RC4-wire surgery; AES twins are
     # covered by test_aes_plaintext_twin's constructed document
-    rc4_docs = [(d, p) for d, p in cls["empty"] if b"/AESV2" not in p]
+    rc4_docs = [(d, p) for d, p in cls["empty"]
+                if b"/AESV2" not in p and b"/AESV3" not in p]
     for doc_id, payload in rc4_docs[:6]:
         # recover the file key exactly as the extractor does
         m = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", payload)

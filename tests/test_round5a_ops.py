@@ -263,3 +263,84 @@ def test_jpeg_unsupported_classes_stay_wire():
     assert decode_image(hdr_only).width == 20
     assert decode_pixels(b"\xff\xd8\xff\xd9") is None
     assert decode_pixels(b"\xff\xd8\xff") is None
+
+
+# --- round-5 AES-256 /V5 /R6 PDFs (r4-verdict task 5) ----------------
+
+
+def test_r6_file_key_roundtrip_and_wrong_password():
+    from documentconvert_ray.functions.pdf_crypt import r6_file_key
+    from documentconvert_ray.sources.corpus import _pdf_r6_entries
+
+    fkey, u48, ue32, o48, oe32, perms16 = _pdf_r6_entries(1012, -44)
+    # the decrypt-side Algorithm 2.A recovers the generator's key
+    assert r6_file_key(u48, ue32) == fkey
+    # a non-empty password must NOT validate
+    assert r6_file_key(u48, ue32, b"wrong") is None
+    # owner entries are real too: validate via the owner algorithm
+    from documentconvert_ray.functions.aes import cbc_decrypt_nopad
+    from documentconvert_ray.functions.pdf_crypt import hash_2b
+
+    opwd = b"owner-1012"
+    assert hash_2b(opwd, o48[32:40], u48) == o48[:32]
+    ikey = hash_2b(opwd, o48[40:48], u48)
+    assert cbc_decrypt_nopad(ikey, bytes(16), oe32) == fkey
+    # /Perms decrypts to the spec block: P LE, 0xFFFFFFFF, 'Tadb'
+    from documentconvert_ray.functions.aes import decrypt_block, expand_key
+
+    pblock = decrypt_block(expand_key(fkey), perms16)
+    assert pblock[0:4] == (-44 & 0xFFFFFFFF).to_bytes(4, "little")
+    assert pblock[4:8] == b"\xff\xff\xff\xff"
+    assert pblock[8:12] == b"Tadb"
+
+
+def test_r6_corpus_doc_extracts():
+    import hashlib
+
+    from documentconvert_ray.functions.pdf_extract import extract_pdf
+    from documentconvert_ray.sources.corpus import make_pdf
+
+    # doc 1012 is the gate corpus's AESV3-R6 slice member
+    assert hashlib.md5(b"encV5-1012").digest()[0] % 4 == 3
+    raw, _, _ = make_pdf(1012)
+    assert b"/AESV3" in raw and b"/UE <" in raw
+    res = extract_pdf(raw)
+    assert res.ok and res.text_md
+
+
+# --- round-5 formula regions (r4-verdict task 7) ---------------------
+
+
+def test_formula_blocks_fixture_pinned():
+    import hashlib
+
+    from documentconvert_ray.functions.pdf_extract import extract_pdf
+    from documentconvert_ray.sources.corpus import make_pdf
+
+    hits = 0
+    for i in range(200):
+        fd = hashlib.md5(f"formula-{i}".encode()).digest()
+        raw, _, _ = make_pdf(i)
+        res = extract_pdf(raw)
+        if fd[0] < 46:
+            if res.ok and res.text_md:
+                want = (f"$$ x{fd[1] % 10} = a{fd[2] % 10} + "
+                        f"b{fd[3] % 10} / c{fd[4] % 10} $$")
+                assert want in res.text_md, i
+                # span bookkeeping intact: some span reproduces it
+                assert any(res.text_md[s["start"]:s["end"]] == want
+                           for s in res.spans), i
+                hits += 1
+        elif res.ok:
+            assert "$$" not in res.text_md, i
+    assert hits >= 20
+
+
+def test_math_font_detection_families():
+    from documentconvert_ray.functions.pdf_extract import _is_math_basefont
+
+    for name in ("Symbol", "CMMI10", "CMSY7", "CMEX10", "MSAM10",
+                 "ABCDEF+CMMI12", "XYZMathOne"):
+        assert _is_math_basefont(name), name
+    for name in ("Helvetica", "Times-Roman", "ABCDEF+Arial", "CMR10"):
+        assert not _is_math_basefont(name), name
