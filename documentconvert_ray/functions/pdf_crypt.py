@@ -144,19 +144,39 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 
 
 def r6_file_key(u_entry: bytes, ue_entry: bytes,
-                password: bytes = b"") -> bytes | None:
+                password: bytes = b"",
+                perms_entry: bytes | None = None,
+                p: int | None = None) -> bytes | None:
     """Algorithm 2.A for /R 6 with the USER password (default empty —
-    the readable-without-a-password class): validate ``password``
-    against /U's hash + validation salt, then unwrap the 32-byte file
-    key from /UE with the key-salt intermediate key (AES-256-CBC,
-    zero IV, no padding). Returns None when the password does not
-    validate (caller classifies ``encrypted_pdf``)."""
-    from .aes import cbc_decrypt_nopad
+    the readable-without-a-password class): validate ``password`` and
+    unwrap the 32-byte file key from /UE under the key-salt
+    intermediate key (AES-256-CBC, zero IV, no padding). Returns None
+    when the password does not validate (caller classifies
+    ``encrypted_pdf``).
+
+    Validation order: when /Perms is available the SINGLE key-salt
+    hash both unwraps the key and validates it — AES-ECB-decrypting
+    /Perms with the candidate file key must yield 'adb' at bytes 9-11
+    and the /P value at bytes 0-3 (ISO 32000-2 Algorithm 13's
+    integrity check; false-accept ≤ 2⁻⁵⁶). hash_2b is deliberately
+    expensive (≥64 AES-CBC-mixed SHA-2 rounds — password hardening),
+    so skipping the separate /U validation-salt hash halves the
+    per-document cost; documents without /Perms take the classic
+    /U-hash path."""
+    from .aes import cbc_decrypt_nopad, decrypt_block, expand_key
 
     if len(u_entry) < 48 or len(ue_entry) < 32:
         return None
     vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    ikey = hash_2b(password, ksalt)
+    key = cbc_decrypt_nopad(ikey, bytes(16), ue_entry[:32])
+    if perms_entry is not None and len(perms_entry) >= 16:
+        blk = decrypt_block(expand_key(key), perms_entry[:16])
+        if blk[9:12] == b"adb" and (
+                p is None
+                or blk[0:4] == (p & 0xFFFFFFFF).to_bytes(4, "little")):
+            return key
+        return None  # wrong password (or corrupt /Perms)
     if hash_2b(password, vsalt) != u_entry[:32]:
         return None
-    ikey = hash_2b(password, ksalt)
-    return cbc_decrypt_nopad(ikey, bytes(16), ue_entry[:32])
+    return key

@@ -358,7 +358,12 @@ class _PdfDoc:
             ue_entry = self.resolve(enc.get("UE"))
             if not isinstance(ue_entry, bytes):
                 raise PdfError("encrypted_pdf", "R6 without /UE")
-            key6 = r6_file_key(u_entry, ue_entry)
+            perms_entry = self.resolve(enc.get("Perms"))
+            key6 = r6_file_key(
+                u_entry, ue_entry,
+                perms_entry=(perms_entry
+                             if isinstance(perms_entry, bytes) else None),
+                p=p)
             if key6 is None:
                 raise PdfError("encrypted_pdf",
                                "non-empty user password required")

@@ -1110,8 +1110,8 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
     # thresholds chosen so the 1500-doc gate corpus contains ≥1 doc of
     # each class: passworded {739}; of the empty-password docs, the
     # four that survive the truncation slice {581, 788, 1012, 1036}
-    # land exactly one-per-class across R2 / AESV2 / AESV3-R6 / R3
-    # under the encV5 md5 selector (416/1189/38 are truncated_pdf by
+    # land exactly one-per-class across AESV2 / R2 / AESV3-R6 / R3
+    # under the r6sel md5 selector (416/1189/38 are truncated_pdf by
     # the independent truncation roll regardless of class)
     enc_roll = r.random()
     encrypted = enc_roll < 0.085
@@ -1249,10 +1249,16 @@ def make_pdf(doc_id: int, seed: int = SEED) -> tuple[bytes, str, str]:
             # r stream, so the page-content draws stay byte-identical
             # across variants).
             perms = -44
-            # md5-byte selector; the salt is chosen so the 1500-doc
+            # md5-byte selector with a REALISTIC class mix: R6 is
+            # 1/16 of the empty-password slice (AES-256 PDFs are rare
+            # in real crawls, and their spec-mandated expensive KDF —
+            # ≥64 hash_2b rounds per doc — would otherwise dominate
+            # the PDF actor pool); the rest split evenly across
+            # R2 / R3 / AESV2. The salt is chosen so the 1500-doc
             # gate corpus's four surviving empty-password docs cover
-            # every class (R2 / R3 / AESV2 / AESV3-R6)
-            sel = hashlib.md5(f"encV5-{doc_id}".encode()).digest()[0] % 4
+            # every class (581→AESV2, 788→R2, 1012→R6, 1036→R3)
+            v16 = hashlib.md5(f"r6sel-{doc_id}".encode()).digest()[0] % 16
+            sel = 3 if v16 == 14 else v16 % 3
             if sel == 3:
                 # AES-256 /V 5 /R 6 (VERDICT r4 task 5): real /U /UE
                 # /O /OE /Perms per Algorithms 8/9/10; file key

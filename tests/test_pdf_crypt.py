@@ -122,7 +122,8 @@ def test_corpus_encrypted_classes():
     for doc_id, payload in cls["empty"]:
         res = extract_pdf(payload)
         assert res.ok and res.text_md, (doc_id, res.error_kind)
-        seen.add(hashlib.md5(f"encV5-{doc_id}".encode()).digest()[0] % 4)
+        v16 = hashlib.md5(f"r6sel-{doc_id}".encode()).digest()[0] % 16
+        seen.add(3 if v16 == 14 else v16 % 3)
     # RC4-40/R2, RC4-128/R3, AES-128/R4 AND AES-256/R6 all exercised
     assert seen == {0, 1, 2, 3}
 

@@ -301,7 +301,7 @@ def test_r6_corpus_doc_extracts():
     from documentconvert_ray.sources.corpus import make_pdf
 
     # doc 1012 is the gate corpus's AESV3-R6 slice member
-    assert hashlib.md5(b"encV5-1012").digest()[0] % 4 == 3
+    assert hashlib.md5(b"r6sel-1012").digest()[0] % 16 == 14
     raw, _, _ = make_pdf(1012)
     assert b"/AESV3" in raw and b"/UE <" in raw
     res = extract_pdf(raw)
