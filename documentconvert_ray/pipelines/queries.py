@@ -6781,12 +6781,12 @@ def q_domain_clustering(sf_dir: str):
                 [zlib.crc32(s.encode()) % nb for s in df["domain"]],
                 index=df.index, dtype="int32")})
 
-    tv = (
-        tri.map_batches(explode, batch_format="pyarrow")
-        .groupby("domain")
-        .aggregate(Sum("n_tri", alias_name="n_tri"))
-        .map_batches(tag_tri, batch_format="pandas")
-    )
+    # per-batch triangle-count partials feed the bucketed close
+    # DIRECTLY — close() sums per domain inside the bucket, so a
+    # separate domain-keyed aggregate before it would be a second
+    # all-to-all for nothing (measured: 7.0 -> ~5 s at sf0.1)
+    tv = tri.map_batches(explode, batch_format="pyarrow").map_batches(
+        tag_tri, batch_format="pandas")
 
     def close(g):
         s = g.groupby("domain", as_index=False).agg(
