@@ -137,14 +137,29 @@ def decode_png_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
     for r in range(h):
         base = r * (stride + 1)
         ft = data[base]
+        # vectorized fast paths for the overwhelmingly common filters
+        # (numpy; byte-exact: cumsum/addition distribute over mod 256)
+        if ft in (0, 1, 2):
+            import numpy as _np
+
+            enc = _np.frombuffer(data, _np.uint8,
+                                 stride, base + 1)
+            if ft == 0:
+                dec = enc
+            elif ft == 2:  # Up
+                dec = enc + _np.frombuffer(prev, _np.uint8)
+            elif bpp == 1:  # Sub, 1 byte/px: prefix sum mod 256
+                dec = _np.cumsum(enc, dtype=_np.int64).astype(_np.uint8)
+            else:  # Sub, multi-byte pixels: per-channel prefix sum
+                dec = (_np.cumsum(
+                    enc.reshape(-1, bpp).astype(_np.int64), axis=0)
+                    .astype(_np.uint8).reshape(-1))
+            row = bytearray(dec.tobytes())
+            out[r * stride:(r + 1) * stride] = row
+            prev = bytes(row)
+            continue
         row = bytearray(data[base + 1:base + 1 + stride])
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
+        if ft == 3:  # Average
             for i in range(stride):
                 left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF

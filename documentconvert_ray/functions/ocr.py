@@ -55,6 +55,42 @@ assert _MIN_DIST >= 16, f"glyph table degenerate (min dist {_MIN_DIST})"
 OCR_NOISE_BUDGET = (_MIN_DIST - 1) // 2
 
 
+def glyph_pixels(ch: str):
+    """8×8 uint8 pixel array (255 = glyph pixel) for one glyph —
+    cached; the renderer and the vectorized matcher both read it."""
+    import numpy as np
+
+    arr = _GLYPH_PX.get(ch)
+    if arr is None:
+        rows = glyph_rows(ch)
+        bits = np.unpackbits(np.frombuffer(rows, np.uint8))
+        arr = (bits.reshape(8, 8) * np.uint8(255))
+        arr.setflags(write=False)
+        _GLYPH_PX[ch] = arr
+    return arr
+
+
+_GLYPH_PX: dict = {}
+
+
+def _glyph_bit_matrix():
+    """(n_glyphs, 64) uint8 bit matrix of the font table (cached) —
+    the vectorized nearest-template matcher's operand."""
+    import numpy as np
+
+    global _GLYPH_BITMAT
+    if _GLYPH_BITMAT is None:
+        rows = np.frombuffer(
+            b"".join(glyph_rows(c) for c in OCR_GLYPH_CHARS), np.uint8)
+        _GLYPH_BITMAT = np.unpackbits(rows).reshape(
+            len(OCR_GLYPH_CHARS), 64)
+        _GLYPH_BITMAT.setflags(write=False)
+    return _GLYPH_BITMAT
+
+
+_GLYPH_BITMAT = None
+
+
 def match_cell(bits: int) -> str:
     """Nearest glyph (Hamming distance over the 64-bit cell bitmap);
     ties break to the first glyph in OCR_GLYPH_CHARS order."""
@@ -71,18 +107,22 @@ def match_cell(bits: int) -> str:
 def ocr_gray_row(pixels: bytes, width: int) -> str:
     """Recover the text of a single-line glyph strip: ``pixels`` is an
     8-row 8-bit grayscale buffer, width a multiple of 8; each 8×8
-    cell thresholds at 128 and nearest-matches the font table."""
+    cell thresholds at 128 and nearest-matches the font table.
+    Vectorized: one (cells × glyphs) Hamming-distance matrix per
+    strip; ties break to the first glyph in OCR_GLYPH_CHARS order
+    (argmin takes the first minimum — same rule as match_cell)."""
+    import numpy as np
+
     if width % OCR_CELL or len(pixels) != width * OCR_CELL:
         raise ValueError("not an 8-row glyph strip")
-    out = []
-    for cx in range(width // OCR_CELL):
-        bits = 0
-        for y in range(OCR_CELL):
-            row = pixels[y * width + cx * OCR_CELL:
-                         y * width + cx * OCR_CELL + OCR_CELL]
-            byte = 0
-            for px in row:
-                byte = (byte << 1) | (1 if px >= 128 else 0)
-            bits = (bits << 8) | byte
-        out.append(match_cell(bits))
-    return "".join(out)
+    ncells = width // OCR_CELL
+    arr = np.frombuffer(pixels, np.uint8).reshape(OCR_CELL, ncells,
+                                                  OCR_CELL)
+    # (cells, 64) bit planes, row-major within each cell
+    bits = (arr.transpose(1, 0, 2).reshape(ncells, 64)
+            >= 128).astype(np.uint8)
+    gm = _glyph_bit_matrix()
+    # Hamming distances via XOR-sum: (cells, glyphs)
+    dist = (bits[:, None, :] ^ gm[None, :, :]).sum(axis=2)
+    pick = dist.argmin(axis=1)
+    return "".join(OCR_GLYPH_CHARS[i] for i in pick)

@@ -591,25 +591,24 @@ def _png_encode_gray(w: int, h: int, pixels: bytes) -> bytes:
     """8-bit grayscale PNG from a raw row-major pixel buffer, row
     filters cycling None/Sub/Up (same exercise of the decoder's
     unfilter path as synth_image's tiled variant)."""
+    import numpy as np
+
     stride = w
     rows = bytearray()
-    prev = bytes(stride)
+    prev = np.zeros(stride, np.uint8)
     for r in range(h):
-        raw = bytearray(pixels[r * stride:(r + 1) * stride])
+        raw = np.frombuffer(pixels, np.uint8, stride, r * stride)
         ft = r % 3
         if ft == 0:  # None
-            rows += b"\x00" + raw
-        elif ft == 1:  # Sub
-            enc = bytearray(raw)
-            for i in range(stride - 1, 0, -1):
-                enc[i] = (enc[i] - raw[i - 1]) & 0xFF
-            rows += b"\x01" + enc
+            rows += b"\x00" + raw.tobytes()
+        elif ft == 1:  # Sub (vectorized; uint8 subtraction wraps
+            # mod 256 — byte-identical to the loop form)
+            enc = raw.copy()
+            enc[1:] -= raw[:-1]
+            rows += b"\x01" + enc.tobytes()
         else:  # Up
-            enc = bytearray(raw)
-            for i in range(stride):
-                enc[i] = (enc[i] - prev[i]) & 0xFF
-            rows += b"\x02" + enc
-        prev = bytes(raw)
+            rows += b"\x02" + (raw - prev).tobytes()
+        prev = raw
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + bytes([8, 0, 0, 0, 0]))
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
@@ -628,26 +627,21 @@ def render_ocr_png(s: str, noise_seed: int | None = None) -> bytes:
     corpus's noisy OCR slice exercises)."""
     import hashlib
 
-    from ..functions.ocr import OCR_CELL, glyph_rows
+    import numpy as np
+
+    from ..functions.ocr import OCR_CELL, glyph_pixels
 
     w = OCR_CELL * len(s)
-    buf = bytearray(w * OCR_CELL)
-    for ci, ch in enumerate(s):
-        rows = glyph_rows(ch)
-        for y in range(OCR_CELL):
-            b = rows[y]
-            for x in range(OCR_CELL):
-                if (b >> (7 - x)) & 1:
-                    buf[y * w + ci * OCR_CELL + x] = 255
+    # (8, w) strip: cached glyph pixel arrays stacked column-wise
+    buf = np.hstack([glyph_pixels(ch) for ch in s]).copy()
     if noise_seed is not None:
         for ci in range(len(s)):
             d = hashlib.md5(b"ocrnoise:%d:%d"
                             % (noise_seed, ci)).digest()
             for k in range(4):
                 y, x = divmod(d[k] % 64, 8)
-                i = y * w + ci * OCR_CELL + x
-                buf[i] = 255 - buf[i]
-    return _png_encode_gray(w, OCR_CELL, bytes(buf))
+                buf[y, ci * OCR_CELL + x] = 255 - buf[y, ci * OCR_CELL + x]
+    return _png_encode_gray(w, OCR_CELL, buf.tobytes())
 
 
 def synth_jpeg_gray(w: int, h: int, fill: bytes) -> bytes:
