@@ -366,11 +366,21 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[ImageInfo, bytes] | None:
     single-component (grayscale) frames — the corpus's planted class;
     multi-component frames (no chroma pipeline here) and
     progressive/arithmetic modes return None and keep their
-    header-dims wire path."""
+    header-dims wire path. Corrupt wire bytes (truncated segments,
+    short Huffman tables, garbage lengths) return None too — a
+    decoder fed crawl data must never raise (fuzz-pinned in
+    tests/test_round5a_ops.py)."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
+    try:
+        return _jpeg_pixels_inner(payload, np)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def _jpeg_pixels_inner(payload: bytes, np):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = 0

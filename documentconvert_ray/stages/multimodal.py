@@ -237,7 +237,10 @@ class OcrStage:
     every 8×8 cell (functions/ocr) — byte-exact on clean glyphs,
     noise-proof up to OCR_NOISE_BUDGET flipped pixels per cell.
     Rows: kind='ocr' (clean) / 'ocr_noisy' (the planted noisy slice
-    still recovers exactly) / 'no_image' (nothing to render)."""
+    still recovers exactly) / 'no_image' (nothing to render) /
+    'bad_strip' (decodable image that is not an 8-row glyph strip —
+    a ROW-level value, never a task failure; the M9/M11 error
+    philosophy)."""
 
     def __init__(self) -> None:
         from ..functions.image_codec import decode_pixels
@@ -258,8 +261,14 @@ class OcrStage:
                 texts.append("")
                 continue
             info, buf = px
+            try:
+                text = self._ocr(buf, info.width)
+            except ValueError:
+                kinds.append("bad_strip")
+                texts.append("")
+                continue
             kinds.append("ocr_noisy" if nz else "ocr")
-            texts.append(self._ocr(buf, info.width))
+            texts.append(text)
         return pa.Table.from_pydict(
             {"doc_id": batch.column("doc_id"),
              "kind": pa.array(kinds, pa.string()),

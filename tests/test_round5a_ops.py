@@ -344,3 +344,64 @@ def test_math_font_detection_families():
         assert _is_math_basefont(name), name
     for name in ("Helvetica", "Times-Roman", "ABCDEF+Arial", "CMR10"):
         assert not _is_math_basefont(name), name
+
+
+# --- round-5 decoder robustness (crawl data is hostile) --------------
+
+
+def test_decoders_never_raise_on_mutated_payloads():
+    """Deterministic fuzz: random byte flips / truncations / garbage
+    tails over every synthetic wire format — a decoder fed crawl data
+    must return None (or a decode), NEVER raise. This caught a real
+    IndexError family in the JPEG segment parser when first run."""
+    import random
+
+    from documentconvert_ray.functions.audio_codec import decode_wav
+    from documentconvert_ray.functions.image_codec import (
+        decode_image, decode_jpeg_pixels, decode_pixels)
+    from documentconvert_ray.sources.corpus import (
+        render_ocr_png, synth_image, synth_jpeg_gray, synth_wav)
+
+    rng = random.Random(42)
+    bases = [
+        synth_jpeg_gray(24, 16, b"fuzzme"),
+        render_ocr_png("FUZZ TEST 123"),
+        synth_image("png", 20, 12, b"xyz"),
+        synth_image("bmp", 9, 7, b"ab"),
+        synth_image("ppm", 6, 6, b"q"),
+        synth_image("jpeg", 10, 10, b"h"),
+        synth_wav(8000, 50, b"pcm"),
+    ]
+    for base in bases:
+        for _ in range(150):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                op = rng.random()
+                if op < 0.5 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op < 0.8 and b:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    b += bytes(rng.randrange(256)
+                               for _ in range(rng.randint(1, 8)))
+            p = bytes(b)
+            for fn in (decode_jpeg_pixels, decode_pixels, decode_image,
+                       decode_wav):
+                fn(p)  # must not raise
+
+
+def test_ocr_stage_bad_strip_is_row_level():
+    import pyarrow as pa
+
+    from documentconvert_ray.sources.corpus import synth_image
+    from documentconvert_ray.stages.multimodal import OcrStage
+
+    # a decodable PNG that is NOT an 8-row glyph strip
+    batch = pa.Table.from_pydict({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([synth_image("png", 20, 12, b"x")],
+                            pa.binary()),
+        "noisy": pa.array([False], pa.bool_())})
+    out = OcrStage()(batch)
+    assert out.column("kind").to_pylist() == ["bad_strip"]
+    assert out.column("ocr_text").to_pylist() == [""]
