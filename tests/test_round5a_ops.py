@@ -405,3 +405,30 @@ def test_ocr_stage_bad_strip_is_row_level():
     out = OcrStage()(batch)
     assert out.column("kind").to_pylist() == ["bad_strip"]
     assert out.column("ocr_text").to_pylist() == [""]
+
+
+def test_extract_pdf_never_raises_on_mutated_encrypted_docs():
+    """extract_pdf's never-raises contract under mutation, biased to
+    the four encrypted classes (R2/R3/AESV2/AESV3-R6) whose decrypt
+    paths are the round-5 additions."""
+    import random
+
+    from documentconvert_ray.functions.pdf_extract import extract_pdf
+    from documentconvert_ray.sources.corpus import make_pdf
+
+    rng = random.Random(7)
+    for doc_id in (581, 788, 1012, 1036, 739):
+        base = make_pdf(doc_id)[0]
+        for _ in range(25):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                op = rng.random()
+                if op < 0.55 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op < 0.85 and b:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    b += bytes(rng.randrange(256)
+                               for _ in range(rng.randint(1, 16)))
+            res = extract_pdf(bytes(b))  # must not raise
+            assert res.ok or res.error_kind
