@@ -216,6 +216,7 @@ QUERY_NAMES = [
     "weighted_median_price",
     # round-5 additions
     "ocr_text",
+    "ngram_novelty",
     # iterative broadcast-vector fixpoints (pagerank_domains,
     # hits_domains) are excluded like kmeans' heavier cousins: their
     # battery time is per-round Ray overhead on a domain-granular

@@ -12688,6 +12688,86 @@ def q_weighted_median_price(sf_dir: str):
     )
 
 
+# --- T213: per-document n-gram novelty -------------------------------
+
+
+def q_ngram_novelty(sf_dir: str):
+    """PER-DOCUMENT N-GRAM NOVELTY — the memorization-risk twin of
+    T46's corpus-level dup-gram mass: for every doc, the fraction of
+    its DISTINCT lowercase word-trigrams that occur in NO other
+    document (corpus df == 1), as novelty_ppm = n_unique·10⁶ //
+    n_grams — the score a curation pass reads to find boilerplate-
+    heavy (low) vs memorization-risk one-off (high) documents.
+    Distributed shape: per-batch per-doc DISTINCT (gram-hash, doc_id)
+    pairs (set-combiner — a doc lives in one row, so pairs are
+    globally distinct by construction) → ONE gram-hash bucketed
+    exchange where each bucket computes df per hash (a hash lives in
+    exactly one bucket) and collapses to per-doc (n_grams, n_unique)
+    partials → a doc-keyed Sum closes. Exchange O(distinct pairs),
+    then O(docs); grams travel only as md5 int64 hashes
+    (md5_number_upper family — even collisions agree on both
+    sides)."""
+    import pandas as pd
+
+    from ..functions.textstats import _md5_u64, tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        dids: list[int] = []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            toks = [t.lower() for t in tokens(text)]
+            seen = set()
+            for i in range(len(toks) - 2):
+                seen.add(_md5_u64(
+                    b"nv:" + " ".join(toks[i:i + 3]).encode("utf-8")))
+            hs.extend(seen)
+            dids.extend([doc_id] * len(seen))
+        ha = np.array(hs, np.uint64)
+        return pa.Table.from_pydict({
+            "h": pa.array(ha.view(np.int64), pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "bucket": pa.array((ha % np.uint64(nb)).astype(np.int32),
+                               pa.int32())})
+
+    def reduce_bucket(g):
+        df = g.groupby("h")["h"].transform("size")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_grams": np.ones(len(g), np.int64),
+            "n_unique": (df.to_numpy(np.int64) == 1).astype(np.int64)})
+        s = out.groupby("doc_id", as_index=False).sum()
+        # re-key the per-doc partials by doc hash for the close (a
+        # doc lives in exactly one close bucket)
+        s["b2"] = (s["doc_id"].to_numpy(np.int64) % 32).astype(np.int32)
+        return s
+
+    def close(g):
+        s = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_unique=("n_unique", "sum"))
+        ng = s["n_grams"].to_numpy(np.int64)
+        nu = s["n_unique"].to_numpy(np.int64)
+        s["novelty_ppm"] = nu * 1_000_000 // ng
+        return s[["doc_id", "n_grams", "n_unique", "novelty_ppm"]].astype(
+            {"n_grams": "int64", "n_unique": "int64",
+             "novelty_ppm": "int64"})
+
+    # NOTE: the per-doc rollup is a bucketed map_groups, NOT a
+    # groupby(doc_id).aggregate — Ray's sort-based aggregate measured
+    # 13.3 s for the 5000-key close where the bucketed reduce runs in
+    # ~1 s (the repo's standard many-key-rollup idiom)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(close, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12705,6 +12785,7 @@ def queries() -> dict:
         "extract_error_stats": q_extract_error_stats,
         # -- (1b) NEW this round, never checked ----------------------
         "ocr_text": q_ocr_text,
+        "ngram_novelty": q_ngram_novelty,
         # -- (2) NEVER driver-sampled in r1–r4 (VERDICT r4 task 1);
         # first two also have impl changes this round ----------------
         "domain_clustering": q_domain_clustering,
@@ -13044,6 +13125,36 @@ _FP_TERMS_SQL = " + ".join(
     for j in range(8))
 
 ORACLES: dict[str, str] = {
+    # per-doc trigram novelty: distinct doc-gram pairs → corpus df →
+    # df==1 fraction per doc (same tokenization + 'nv:'-prefixed
+    # md5_number_upper hash family as the engine partial)
+    "ngram_novelty": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> ''),
+                   x -> lower(x)) AS ts
+          FROM documents),
+        tg AS (
+          SELECT DISTINCT doc_id,
+                 md5_number_upper('nv:' || ts[i.i] || ' '
+                                  || ts[i.i + 1] || ' '
+                                  || ts[i.i + 2]) AS h
+          FROM toks, unnest(range(1, len(ts) - 1)) AS i(i)
+          WHERE len(ts) >= 3),
+        df AS (SELECT h, count(*) AS df FROM tg GROUP BY h),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 count(*) FILTER (WHERE df = 1) AS n_unique
+          FROM tg JOIN df USING (h) GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_unique AS BIGINT) AS n_unique,
+               CAST(n_unique * 1000000 // n_grams AS BIGINT)
+                   AS novelty_ppm
+        FROM per
+    """,
     # OCR ground truth: the planted string (ASCII-filtered BEFORE
     # uppercasing — both sides byte-identical); the engine must
     # recover it from rendered pixels, clean and noisy slices alike

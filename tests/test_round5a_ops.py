@@ -432,3 +432,35 @@ def test_extract_pdf_never_raises_on_mutated_encrypted_docs():
                                for _ in range(rng.randint(1, 16)))
             res = extract_pdf(bytes(b))  # must not raise
             assert res.ok or res.error_kind
+
+
+def test_ngram_novelty_matches_bruteforce(registry, ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from documentconvert_ray.functions.textstats import _md5_u64, tokens
+
+    got = _canon(registry["ngram_novelty"](SF))
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    per_doc: dict[int, set] = {}
+    df: Counter = Counter()
+    for i, x in zip(t["doc_id"], t["text"]):
+        toks = [w.lower() for w in tokens(x or "")]
+        s = {_md5_u64(b"nv:" + " ".join(toks[j:j + 3]).encode())
+             for j in range(len(toks) - 2)}
+        if s:
+            per_doc[int(i)] = s
+            df.update(s)
+    rows = []
+    for i, s in per_doc.items():
+        nu = sum(1 for h in s if df[h] == 1)
+        rows.append((i, len(s), nu, nu * 1_000_000 // len(s)))
+    want = _canon(pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "n_unique", "novelty_ppm"]))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    # non-degenerate: the corpus has both novel and repeated grams
+    assert got["n_unique"].sum() > 0
+    assert (got["n_unique"] < got["n_grams"]).any()
