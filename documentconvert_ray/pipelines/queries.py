@@ -3803,10 +3803,14 @@ def q_ocr_text(sf_dir: str):
     hash-gated."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    # instance (task-pool) form, like the sibling multimodal stages:
+    # the stage's only state is the tiny glyph table, so an actor
+    # pool would pay spin-up for nothing — a REAL OCR model swaps in
+    # as map_batches(OcrStage, concurrency=N) with the same __call__
     return (
         ds.map_batches(_ocr_payload, batch_format="pyarrow")
-        .map_batches(OcrStage, batch_format="pyarrow", batch_size=128,
-                     concurrency=(1, 4))
+        .map_batches(OcrStage(), batch_format="pyarrow",
+                     batch_size=128)
     )
 
 
