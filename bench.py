@@ -217,6 +217,7 @@ QUERY_NAMES = [
     # round-5 additions
     "ocr_text",
     "ngram_novelty",
+    "event_decay_mass",
     # iterative broadcast-vector fixpoints (pagerank_domains,
     # hits_domains) are excluded like kmeans' heavier cousins: their
     # battery time is per-round Ray overhead on a domain-granular

@@ -12772,6 +12772,53 @@ def q_ngram_novelty(sf_dir: str):
     )
 
 
+# --- T214: recency-decayed activity mass -----------------------------
+
+
+def q_event_decay_mass(sf_dir: str):
+    """RECENCY-DECAY WEIGHTING per user — the temporal-curation
+    weight (DataComp-style freshness bias) every crawl-refresh
+    sampler wants: each event carries weight 10⁶ // (1 + age_days)
+    relative to the corpus's newest event, and users roll up to
+    (n_events, decay_mass) — integer-exact, so both sides agree
+    bit-for-bit. Shape: one O(1)-row max-ts pre-pass (column-pruned),
+    then map-side per-batch per-user partials → a user-hash bucketed
+    rollup (the many-key close idiom — never a sort-based
+    groupby(user).aggregate)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    max_us = int(pd.Timestamp(
+        _read(sf_dir, "events", ["ts"]).max("ts")).value // 1000)
+    nb = 32
+
+    def partial(df):
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        age_days = (max_us - ts) // US_PER_DAY
+        w = 1_000_000 // (1 + age_days)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": np.ones(len(df), np.int64),
+            "decay_mass": w})
+        s = out.groupby("user_id", as_index=False).sum()
+        s["bucket"] = (s["user_id"].to_numpy(np.int64) % nb) \
+            .astype(np.int32)
+        return s
+
+    def close(g):
+        s = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            decay_mass=("decay_mass", "sum"))
+        return s.astype({"user_id": "int64", "n_events": "int64",
+                         "decay_mass": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(close, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12790,6 +12837,7 @@ def queries() -> dict:
         # -- (1b) NEW this round, never checked ----------------------
         "ocr_text": q_ocr_text,
         "ngram_novelty": q_ngram_novelty,
+        "event_decay_mass": q_event_decay_mass,
         # -- (2) NEVER driver-sampled in r1–r4 (VERDICT r4 task 1);
         # first two also have impl changes this round ----------------
         "domain_clustering": q_domain_clustering,
@@ -13129,6 +13177,20 @@ _FP_TERMS_SQL = " + ".join(
     for j in range(8))
 
 ORACLES: dict[str, str] = {
+    # recency-decay weight: integer floor division over microsecond
+    # ages (epoch_us on both sides; age ≥ 0 so floor == trunc)
+    "event_decay_mass": """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        w AS (
+          SELECT user_id,
+                 1000000 // (1 + CAST(epoch_us(m) - epoch_us(ts)
+                                      AS BIGINT) // 86400000000) AS w
+          FROM events, mx)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(w) AS BIGINT) AS decay_mass
+        FROM w GROUP BY user_id
+    """,
     # per-doc trigram novelty: distinct doc-gram pairs → corpus df →
     # df==1 fraction per doc (same tokenization + 'nv:'-prefixed
     # md5_number_upper hash family as the engine partial)

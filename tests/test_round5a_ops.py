@@ -464,3 +464,23 @@ def test_ngram_novelty_matches_bruteforce(registry, ray_session):
     # non-degenerate: the corpus has both novel and repeated grams
     assert got["n_unique"].sum() > 0
     assert (got["n_unique"] < got["n_grams"]).any()
+
+
+def test_event_decay_mass_matches_bruteforce(registry, ray_session):
+    import pyarrow.parquet as pq
+
+    got = _canon(registry["event_decay_mass"](SF))
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    ts = t["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    age_days = (ts.max() - ts) // 86_400_000_000
+    w = 1_000_000 // (1 + age_days)
+    want = _canon(pd.DataFrame({
+        "user_id": t["user_id"].to_numpy(np.int64),
+        "n_events": 1, "decay_mass": w})
+        .groupby("user_id", as_index=False).sum()
+        .astype({"n_events": "int64", "decay_mass": "int64"}))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    # the newest event's user carries at least one full-weight event
+    assert (got["decay_mass"] >= got["n_events"]).all()
